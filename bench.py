@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark the declared query surface.
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], one warm-up + N
+timed runs per query (median reported), and prints ONE JSON line:
+
+    {"metric": "declared_queries_total", "value": <sum of medians>,
+     "unit": "sec", "queries": {name: sec, ...}, "sf": 0.1}
+
+Execution is forced with a cheap ``count()``-style action
+(``df.write.format("noop")``) so the timing covers scan→compute without
+driver-side collect overhead dominating.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from eventsgateway_spark.queries import QUERIES
+    from eventsgateway_spark.session import get_spark
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    for name, fn in sorted(QUERIES.items()):
+        # warm-up (plan + JIT + file listing caches)
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "declared_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

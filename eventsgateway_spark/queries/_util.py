@@ -1,0 +1,55 @@
+"""Shared loaders + determinism helpers for declared queries.
+
+Cross-engine exactness contract (Spark result must hash-equal the
+DuckDB oracle):
+
+- **Total ORDER BY** on every result, with an integer/string key as the
+  final tiebreaker.
+- **Money math in decimal, output as double.** Double SUMs are
+  order-dependent (parallel partial aggregation), so monetary inputs are
+  cast to exact DECIMALs, aggregated exactly, and only the final scalar
+  is cast to DOUBLE (one correctly-rounded conversion in both engines).
+- **No bare timestamps in outputs** — project DATE or formatted strings
+  (Spark TIMESTAMP carries a timezone; DuckDB's is naive).
+- **events.ts is parquet TIMESTAMP(NANOS)**, unreadable by stock Spark;
+  we flip ``spark.sql.legacy.parquet.nanosAsLong`` at runtime and derive
+  a microsecond timestamp with ``timestamp_micros(ts div 1000)`` —
+  identical to DuckDB's ns→µs truncation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# events.value / TPC-H money columns are 2-decimal doubles; DECIMAL(18,2)
+# keeps sf0.1 sums (≲1e10) far inside exact range.
+DEC = "decimal(18,2)"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a fixture table, normalizing driver-specific quirks."""
+    if name == "events":
+        # Must be set before the read; harmless if already set. The
+        # session-timezone pin keeps to_date()/hour() on the derived
+        # (tz-aware) timestamp aligned with DuckDB's naive timestamps
+        # even when the caller's session (e.g. the driver's) didn't set
+        # a timezone.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # ts arrives as bigint nanos; truncate to µs exactly like DuckDB's
+        # CAST(timestamp_ns AS timestamp).
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def money(col_name: str) -> F.Column:
+    """Exact decimal view of a 2-decimal double column."""
+    return F.col(col_name).cast(DEC)
+
+
+def as_double(col) -> F.Column:
+    return col.cast("double")

@@ -1,0 +1,312 @@
+"""Event-stream analytics queries over the driver's ``events`` table.
+
+These re-express the reference's event pipeline semantics as batch
+operators: the notebook's time-derivation ETL (P4,
+spark-notebook/eventsgateway-streaming.ipynb:103-106), the Prometheus
+metric aggregations (A1-A3, metrics/metrics.go:47-76), stateful dedup
+(Q15 — README.md:11-17 at-least-once notice), sessionization (Q13
+batch analog), and JSON prop extraction (Q12; the driver fixture stores
+props as a JSON string rather than map<string,string>).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from eventsgateway_spark.queries import query
+from eventsgateway_spark.queries._util import as_double, money, table
+
+# ---------------------------------------------------------------------------
+# Flagship — daily event counts (the notebook ETL + grouped counter A1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_daily_event_counts",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           event_type AS event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q01_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship vertical slice: scan → time derivation (P4) → grouped
+    count/sum (A1) → total order. Mirrors the reference notebook's
+    year/month/day derivation from event time (.ipynb:103-106)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date("ts").alias("event_date"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            as_double(F.sum(money("value"))).alias("sum_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — JSON prop extraction (props is a JSON string in the fixture)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_props_json_extract",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS BIGINT) AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q13_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema payload access — the engine's analog of the
+    reference's props map<string,string> (client/client.go:168); here via
+    get_json_object, JVM-side."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy(F.floor(F.col("k") / 10).cast("bigint").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — per-user ordered windows: lag + running sum
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_user_running_stats",
+    oracle="""
+    SELECT user_id AS user_id,
+           event_id AS event_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(LAG(value) OVER w AS DOUBLE) AS prev_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, rn
+    """,
+)
+def q14_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / lag / running frame sum over per-user event-time
+    order — one shuffle on user_id serves all three window functions."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.lag("value").over(w).cast("double").alias("prev_value"),
+            as_double(
+                F.sum(money("value")).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            ).alias("running_value"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — histogram aggregation with the reference's metric buckets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_value_histogram",
+    oracle="""
+    SELECT CASE
+             WHEN value <= 10 THEN 'le_10'
+             WHEN value <= 30 THEN 'le_30'
+             WHEN value <= 50 THEN 'le_50'
+             WHEN value <= 100 THEN 'le_100'
+             WHEN value <= 500 THEN 'le_500'
+             ELSE 'inf' END AS bucket,
+           event_type AS event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q15_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bucket histogram — the reference's Prometheus histogram
+    semantics ({10,30,50,100,500} buckets, metrics/metrics.go:53) as a
+    grouped aggregation."""
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value")
+    bucket = (
+        F.when(v <= 10, "le_10")
+        .when(v <= 30, "le_30")
+        .when(v <= 50, "le_50")
+        .when(v <= 100, "le_100")
+        .when(v <= 500, "le_500")
+        .otherwise("inf")
+    )
+    return (
+        ev.groupBy(bucket.alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — dedup: latest event per (user, type) — at-least-once → once
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q16_dedup_latest_per_user_type",
+    oracle="""
+    SELECT user_id AS user_id, event_type AS event_type,
+           event_id AS event_id,
+           CAST(value AS DOUBLE) AS value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def q16_dedup_latest_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch dedup-to-latest (keep newest by event time, deterministic
+    tiebreak) — the downstream-dedup the reference mandates for its
+    at-least-once delivery (README.md:11-17). Streaming analog:
+    streaming/dedup.py."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", as_double(F.col("value")).alias("value"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — cube over event dimensions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_cube_event_stats",
+    oracle="""
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), '(all)') AS event_date,
+           CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    ORDER BY 3, 1, 2
+    """,
+)
+def q17_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (event_type × day) — all 4 grouping-set combinations in one
+    pass (Spark expands to a single shuffle with grouping-id column)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    return (
+        ev.cube("event_type", "d")
+        .agg(F.grouping_id().cast("bigint").alias("gid"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("d").cast("string"), F.lit("(all)")).alias("event_date"),
+            "gid",
+            "n",
+        )
+        .orderBy("gid", "event_type", "event_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 batch analog — sessionization (gap > 30 min starts a new session)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_sessionize",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(prev_ts AS TIMESTAMP)) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM lagged
+    ), numbered AS (
+        SELECT user_id, event_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id AS user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS session_start_us,
+           CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS session_end_us
+    FROM numbered
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q18_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via gaps-and-islands (new session after a
+    30-min silence). The streaming equivalent is session_window in
+    streaming/windows.py; semantics match on static input."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(prev_us.isNull() | ((us - prev_us) > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("bigint"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros("ts")).cast("bigint").alias("session_start_us"),
+            F.max(F.unix_micros("ts")).cast("bigint").alias("session_end_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

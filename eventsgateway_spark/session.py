@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Centralizes the confs that matter for both correctness (UTC session
+timezone, ANSI off for permissive casts kept explicit in our code) and
+scale (AQE, shuffle partitions, Arrow).
+
+Local-mode notes: tests run on ``local[N]`` (single JVM). On a real
+cluster the same confs apply; the only local-specific knob is
+``spark.driver.memory``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the driver's bench box (local[32], 128 GiB). On a cluster,
+# spark.sql.shuffle.partitions should scale with executor cores (AQE
+# coalesces the excess), so a high-but-not-huge default is safe.
+_DEFAULT_CONFS = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Columnar snappy parquet at rest mirrors the reference's snappy-on-Kafka
+    # + ORC/Delta-at-rest posture (server/forwarder/kafka.go:42, Makefile:23).
+    "spark.sql.parquet.compression.codec": "snappy",
+    # 128 MiB scan splits — the sweet spot for large parquet scans; small
+    # local test files produce one split regardless.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+}
+
+
+def get_spark(app_name: str = "eventsgateway_spark", **extra_confs: str) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``spark.driver.memory`` only takes effect on a fresh JVM; callers that
+    need a specific memory size must call this before any other session
+    exists.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.master(
+        os.environ.get("SPARK_GRAFT_MASTER", master)
+    ).appName(app_name)
+    for k, v in {**_DEFAULT_CONFS, **extra_confs}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
