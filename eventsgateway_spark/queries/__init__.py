@@ -33,6 +33,7 @@ def query(name: str, oracle: str | None = None):
 # Import side-effect: populate the registry.
 from eventsgateway_spark.queries import relational  # noqa: E402,F401
 from eventsgateway_spark.queries import events  # noqa: E402,F401
+from eventsgateway_spark.queries import advanced  # noqa: E402,F401
 from eventsgateway_spark.queries import ext_text  # noqa: E402,F401
 from eventsgateway_spark.queries import ext_dedup  # noqa: E402,F401
 from eventsgateway_spark.queries import ext_similarity  # noqa: E402,F401

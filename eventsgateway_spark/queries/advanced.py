@@ -1,0 +1,188 @@
+"""Second-wave operator coverage: outer joins, grouping sets, explode /
+array ops, the Python-UDF surface (Arrow-vectorized), and approximate
+aggregates (SURVEY §2.5 Q2, Q6, Q7, Q12, Q16).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from eventsgateway_spark.queries import query
+from eventsgateway_spark.queries._util import as_double, table
+
+# ---------------------------------------------------------------------------
+# Q2 — full outer join: daily signup vs error counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_fullouter_daily_activity",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_signups
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), e AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_errors
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT COALESCE(s.d, e.d) AS event_date,
+           COALESCE(s.n_signups, 0) AS n_signups,
+           COALESCE(e.n_errors, 0) AS n_errors
+    FROM s FULL OUTER JOIN e ON s.d = e.d
+    ORDER BY 1
+    """,
+)
+def q19_fullouter_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi join of two aggregated branches of the same scan."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(F.to_date("ts").alias("sd"))
+        .agg(F.count(F.lit(1)).alias("n_signups"))
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("ed"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return (
+        s.join(e, s.sd == e.ed, "full_outer")
+        .select(
+            F.coalesce("sd", "ed").alias("event_date"),
+            F.coalesce("n_signups", F.lit(0)).alias("n_signups"),
+            F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+        )
+        .orderBy("event_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — GROUPING SETS (SQL surface; Catalyst expands to one shuffle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_grouping_sets_lineitem",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+           COALESCE(l_shipmode, '(all)') AS l_shipmode,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_shipmode) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+    FROM (SELECT l_returnflag, l_linestatus AS l_shipmode, l_quantity FROM lineitem)
+    GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode), ())
+    ORDER BY 3, 1, 2
+    """,
+)
+def q20_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the sparse cousin of rollup/cube.
+    (The fixture lacks l_shipmode; l_linestatus stands in, aliased.)"""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+               COALESCE(l_shipmode, '(all)') AS l_shipmode,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_shipmode) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+        FROM (SELECT l_returnflag, l_linestatus AS l_shipmode, l_quantity FROM _li_gs)
+        GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode), ())
+        ORDER BY 3, 1, 2
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — explode / array ops: token frequencies per language
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_token_explode",
+    oracle="""
+    SELECT lang AS lang, token AS token, COUNT(*) AS n
+    FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+    ORDER BY 1, 2
+    """,
+)
+def q21_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → explode → grouped count with HAVING — the generate/
+    flatten operator class (maps onto props-map explosion for the
+    gateway event model, SURVEY §2.5 Q12)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .orderBy("lang", "token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — Arrow-vectorized Python UDF surface (pandas_udf)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q22_pandas_udf_scoring",
+    oracle="""
+    SELECT source AS source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(length(text) AS BIGINT) * 2
+                    + CAST(n_chars AS BIGINT) % 7) AS BIGINT) AS score_sum
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q22_pandas_udf_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer scoring in an Arrow-batched pandas_udf, then JVM-side
+    aggregation. Demonstrates the UDF seam (SURVEY §2.5 Q16) with an
+    exactly-checkable function; real workloads put model scoring here.
+    """
+
+    @F.pandas_udf(T.LongType())
+    def doc_score(text: pd.Series, n_chars: pd.Series) -> pd.Series:
+        return text.str.len().astype("int64") * 2 + n_chars.astype("int64") % 7
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", doc_score("text", "n_chars").alias("score"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("score").cast("bigint").alias("score_sum"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — approximate aggregates (rows-only driver check; tolerance-tested
+# in tests/test_approx.py)
+# ---------------------------------------------------------------------------
+
+
+@query("q23_approx_distinct_users")
+def q23_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type + approximate value
+    percentiles — the 100 TB substitute for exact COUNT(DISTINCT)
+    (single pass, fixed-size sketch, no dedup shuffle)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_pcts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
