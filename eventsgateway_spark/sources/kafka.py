@@ -1,0 +1,84 @@
+"""Kafka transport wiring (SURVEY §2.1 S2/S3) with a file-based stand-in.
+
+On a real cluster (spark-sql-kafka connector on the classpath) the
+engine's payload DataFrames go straight to ``format("kafka")`` — the
+per-row ``topic`` column replaces the reference's Go routing loop
+(server/forwarder/kafka.go:60-73), and producer tuning (snappy,
+linger) is connector config mirroring sarama's
+(server/forwarder/kafka.go:38-42).
+
+This container has no Kafka broker or connector jar, so ``FileBus``
+provides the same produce/consume contract over a spooled parquet
+directory: one "topic" per subdirectory, exactly the (topic, key,
+value) triple Kafka would carry. Streaming reads use Spark's file
+source, which gives the same micro-batch admission semantics
+(maxFilesPerTrigger ≈ maxOffsetsPerTrigger backpressure, SURVEY §2.3 C1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("topic", T.StringType(), False),
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), False),
+    ]
+)
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.spark.sql.kafka010.KafkaSourceProvider  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+def write_payloads_kafka(df: DataFrame, bootstrap: str, **producer_opts: str):
+    """Kafka sink honoring the per-row topic column. Defaults mirror the
+    reference producer: snappy compression, local acks, 1ms linger
+    (server/forwarder/kafka.go:38-42, server/app/app.go:96-98)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap,
+        "kafka.compression.type": "snappy",
+        "kafka.acks": "1",
+        "kafka.linger.ms": "1",
+        **producer_opts,
+    }
+    writer = df.select("topic", "key", "value").write.format("kafka")
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+class FileBus:
+    """Kafka-shaped transport over a spool directory (local testing)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def produce(self, payloads: DataFrame) -> None:
+        """Batch produce: append (topic, key, value) rows to the spool."""
+        payloads.select("topic", "key", "value").write.mode("append").parquet(self.root)
+
+    def consume_batch(self, topic: str | None = None) -> DataFrame:
+        df = self.spark.read.schema(PAYLOAD_SCHEMA).parquet(self.root)
+        return df.filter(F.col("topic") == topic) if topic else df
+
+    def consume_stream(self, topic: str | None = None, max_files_per_trigger: int | None = None) -> DataFrame:
+        """Streaming consume — file source micro-batches stand in for
+        Kafka offset ranges; ``maxFilesPerTrigger`` is the backpressure
+        bound (reference channelBuffer, client/async.go:62-65)."""
+        reader = self.spark.readStream.schema(PAYLOAD_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        df = reader.parquet(self.root)
+        return df.filter(F.col("topic") == topic) if topic else df

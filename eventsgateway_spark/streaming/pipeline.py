@@ -1,0 +1,41 @@
+"""Streaming ETL: transport → Avro decode → flatten → partitioned table.
+
+The engine's version of the reference notebook
+(spark-notebook/eventsgateway-streaming.ipynb:76-135): readStream from
+the bus, ``from_avro`` the value bytes, flatten the envelope, derive
+year/month/day from client event time, checkpointed append to the
+partitioned table. End-to-end delivery is at-least-once from the
+producer (duplicates possible — README.md:11-17) and exactly-once from
+bus to table (checkpoint + transactional file commit), so semantic
+dedup stays a downstream operator (streaming/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from eventsgateway_spark.operators.transforms import flatten_envelope
+from eventsgateway_spark.sources.avro_codec import from_avro_col
+from eventsgateway_spark.sources.lakehouse import write_events_stream
+
+
+def decode_events(spark: SparkSession, payloads: DataFrame) -> DataFrame:
+    """(topic, key, value) → flattened storage-schema events."""
+    decoded = payloads.select(from_avro_col(spark, "value").alias("event"))
+    return flatten_envelope(decoded)
+
+
+def run_etl(
+    spark: SparkSession,
+    payloads: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Wire the decode stage into the partitioned sink. With
+    ``trigger_once`` (availableNow) the stream drains everything and
+    stops — the batch-like mode tests use; continuous deployments drop
+    the flag and set a processing-time trigger."""
+    events = decode_events(spark, payloads)
+    return write_events_stream(events, table_path, checkpoint, trigger_once=trigger_once)

@@ -1,0 +1,92 @@
+"""Unit tier — ingest transforms P1-P6 + Avro round-trip (mirrors the
+reference's client_test.go field assertions and server_test.go
+serialize→deserialize round-trip, SURVEY §5)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from eventsgateway_spark.gateway import Gateway
+from eventsgateway_spark.schemas import WIRE_EVENT_SCHEMA
+from eventsgateway_spark.sources.avro_codec import decode_event, encode_event
+
+
+def test_avro_roundtrip_pure():
+    rec = {
+        "id": "abc-123",
+        "name": "test-event",
+        "props": {"prop1": "val1", "prop2": "val2"},
+        "serverTimestamp": 1700000000123,
+        "clientTimestamp": 1699999999456,
+    }
+    raw = encode_event(rec["id"], rec["name"], rec["props"], rec["serverTimestamp"], rec["clientTimestamp"])
+    assert decode_event(raw) == rec
+
+
+def test_avro_roundtrip_empty_props_and_unicode():
+    raw = encode_event("x", "évènt-ünïcode", {}, 0, -5)
+    back = decode_event(raw)
+    assert back["props"] == {} and back["name"] == "évènt-ünïcode"
+    assert back["serverTimestamp"] == 0 and back["clientTimestamp"] == -5
+
+
+def test_gateway_happy_path(spark):
+    gw = Gateway(spark, default_topic="sv-test")
+    gw.send("test-event", {"prop1": "val1", "prop2": "val2"})
+    gw.send_to_topic("other-event", "special", {"k": "v"})
+    res = gw.ingest()
+    rows = res.payloads.collect()
+    assert {r["topic"] for r in rows} == {"sv-uploads-sv-test", "sv-uploads-special"}
+    assert res.quarantine.count() == 0 and res.oversized.count() == 0
+    # decode one payload and check enrichment: serverTimestamp ≈ now
+    # (the reference asserts ±100ms, client_test.go:93; we allow spark latency)
+    rec = decode_event(bytes(rows[0]["value"]))
+    assert abs(rec["serverTimestamp"] - time.time() * 1000) < 60_000
+    assert rec["props"] in ({"prop1": "val1", "prop2": "val2"}, {"k": "v"})
+
+
+def test_validation_rejects(spark):
+    """Reject vectors from server/app/server_test.go:52-108: missing
+    id / topic / name / timestamp==0."""
+    rows = [
+        ("", "n", "t", {}, 1),          # missing id
+        ("i", "n", "", {}, 1),          # missing topic
+        ("i", "", "t", {}, 1),          # missing name
+        ("i", "n", "t", {}, 0),         # zero timestamp
+        ("ok", "n", "t", {}, 123),      # valid
+    ]
+    df = spark.createDataFrame(rows, WIRE_EVENT_SCHEMA)
+    from eventsgateway_spark.gateway import ingest
+
+    res = ingest(spark, df)
+    assert res.payloads.count() == 1
+    bad = {r["reject_reason"] for r in res.quarantine.collect()}
+    assert bad == {"missing_id", "missing_topic", "missing_name", "missing_timestamp"}
+
+
+def test_size_limit_reject(spark):
+    """server_test.go:168-200: a 30,001-char prop with maxMessageBytes
+    30,000 is rejected; a small event passes."""
+    rows = [
+        ("big", "n", "t", {"p": "a" * 30_001}, 1),
+        ("small", "n", "t", {"p": "a"}, 1),
+    ]
+    df = spark.createDataFrame(rows, WIRE_EVENT_SCHEMA)
+    from eventsgateway_spark.gateway import ingest
+
+    res = ingest(spark, df, max_message_bytes=30_000)
+    assert [r["id"] for r in res.oversized.select("id").collect()] == ["big"]
+    assert res.payloads.count() == 1
+
+
+def test_date_partition_derivation(spark):
+    """P4 — .ipynb:103-106 semantics: partitions from client event time."""
+    from eventsgateway_spark.operators.transforms import derive_date_partitions
+
+    df = spark.createDataFrame(
+        [("a", 1704067200000,)], "id string, clientTimestamp long"  # 2024-01-01 UTC
+    )
+    row = derive_date_partitions(df).collect()[0]
+    assert (row["year"], row["month"], row["day"]) == ("2024", "01", "01")

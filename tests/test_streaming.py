@@ -1,0 +1,167 @@
+"""Integration tier — produce → bus → streaming ETL → partitioned table
+→ query (mirrors the reference's client→server→Kafka→consumer round
+trip, client/sync_int_test.go:66-100), plus windowed aggregation,
+watermark late-data, and stateful dedup semantics on deterministic
+event-time fixtures (FIXTURES.md §3 — never wall-clock; the reference's
+SendAtTime hook, client/client.go:203-220, is the pattern)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventsgateway_spark.gateway import Gateway
+from eventsgateway_spark.sources.kafka import FileBus
+from eventsgateway_spark.streaming.pipeline import run_etl
+from eventsgateway_spark.streaming import windows as SW
+from eventsgateway_spark.streaming.dedup import dedup_by_id
+
+T0 = 1704067200000  # 2024-01-01 00:00:00 UTC
+
+
+def _mins(m: float) -> int:
+    return T0 + int(m * 60_000)
+
+
+def test_end_to_end_ingest_etl_query(spark, tmp_path):
+    """Produce 3 events (one to an overridden topic) → FileBus →
+    streaming ETL (availableNow) → partitioned parquet → SQL query."""
+    gw = Gateway(spark, default_topic="game1")
+    gw.send_at("session_start", _mins(0), {"messageID": "m1"})
+    gw.send_at("purchase", _mins(1), {"messageID": "m2"})
+    gw.send_at("session_start", _mins(2), {"messageID": "m3"}, topic="game2")
+    res = gw.ingest()
+
+    bus = FileBus(spark, str(tmp_path / "bus"))
+    bus.produce(res.payloads)
+
+    table = str(tmp_path / "events_table")
+    q = run_etl(spark, bus.consume_stream(), table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(table)
+    assert out.count() == 3
+    assert set(out.columns) >= {"id", "name", "props", "clienttimestamp", "servertimestamp", "year", "month", "day"}
+    # partition landed by *client* event time
+    assert {(r["year"], r["month"], r["day"]) for r in out.select("year", "month", "day").collect()} == {("2024", "01", "01")}
+    # props survive the Avro hop
+    got = {r["props"]["messageID"] for r in out.select("props").collect()}
+    assert got == {"m1", "m2", "m3"}
+    # topic was consumed for routing and dropped from storage (S5 semantics)
+    assert "topic" not in out.columns
+
+
+def test_tumbling_window_counts_batch_streaming_parity(spark, tmp_path):
+    rows = [
+        ("a", "click", _mins(1)),
+        ("b", "click", _mins(4)),
+        ("c", "click", _mins(11)),
+        ("d", "view", _mins(12)),
+    ]
+    df = spark.createDataFrame(rows, "id string, name string, clienttimestamp long")
+    batch = SW.tumbling_counts(SW.with_event_time(df), ["name"]).collect()
+    by_key = {(str(r["window_start"]), r["name"]): r["n"] for r in batch}
+    assert by_key[("2024-01-01 00:00:00", "click")] == 2
+    assert by_key[("2024-01-01 00:10:00", "click")] == 1
+    assert by_key[("2024-01-01 00:10:00", "view")] == 1
+
+    # same logical plan over a stream → same result
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = SW.tumbling_counts(SW.with_event_time(stream), ["name"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    srows = spark.sql("select * from tumbling_test").collect()
+    assert {(str(r["window_start"]), r["name"], r["n"]) for r in srows} == {
+        (str(r["window_start"]), r["name"], r["n"]) for r in batch
+    }
+
+
+def test_session_window_gap(spark):
+    """FIXTURES.md §3: events 1 min apart, then a 31-min gap → 2 sessions."""
+    rows = [("u1", _mins(0)), ("u1", _mins(1)), ("u1", _mins(2)), ("u1", _mins(33)), ("u2", _mins(0))]
+    df = spark.createDataFrame(rows, "user string, clienttimestamp long")
+    out = SW.session_counts(SW.with_event_time(df), ["user"], gap="30 minutes").collect()
+    u1 = sorted([r for r in out if r["user"] == "u1"], key=lambda r: r["session_start"])
+    assert len(u1) == 2 and u1[0]["n"] == 3 and u1[1]["n"] == 1
+    assert len([r for r in out if r["user"] == "u2"]) == 1
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate ids within and across micro-batches collapse to one
+    (Q15); ids are the retry-duplicate pattern of client/async.go."""
+    src = str(tmp_path / "dup_src")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [("e1", "click", _mins(0)), ("e1", "click", _mins(0)), ("e2", "view", _mins(1))],
+        "id string, name string, clienttimestamp long",
+    )
+    b2 = spark.createDataFrame(
+        [("e2", "view", _mins(1)), ("e3", "click", _mins(2))],
+        "id string, name string, clienttimestamp long",
+    )
+    b1.write.mode("append").parquet(src)
+    b2.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    deduped = dedup_by_id(SW.with_event_time(stream))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select id from dedup_test").collect()
+    assert sorted(r["id"] for r in out) == ["e1", "e2", "e3"]
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """Watermark semantics, deterministic via sequential availableNow
+    runs over one checkpoint (each run = one observed batch):
+
+    run 1: events at t=1min and t=40min → watermark after run = 30min.
+    run 2: a 31-min-late event (t=9, below watermark → DROPPED) and a
+           9-min-late one (t=31, above watermark → accepted).
+    run 3: t=61min pushes the watermark → finalizes remaining windows.
+    """
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    os.makedirs(src)
+    schema = "id string, name string, clienttimestamp long"
+
+    sink = str(tmp_path / "late_sink")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = SW.tumbling_counts(SW.with_event_time(stream), ["name"], window="10 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([("a", "click", _mins(1)), ("b", "click", _mins(40))])
+    run_batch([("late_out", "click", _mins(9)), ("late_in", "click", _mins(31))])
+    run_batch([("c", "click", _mins(61))])
+
+    out = spark.read.parquet(sink).collect()
+    counts = {str(r["window_start"]): r["n"] for r in out}
+    assert counts.get("2024-01-01 00:00:00") == 1  # late_out dropped
+    assert counts.get("2024-01-01 00:30:00") == 1  # late_in accepted
+    assert counts.get("2024-01-01 00:40:00") == 1  # b finalized
