@@ -80,7 +80,9 @@ def q19_fullouter_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the sparse cousin of rollup/cube.
     (The fixture lacks l_shipmode; l_linestatus stands in, aliased.)"""
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    li = table(spark, sf_dir, "lineitem")
+    # DataFrame interpolation (PySpark 3.4+) — no session-global temp
+    # view, so concurrent callers can't collide on a view name.
     return spark.sql(
         """
         SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
@@ -88,10 +90,11 @@ def q20_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_shipmode) AS BIGINT) AS gid,
                COUNT(*) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
-        FROM (SELECT l_returnflag, l_linestatus AS l_shipmode, l_quantity FROM _li_gs)
+        FROM (SELECT l_returnflag, l_linestatus AS l_shipmode, l_quantity FROM {li})
         GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode), ())
         ORDER BY 3, 1, 2
-        """
+        """,
+        li=li,
     )
 
 
@@ -183,6 +186,16 @@ def q23_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_pcts"),
             F.count(F.lit(1)).alias("n_events"),
+        )
+        # scalar percentile columns — array cells are unhashable in the
+        # driver's rows-only canonicalizer
+        .select(
+            "event_type",
+            "approx_users",
+            F.element_at("value_pcts", 1).alias("p50"),
+            F.element_at("value_pcts", 2).alias("p95"),
+            F.element_at("value_pcts", 3).alias("p99"),
+            "n_events",
         )
         .orderBy("event_type")
     )

@@ -114,12 +114,23 @@ _NATIVE_AVRO: bool | None = None
 
 
 def native_avro_available(spark: SparkSession) -> bool:
-    """True if the spark-avro connector jar is on the JVM classpath.
-    (py4j package access never fails, so probe the classloader.)"""
+    """True if the spark-avro SQL functions are actually usable.
+
+    Probing the classloader (``Class.forName``) is a false positive on
+    distributions that ship the avro classes without registering the SQL
+    functions (``AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE`` at call time).
+    The only reliable probe is executing a tiny ``to_avro`` expression
+    end-to-end and falling back to the pandas codec on any failure.
+    """
     global _NATIVE_AVRO
     if _NATIVE_AVRO is None:
         try:
-            spark._jvm.java.lang.Class.forName("org.apache.spark.sql.avro.AvroFileFormat")
+            from pyspark.sql.avro.functions import to_avro
+
+            probe = spark.range(1).select(
+                to_avro(F.struct(F.lit("x").alias("a"))).alias("v")
+            )
+            probe.collect()
             _NATIVE_AVRO = True
         except Exception:
             _NATIVE_AVRO = False

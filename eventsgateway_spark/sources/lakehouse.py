@@ -60,4 +60,14 @@ def write_events_stream(
 
 
 def read_events_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """Read the events table with the reference's schema: year/month/day
+    are *strings* (.ipynb:97-107). Partition-column type inference would
+    silently turn the zero-padded directory values ("01") into ints, so
+    pin it off for this read."""
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        spark.conf.set(conf_key, prev)

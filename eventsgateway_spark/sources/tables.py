@@ -17,8 +17,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table. Path layout per TESTDATA.md."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one fixture table. Path layout per TESTDATA.md.
+
+    Delegates to the same loader the query registry uses so both
+    surfaces see identical schemas — in particular ``events.ts``
+    (parquet TIMESTAMP(NANOS)) is normalized to a µs timestamp instead
+    of crashing the read or leaking a raw bigint.
+    """
+    from eventsgateway_spark.queries._util import table
+
+    return table(spark, sf_dir, name)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

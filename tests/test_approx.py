@@ -27,7 +27,7 @@ def test_percentile_approx_brackets_exact(spark, duck):
     from eventsgateway_spark.queries import QUERIES
 
     rows = {
-        r["event_type"]: r["value_pcts"]
+        r["event_type"]: (r["p50"], r["p95"])
         for r in QUERIES["q23_approx_distinct_users"](spark, SF_ORACLE).collect()
     }
     exact = {
@@ -37,7 +37,6 @@ def test_percentile_approx_brackets_exact(spark, duck):
             " FROM events GROUP BY 1"
         ).fetchall()
     }
-    for et, pcts in rows.items():
-        p50, p95, _ = pcts
+    for et, (p50, p95) in rows.items():
         assert abs(p50 - exact[et][0]) <= 0.05 * max(1.0, exact[et][0]), et
         assert abs(p95 - exact[et][1]) <= 0.05 * max(1.0, exact[et][1]), et

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from eventsgateway_spark.gateway import Gateway
 from eventsgateway_spark.sources.kafka import FileBus
+from eventsgateway_spark.sources.lakehouse import read_events_table
 from eventsgateway_spark.streaming.pipeline import run_etl
 from eventsgateway_spark.streaming import windows as SW
 from eventsgateway_spark.streaming.dedup import dedup_by_id
@@ -41,7 +42,7 @@ def test_end_to_end_ingest_etl_query(spark, tmp_path):
     q = run_etl(spark, bus.consume_stream(), table, str(tmp_path / "ckpt"))
     q.awaitTermination(120)
 
-    out = spark.read.parquet(table)
+    out = read_events_table(spark, table)
     assert out.count() == 3
     assert set(out.columns) >= {"id", "name", "props", "clienttimestamp", "servertimestamp", "year", "month", "day"}
     # partition landed by *client* event time
