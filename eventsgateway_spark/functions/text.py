@@ -1,0 +1,72 @@
+"""Text-analysis column functions (SURVEY §2.5 Q17 [EXT]).
+
+All JVM-side built-ins (split/filter/transform/aggregate) — no Python
+UDFs in any hot path, so whole-stage codegen applies and the same
+expressions run unchanged on a 1000-executor cluster.
+
+Cross-engine determinism: token hashing is md5-based (md5 is identical
+in Spark and DuckDB), folded from the first 8 hex chars — this is what
+lets MinHash/fingerprint queries be hash-checked against the DuckDB
+oracle. All modulus arithmetic stays below 2^40 so DuckDB's checked
+BIGINT multiply never overflows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Fold modulus for rolling fingerprints (Mersenne prime 2^31-1).
+FP_MOD = 2_147_483_647
+# Token-hash range for fold inputs (2^17-1) — keeps acc*131+h < 2^39.
+TOK_MOD = 131_071
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens with empties dropped (split artifacts)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def token_hash32(tok: Column) -> Column:
+    """Deterministic 32-bit token hash shared with the DuckDB oracle:
+    first 8 hex chars of md5, parsed as an unsigned int.
+    (DuckDB: ``('0x' || substr(md5(t),1,8))::BIGINT``.)"""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+
+
+def ngrams(toks: Column, n: int) -> Column:
+    """Array of space-joined n-grams; empty when the doc is shorter
+    than n tokens (guards Spark's descending ``sequence(1, 0)``)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def rolling_fingerprint(toks: Column) -> Column:
+    """Order-sensitive polynomial rolling hash of the token stream
+    (document fingerprint): fold acc = (acc*131 + h(tok)) mod 2^31-1.
+
+    Sequential fold in both engines (Spark ``aggregate``, DuckDB
+    ``list_reduce``) → bit-identical results.
+    """
+    hashed = F.transform(toks, lambda t: token_hash32(t) % TOK_MOD)
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 131 + h) % FP_MOD,
+    )
+
+
+def count_in(toks: Column, vocab: list[str]) -> Column:
+    """How many tokens fall in a fixed vocabulary (stopword hits)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*vocab)))
+
+
+# Tiny per-language function-word lists for the language-ID heuristic.
+# Deliberately small and hard-coded: the heuristic must be identically
+# expressible in the DuckDB oracle SQL.
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "is", "in", "it"]
+ES_STOPWORDS = ["el", "la", "de", "y", "que", "en", "los", "un"]

@@ -1,0 +1,86 @@
+"""Embedding-vector column functions (SURVEY §2.5 Q18/Q20 [EXT]).
+
+Everything is built from ``zip_with``/``transform``/``aggregate`` —
+JVM-side higher-order functions over ``array<float>`` columns, no
+Python in the loop. The folds are *sequential* (left fold over the
+array), which makes per-row results bit-identical to DuckDB's
+``list_transform``/``list_sum`` on the same data — that is what lets
+cosine/norm queries be value-hash-checked against the oracle.
+
+Scale note (100 TB): these are per-row O(dim) expressions inside
+whole-stage codegen; they add no shuffle. Top-k searches built on them
+control cost by bounding the *candidate set* (broadcast query side or
+LSH bucket join), never by all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    """array<float> → array<double> (promote once, multiply exactly)."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two equal-length double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_sq(a: Column) -> Column:
+    return dot(a, a)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(norm_sq(a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity (full formula — robust to non-unit vectors)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (signed projections → bit signature)
+# ---------------------------------------------------------------------------
+
+# Integer-formula hyperplane weights — a deterministic pseudo-random
+# family expressible identically in Spark and DuckDB SQL (no RNG state,
+# no platform drift): w(j, d) = ((A*(j+1) + B*(d+1)) mod 1021) - 510.
+LSH_A = 1_315_423_911
+LSH_B = 2_654_435_761
+
+
+def hyperplane_weight(j: int, d: Column) -> Column:
+    """Weight of hyperplane j at dimension d (d is a 1-based column)."""
+    return (F.lit(LSH_A) * (j + 1) + F.lit(LSH_B) * (d + 1)) % 1021 - 510
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """Signed-random-projection bucket id in [0, 2^n_planes).
+
+    bit_j = 1 iff Σ_d vec[d] * w(j,d) >= 0; bucket = Σ bit_j << j.
+    Sequential per-row fold → oracle-reproducible. Near-duplicate
+    vectors land in the same bucket with high probability, so candidate
+    generation is a bucket equi-join (shuffle on bucket id), never a
+    cartesian product.
+    """
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(1), F.size(vec)),
+                lambda x, d, j=j: x.cast("double") * hyperplane_weight(j, d),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket

@@ -1,1 +1,288 @@
-"""Placeholder — populated in the EXT operators phase."""
+"""[EXT] Text analysis over the ``documents`` table (SURVEY §2.5 Q17).
+
+LLM-training-pipeline text operators: n-gram extraction, tf-idf,
+language identification, quality scoring, and rolling-hash document
+fingerprinting. No reference implementation exists (mandated
+extension); the designs follow standard corpus-processing practice
+(e.g. C4/RefinedWeb-style quality heuristics) re-expressed as
+Catalyst-friendly DataFrame plans.
+
+Scale posture: every query is token-explode → hash-aggregate — linear
+in corpus size, one shuffle keyed by (doc, term) or (term), no
+cartesian products and no Python UDFs. At 100 TB the same plans hold;
+the only tuning knob is shuffle partitioning on the exploded token
+stream (~10-100× row inflation, bounded by doc length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eventsgateway_spark.functions.text import (
+    EN_STOPWORDS,
+    ES_STOPWORDS,
+    FP_MOD,
+    TOK_MOD,
+    count_in,
+    ngrams,
+    rolling_fingerprint,
+    tokens,
+)
+from eventsgateway_spark.queries import query
+from eventsgateway_spark.queries._util import table
+
+# DuckDB-side token array (empties dropped) — mirror of text.tokens().
+_DUCK_TOKS = "[x FOR x IN string_split(text, ' ') IF x <> '']"
+
+
+# ---------------------------------------------------------------------------
+# q24 — n-gram counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q24_bigram_counts",
+    oracle=f"""
+    WITH t AS (SELECT lang, {_DUCK_TOKS} AS toks FROM documents)
+    SELECT lang, bg AS bigram, COUNT(*) AS n
+    FROM (
+        SELECT lang,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM t
+    )
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+    ORDER BY 1, 2
+    """,
+)
+def q24_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bigram frequencies (n-gram operator, n=2).
+    transform over an index sequence builds the gram array JVM-side;
+    explode + hash-aggregate is the scalable shape (no self-join)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return (
+        docs.select("lang", F.explode(ngrams(toks, 2)).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .orderBy("lang", "bigram")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — tf-idf top terms per document
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q25_tfidf_topk",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, t AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents)
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.dfreq,
+               CAST(ROUND(tf.tf * ln((n.n_docs + 1.0) / (dfreq.dfreq + 1.0)), 4)
+                    AS DOUBLE) AS tfidf
+        FROM tf JOIN dfreq USING (term), n
+        WHERE tf.doc_id < 20
+    )
+    SELECT doc_id, rn, term, tf, dfreq, tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    ORDER BY doc_id, rn
+    """,
+)
+def q25_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf terms for the first 20 docs. Document frequency is
+    computed over the FULL corpus (two hash-aggregates over the token
+    stream), then the small scored slice is ranked. The n_docs scalar
+    rides a broadcast cross-join — no driver-side collect."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < 20)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "dfreq",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("dfreq") + 1.0)), 4
+            )
+            .cast("double")
+            .alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "rn", "term", "tf", "dfreq", "tfidf")
+        .orderBy("doc_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26 — language identification (function-word heuristic)
+# ---------------------------------------------------------------------------
+
+_EN_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+_ES_SQL = ", ".join(f"'{w}'" for w in ES_STOPWORDS)
+
+
+@query(
+    "q26_language_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents
+               WHERE doc_id < 100),
+    hits AS (
+        SELECT doc_id, lang,
+               len(toks) AS n_tokens,
+               len([x FOR x IN toks IF x IN ({_EN_SQL})]) AS en_hits,
+               len([x FOR x IN toks IF x IN ({_ES_SQL})]) AS es_hits
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens, en_hits, es_hits,
+           CASE WHEN en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                WHEN es_hits > 0 THEN 'es'
+                ELSE 'und' END AS predicted
+    FROM hits
+    ORDER BY doc_id
+    """,
+)
+def q26_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word language ID: count hits against tiny per-language
+    stopword vocabularies, argmax with a fixed tie-break (en > es >
+    und). Integer counts only — exactly reproducible."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = tokens("text")
+    hits = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        count_in(toks, EN_STOPWORDS).alias("en_hits"),
+        count_in(toks, ES_STOPWORDS).alias("es_hits"),
+    )
+    return hits.select(
+        "*",
+        F.when((F.col("en_hits") >= F.col("es_hits")) & (F.col("en_hits") > 0), "en")
+        .when(F.col("es_hits") > 0, "es")
+        .otherwise("und")
+        .alias("predicted"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q27 — document quality scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q27_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, {_DUCK_TOKS} AS toks,
+                      length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+               FROM documents WHERE doc_id < 200),
+    m AS (
+        SELECT doc_id, n_chars, n_alpha,
+               len(toks) AS n_tokens,
+               len([x FOR x IN toks IF x IN ({_EN_SQL})]) AS stop_hits
+        FROM t
+    )
+    SELECT doc_id, n_tokens, n_chars, n_alpha, stop_hits,
+           CAST(n_alpha AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+           CASE WHEN n_tokens BETWEEN 20 AND 80
+                     AND CAST(stop_hits AS DOUBLE) / n_tokens >= 0.02
+                THEN 'keep' ELSE 'flag' END AS verdict
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def q27_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style quality filter: token counts, alpha-character
+    mass, mean token length, stopword ratio → keep/flag verdict.
+    Ratios are single IEEE divisions of exact integers (deterministic
+    across engines); thresholds mirror C4-style heuristics."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = tokens("text")
+    m = docs.select(
+        "doc_id",
+        "n_chars",
+        F.length(F.regexp_replace("text", "[^a-z]", "")).alias("n_alpha"),
+        F.size(toks).alias("n_tokens"),
+        count_in(toks, EN_STOPWORDS).alias("stop_hits"),
+    )
+    stop_ratio = F.col("stop_hits").cast("double") / F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        "n_alpha",
+        "stop_hits",
+        (F.col("n_alpha").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        stop_ratio.alias("stop_ratio"),
+        F.when(
+            F.col("n_tokens").between(20, 80) & (stop_ratio >= 0.02), "keep"
+        )
+        .otherwise("flag")
+        .alias("verdict"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q28 — rolling-hash document fingerprint
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q28_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    h AS (SELECT doc_id, len(toks) AS n_tokens,
+                 list_reduce(
+                     list_prepend(0::BIGINT,
+                         list_transform(toks,
+                             t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % {TOK_MOD})),
+                     (a, b) -> (a * 131 + b) % {FP_MOD}) AS fingerprint
+          FROM t)
+    SELECT doc_id, n_tokens, fingerprint,
+           COUNT(*) OVER (PARTITION BY fingerprint) AS n_same
+    FROM h
+    ORDER BY doc_id
+    """,
+)
+def q28_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document plus the
+    count of documents sharing it (exact-sequence duplicate detector —
+    the cheap first pass before fuzzy dedup). md5-derived token hashes
+    keep the fold identical in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    h = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        rolling_fingerprint(toks).alias("fingerprint"),
+    )
+    return h.select(
+        "*", F.count(F.lit(1)).over(Window.partitionBy("fingerprint")).alias("n_same")
+    ).orderBy("doc_id")
