@@ -1,1 +1,352 @@
-"""Placeholder — populated in the EXT operators phase."""
+"""[EXT] Deduplication operators over ``documents`` (SURVEY §2.5 Q19).
+
+The reference is at-least-once and explicitly delegates dedup
+downstream (README.md:11-17); exact-id dedup is Q15 (q16). This module
+adds the LLM-training-pipeline near-duplicate family:
+
+- q29 exact bag-of-words dedup (hash-groupBy on a canonical token key)
+- q30 shingle-Jaccard near-dup pairs via inverted-index join
+- q31 MinHash + LSH banding candidate generation, Jaccard-verified
+- q32 duplicate clustering (connected components, iterative label
+  propagation)
+
+Scale posture (100 TB): candidate generation is always an equi-join on
+a derived key (token, shingle, band signature) — shuffle-partitioned,
+never all-pairs. Ultra-frequent shingles are pruned by a document-
+frequency cap before the pair join (the prefix-filter analog), which
+bounds the per-key fan-out; banding keeps MinHash candidates
+near-linear in corpus size. Connected components is hash-to-min label
+propagation — one shuffle per iteration, O(cluster diameter)
+iterations, the standard large-graph formulation.
+
+All hashes are md5-derived (identical in Spark and DuckDB), so every
+query here is value-hash-checked against the oracle, including the
+clustering (DuckDB side uses a recursive CTE closure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eventsgateway_spark.functions.text import ngrams, token_hash32, tokens
+from eventsgateway_spark.queries import query
+from eventsgateway_spark.queries._util import table
+
+_DUCK_TOKS = "[x FOR x IN string_split(text, ' ') IF x <> '']"
+
+# MinHash family: h_i(s) = (a_i * hash32(s) + b_i) mod P. Odd multipliers,
+# P = 2^31-1; products stay < 2^38 so DuckDB's checked BIGINT math is safe.
+MH_P = 2_147_483_647
+MH_K = 8  # signature length
+MH_BANDS = 4  # bands of 2 rows each
+SHINGLE_N = 3
+MAX_SHINGLE_DF = 100  # prune shingles present in more docs (prefix-filter analog)
+
+
+def _mh_a(i: int) -> int:
+    return 2 * i + 1
+
+
+def _mh_b(i: int) -> int:
+    return 7919 * i
+
+
+# ---------------------------------------------------------------------------
+# Shared Spark-side pipeline pieces
+# ---------------------------------------------------------------------------
+
+
+def doc_shingles(docs: DataFrame, n: int = SHINGLE_N, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """(doc_id, s) — distinct n-token shingles per doc, with ultra-
+    frequent shingles pruned by document frequency (bounds the fan-out
+    of any later equi-join on s)."""
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(ngrams(tokens("text"), n))).alias("s")
+    )
+    rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df")).filter(F.col("_df") <= max_df)
+    return sh.join(rare.select("s"), "s")
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """(d1, d2, inter, sz1, sz2, jaccard) for pairs sharing ≥1 shingle.
+    Inverted-index self-join on the shingle key — the only shuffle keys
+    are (s) then (d1, d2)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1")
+    s2 = sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2")
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "inter",
+            "sz1",
+            "sz2",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# DuckDB mirror of doc_shingles (+ sizes), reused by q30-q32 oracles.
+_SH_CTES = f"""
+    t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    sh0 AS (
+        SELECT doc_id, s
+        FROM (SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                         range(1, len(toks) - {SHINGLE_N - 2}),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+              FROM t)
+    ),
+    sh AS (SELECT doc_id, s FROM sh0
+           WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_DF})),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT d1, d2, inter, s1.sz AS sz1, s2.sz AS sz2,
+               CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+        FROM pairs
+        JOIN sizes s1 ON pairs.d1 = s1.doc_id
+        JOIN sizes s2 ON pairs.d2 = s2.doc_id
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# q29 — exact dedup on the canonical bag-of-words key
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q29_exact_dedup_groups",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' ') AS k
+               FROM documents)
+    SELECT MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_dups,
+           array_to_string(list_sort(list(doc_id)), ',') AS members
+    FROM t
+    GROUP BY k
+    HAVING COUNT(*) > 1
+    ORDER BY 1
+    """,
+)
+def q29_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups under a canonical key (sorted distinct
+    token bag) — one hash-aggregate on the derived key; the cheapest
+    dedup tier and the template for any exact content-hash dedup."""
+    docs = table(spark, sf_dir, "documents")
+    key = F.array_join(F.sort_array(F.array_distinct(tokens("text"))), " ")
+    return (
+        docs.select(F.col("doc_id"), key.alias("k"))
+        .groupBy("k")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .select("canonical_id", "n_dups", "members")
+        .orderBy("canonical_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q30 — shingle-Jaccard near-duplicate pairs (inverted index)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q30_jaccard_pairs",
+    oracle=f"""
+    WITH {_SH_CTES}
+    SELECT d1, d2, inter, sz1, sz2, jaccard
+    FROM jac
+    WHERE jaccard >= 0.5
+    ORDER BY d1, d2
+    """,
+)
+def q30_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact 3-shingle Jaccard ≥ 0.5.
+    Candidates come from an inverted-index equi-join on the shingle
+    (docs sharing zero shingles are never paired), with hot shingles
+    df-capped — the plan is linear in Σ shingles, not |docs|²."""
+    sh = doc_shingles(table(spark, sf_dir, "documents"))
+    return jaccard_pairs(sh, 0.5).orderBy("d1", "d2")
+
+
+# ---------------------------------------------------------------------------
+# q31 — MinHash + LSH banding, Jaccard-verified
+# ---------------------------------------------------------------------------
+
+_MINS_SQL = ", ".join(
+    f"MIN(({_mh_a(i)} * hs + {_mh_b(i)}) % {MH_P}) AS m{i}" for i in range(MH_K)
+)
+_BANDS_SQL = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, m{2*b}::VARCHAR || ':' || m{2*b+1}::VARCHAR AS bkey FROM mins"
+    for b in range(MH_BANDS)
+)
+
+
+@query(
+    "q31_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SH_CTES},
+    shh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS hs FROM sh),
+    mins AS (SELECT doc_id, {_MINS_SQL} FROM shh GROUP BY doc_id),
+    bands AS ({_BANDS_SQL}),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT jac.d1, jac.d2, jac.inter, jac.sz1, jac.sz2, jac.jaccard
+    FROM cand JOIN jac ON cand.d1 = jac.d1 AND cand.d2 = jac.d2
+    WHERE jac.jaccard >= 0.4
+    ORDER BY 1, 2
+    """,
+)
+def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=8) → 4-band LSH → candidate pairs → exact-Jaccard
+    verification at 0.4. The banding join is the scale path: candidate
+    volume tracks true-duplicate volume, not |docs|². Seeded affine
+    hash family over the md5 token hash keeps the signature — and
+    therefore the whole query — oracle-reproducible."""
+    docs = table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    shh = sh.select("doc_id", token_hash32(F.col("s")).alias("hs"))
+    mins = shh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(_mh_a(i)) * F.col("hs") + F.lit(_mh_b(i))) % MH_P).alias(f"m{i}")
+            for i in range(MH_K)
+        ]
+    )
+    bands = None
+    for b in range(MH_BANDS):
+        part = mins.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ":", F.col(f"m{2*b}").cast("string"), F.col(f"m{2*b+1}").cast("string")
+            ).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    verified = jaccard_pairs(sh, 0.4)
+    return cand.join(verified, ["d1", "d2"]).orderBy("d1", "d2")
+
+
+# ---------------------------------------------------------------------------
+# q32 — duplicate clustering: connected components
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q32_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTES},
+    e AS (SELECT d1 AS u, d2 AS v FROM jac WHERE jaccard >= 0.5
+          UNION ALL
+          SELECT d2, d1 FROM jac WHERE jaccard >= 0.5),
+    nodes AS (SELECT DISTINCT u FROM e),
+    reach(u, r) AS (
+        SELECT u, u FROM nodes
+        UNION
+        SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+    ),
+    lbl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lbl
+    ORDER BY doc_id
+    """,
+)
+def q32_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters = connected components over the Jaccard≥0.5
+    pair graph; cluster id is the minimum member doc_id.
+
+    Hash-to-min label propagation: each iteration every node adopts the
+    minimum label among itself and its neighbors (one equi-join + one
+    hash-aggregate per iteration); converges in O(component diameter)
+    iterations — duplicate clusters are shallow, so typically 2-4. The
+    loop runs on DataFrames with ``localCheckpoint`` to cut lineage;
+    no driver-side graph materialization.
+    """
+    edges = jaccard_pairs(doc_shingles(table(spark, sf_dir, "documents")), 0.5).select(
+        "d1", "d2"
+    )
+    und = edges.select(F.col("d1").alias("u"), F.col("d2").alias("v")).unionAll(
+        edges.select(F.col("d2").alias("u"), F.col("d1").alias("v"))
+    )
+    und = und.localCheckpoint()
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    while True:
+        nbr = (
+            und.join(labels, und.v == labels.node)
+            .groupBy(und.u)
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.u, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("label"))
+            .alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
