@@ -58,29 +58,34 @@ LSH_B = 2_654_435_761
 
 
 def hyperplane_weight(j: int, d: Column) -> Column:
-    """Weight of hyperplane j at dimension d (d is a 1-based column)."""
-    return (F.lit(LSH_A) * (j + 1) + F.lit(LSH_B) * (d + 1)) % 1021 - 510
+    """Weight of hyperplane j at dimension d (d is a 1-based column).
+    The j-term is folded to a Python-int literal so no column-side
+    int32 multiply can overflow; the d-term multiplier is a long."""
+    return (F.lit(LSH_A * (j + 1)) + F.lit(LSH_B) * (d + 1)) % 1021 - 510
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
+def lsh_bucket(vec: Column, n_planes: int = 8, table_id: int = 0) -> Column:
     """Signed-random-projection bucket id in [0, 2^n_planes).
 
     bit_j = 1 iff Σ_d vec[d] * w(j,d) >= 0; bucket = Σ bit_j << j.
-    Sequential per-row fold → oracle-reproducible. Near-duplicate
-    vectors land in the same bucket with high probability, so candidate
-    generation is a bucket equi-join (shuffle on bucket id), never a
-    cartesian product.
+    ``table_id`` offsets the hyperplane family, giving independent hash
+    tables for OR-amplified multi-table search. Sequential per-row fold
+    → oracle-reproducible. Near-duplicate vectors land in the same
+    bucket with high probability, so candidate generation is a bucket
+    equi-join (shuffle on bucket id), never a cartesian product.
     """
+    def weight_fn(j: int):
+        # closure factory: the returned lambda must take exactly the two
+        # zip_with arguments (Spark binds lambda variables by signature)
+        return lambda x, d: x.cast("double") * hyperplane_weight(j, d)
+
     bucket = F.lit(0)
-    for j in range(n_planes):
+    for b in range(n_planes):
+        j = table_id * n_planes + b
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(1), F.size(vec)),
-                lambda x, d, j=j: x.cast("double") * hyperplane_weight(j, d),
-            ),
+            F.zip_with(vec, F.sequence(F.lit(1), F.size(vec)), weight_fn(j)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
     return bucket

@@ -35,7 +35,7 @@ from eventsgateway_spark.sources.avro_codec import to_avro_col
 class IngestResult(NamedTuple):
     """Encoded payloads ready for the sink + rejected side-outputs."""
 
-    payloads: DataFrame  # columns: sink_topic, key(null), value(avro bytes)
+    payloads: DataFrame  # columns: topic, key(null), value(avro bytes)
     quarantine: DataFrame  # invalid envelopes with reject_reason
     oversized: DataFrame  # size-limit rejects with reject_reason
 

@@ -67,19 +67,15 @@ def validate(df: DataFrame) -> ValidationSplit:
 def enrich(df: DataFrame) -> DataFrame:
     """P5 — stamp ``serverTimestamp = now()`` in epoch millis (ingest /
     processing time; reference server/sender/kafka.go:108) and map the
-    wire ``timestamp`` to ``clientTimestamp`` (event time). Events
-    arriving without an id get a uuid, mirroring the client's stamping
-    (client/client.go:232)."""
-    return (
-        df.withColumn("serverTimestamp", F.unix_millis(F.current_timestamp()))
-        .withColumn(
-            "id",
-            F.when(F.col("id").isNull() | (F.col("id") == ""), F.expr("uuid()")).otherwise(
-                F.col("id")
-            ),
-        )
-        .withColumnRenamed("timestamp", "clientTimestamp")
-    )
+    wire ``timestamp`` to ``clientTimestamp`` (event time).
+
+    Id stamping is split exactly like the reference: the *client* side
+    (Gateway.send_at, mirroring client/client.go:232) assigns uuids, and
+    the *server* side rejects id-less events in validate() — so no uuid
+    backfill happens here."""
+    return df.withColumn(
+        "serverTimestamp", F.unix_millis(F.current_timestamp())
+    ).withColumnRenamed("timestamp", "clientTimestamp")
 
 
 def route_topic(df: DataFrame) -> DataFrame:

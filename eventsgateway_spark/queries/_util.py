@@ -46,6 +46,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle parallelism.
+
+    Use before CPU-heavy per-row expansion (tokenize → shingle →
+    explode, per-row vector folds): a small fixture table arrives as
+    ONE file split, so the expansion would run single-threaded. The
+    repartition shuffles only the narrow pre-explosion rows (cheap);
+    on a real 100 TB table the scan already yields thousands of splits
+    and this is a near-no-op safety net."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n)
+
+
 def money(col_name: str) -> F.Column:
     """Exact decimal view of a 2-decimal double column."""
     return F.col(col_name).cast(DEC)

@@ -310,3 +310,55 @@ def q18_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — as-of join: purchase enriched with latest prior view
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q37_asof_purchase_view",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS view_event_id
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+    SELECT p.event_id, p.user_id,
+           epoch_ms(p.ts) AS purchase_ms,
+           v.view_event_id AS view_event_id,
+           epoch_ms(v.ts) AS view_ms,
+           epoch_ms(p.ts) - epoch_ms(v.ts) AS gap_ms
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY 1
+    """,
+)
+def q37_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.5 Q5): each purchase gains the user's
+    latest view at-or-before purchase time — the event↔state
+    enrichment shape. Runs through operators.asof.asof_join
+    (union-tag-window, ONE shuffle on user_id; no time-range row
+    explosion). The right side is pre-deduped to one row per
+    (user, ts) so ties are deterministic; the DuckDB oracle is a
+    native ASOF LEFT JOIN over the same inputs."""
+    from eventsgateway_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    joined = asof_join(
+        p, v, on=["user_id"], left_time="ts", right_time="ts",
+        right_values=["view_event_id", "ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("purchase_ms"),
+        F.col("view_event_id_asof").alias("view_event_id"),
+        F.unix_millis("ts_asof").alias("view_ms"),
+        (F.unix_millis("ts") - F.unix_millis("ts_asof")).alias("gap_ms"),
+    ).orderBy("event_id")

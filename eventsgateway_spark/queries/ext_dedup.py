@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 
 from eventsgateway_spark.functions.text import ngrams, token_hash32, tokens
 from eventsgateway_spark.queries import query
-from eventsgateway_spark.queries._util import table
+from eventsgateway_spark.queries._util import spread, table
 
 _DUCK_TOKS = "[x FOR x IN string_split(text, ' ') IF x <> '']"
 
@@ -58,29 +58,39 @@ def _mh_b(i: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def doc_shingles(docs: DataFrame, n: int = SHINGLE_N, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+def doc_shingles(
+    docs: DataFrame, n: int = SHINGLE_N, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
     """(doc_id, s) — distinct n-token shingles per doc, with ultra-
     frequent shingles pruned by document frequency (bounds the fan-out
-    of any later equi-join on s)."""
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(ngrams(tokens("text"), n))).alias("s")
+    of any later equi-join on s).
+
+    The raw shingle table is ``localCheckpoint``-materialized once
+    (every consumer — hot-list aggregation, pair join sides, size
+    table, minhash — would otherwise re-run the explode lineage from
+    the parquet scan). The df-cap is then a broadcast ANTI join against
+    the hot-shingle list: the list of shingles with df > cap is tiny by
+    construction, so the prune costs no shuffle and no sort (a window
+    count would sort every partition by s)."""
+    sh = (
+        spread(docs.select("doc_id", "text"))
+        # project toks first — inlined, the split+filter subtree is
+        # re-evaluated per n-gram lambda reference (5× slower)
+        .select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.explode(F.array_distinct(ngrams(F.col("toks"), n))).alias("s"))
+        .localCheckpoint()
     )
-    rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df")).filter(F.col("_df") <= max_df)
-    return sh.join(rare.select("s"), "s")
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("s")
+    )
+    return sh.join(F.broadcast(hot), "s", "left_anti")
 
 
-def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
-    """(d1, d2, inter, sz1, sz2, jaccard) for pairs sharing ≥1 shingle.
-    Inverted-index self-join on the shingle key — the only shuffle keys
-    are (s) then (d1, d2)."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+def _with_jaccard(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """Attach sizes + Jaccard to an (d1, d2, inter) pair table."""
     s1 = sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1")
     s2 = sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2")
     return (
@@ -99,6 +109,39 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """(d1, d2, inter, sz1, sz2, jaccard) for pairs sharing ≥1 shingle.
+    Inverted-index self-join on the shingle key — the only shuffle keys
+    are (s) then (d1, d2)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _with_jaccard(inter, sizes, threshold)
+
+
+def verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for a GIVEN candidate pair set only — the LSH
+    companion: intersection counts come from joining the (small,
+    broadcastable) candidate list against the shingle table twice,
+    never from the full inverted-index self-join."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "s")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "s")
+    inter = (
+        F.broadcast(cand)
+        .join(s1, "d1")
+        .join(s2, ["d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _with_jaccard(inter, sizes, threshold)
 
 
 # DuckDB mirror of doc_shingles (+ sizes), reused by q30-q32 oracles.
@@ -243,16 +286,26 @@ def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(MH_K)
         ]
     )
-    bands = None
-    for b in range(MH_BANDS):
-        part = mins.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                ":", F.col(f"m{2*b}").cast("string"), F.col(f"m{2*b+1}").cast("string")
-            ).alias("bkey"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    # one explode instead of a 4-way union (which would recompute the
+    # signature aggregation once per band)
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            F.col(f"m{2*b}").cast("string"),
+                            F.col(f"m{2*b+1}").cast("string"),
+                        ).alias("bkey"),
+                    )
+                    for b in range(MH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey").localCheckpoint()
     a = bands.alias("a")
     bb = bands.alias("b")
     cand = (
@@ -265,8 +318,7 @@ def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    verified = jaccard_pairs(sh, 0.4)
-    return cand.join(verified, ["d1", "d2"]).orderBy("d1", "d2")
+    return verify_pairs(cand, sh, 0.4).orderBy("d1", "d2")
 
 
 # ---------------------------------------------------------------------------
@@ -321,6 +373,9 @@ def q32_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(und.u)
             .agg(F.min("label").alias("nbr_min"))
         )
+        # lazy checkpoint: lineage is truncated when the `changed`
+        # count materializes it — one Spark job per iteration instead
+        # of two (eager checkpoint + count)
         new_labels = (
             labels.join(nbr, labels.node == nbr.u, "left")
             .select(
@@ -329,7 +384,7 @@ def q32_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "label"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")

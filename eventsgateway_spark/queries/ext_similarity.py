@@ -1,1 +1,296 @@
-"""Placeholder — populated in the EXT operators phase."""
+"""[EXT] Similarity search + multimodal columns over ``embeddings``
+and ``documents`` (SURVEY §2.5 Q18/Q20).
+
+- q33 exact cosine top-k: broadcast the (small) query set against the
+  full candidate table — a broadcast nested-loop that is LINEAR in the
+  candidate count, the correct baseline shape (never candidate×candidate).
+- q34 LSH bucketing: signed-random-projection signatures partition the
+  space; at scale, ANN search becomes an equi-join on the bucket id
+  (see ``functions.vectors.lsh_bucket``). The declared query audits the
+  bucket layout deterministically.
+- q35 embedding statistics per label with exact integer-scaled norms.
+- q36 binary/multimodal round-trip: text treated as an opaque binary
+  payload with typed metadata (the image/audio column pattern — decode
+  itself is stubbed in ``operators.multimodal``; the Spark-side schema
+  and plumbing are real).
+
+All vector math is sequential-fold ``zip_with``/``aggregate`` over
+``array<float>`` cast to double — bit-identical to the DuckDB oracle's
+``list_transform``/``list_sum`` (verified), so even cosine scores
+hash-match after a defensive round(6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eventsgateway_spark.functions.vectors import (
+    LSH_A,
+    LSH_B,
+    as_double,
+    cosine,
+    lsh_bucket,
+    norm,
+)
+from eventsgateway_spark.queries import query
+from eventsgateway_spark.queries._util import spread, table
+
+# DuckDB-side mirrors of the sequential folds in functions.vectors.
+_DUCK_NORM = "sqrt(list_sum(list_transform(e, x -> x*x)))"
+
+
+def _duck_proj(j: int) -> str:
+    """DuckDB: signed projection of e onto integer-formula hyperplane j."""
+    return (
+        f"list_sum(list_transform(range(1, len(e)+1), "
+        f"d -> e[d] * (({LSH_A * (j + 1)} + {LSH_B} * (d+1)) % 1021 - 510)))"
+    )
+
+
+_DUCK_BUCKET = " + ".join(
+    f"(CASE WHEN {_duck_proj(j)} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(8)
+)
+
+
+# ---------------------------------------------------------------------------
+# q33 — exact cosine top-3 (broadcast brute force baseline)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q33_cosine_top3",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS q_label, e AS qe,
+                 sqrt(list_sum(list_transform(e, x -> x*x))) AS qn
+          FROM v WHERE vec_id < 10),
+    scored AS (
+        SELECT q.qid, q.q_label, v.vec_id AS neighbor_id, v.label AS n_label,
+               ROUND(list_sum(list_transform(range(1, len(q.qe)+1),
+                                             i -> q.qe[i] * v.e[i]))
+                     / (q.qn * sqrt(list_sum(list_transform(v.e, x -> x*x)))),
+                     6) AS cos_sim
+        FROM q JOIN v ON v.vec_id <> q.qid
+    )
+    SELECT qid, rn, neighbor_id, q_label, n_label, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    ORDER BY qid, rn
+    """,
+)
+def q33_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 neighbors for a small query set. The query
+    side is broadcast, so the physical plan is a broadcast nested-loop
+    over the candidates — one linear scan, no shuffle of the big side,
+    which is exactly how a 100 TB brute-force pass should look.
+    Ranking uses the rounded score with neighbor-id tie-break, so the
+    order is stable across engines."""
+    v = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e")
+    )
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("e").alias("qe"),
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "q_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "rn", "neighbor_id", "q_label", "n_label", "cos_sim")
+        .orderBy("qid", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 — LSH bucket audit (the ANN scale path's partitioning)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q34_lsh_buckets",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    b AS (SELECT vec_id, label, {_DUCK_BUCKET} AS bucket FROM v)
+    SELECT bucket, COUNT(*) AS n_vectors,
+           MIN(vec_id) AS min_vec_id,
+           COUNT(DISTINCT label) AS n_labels
+    FROM b
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q34_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy audit of the 8-plane signed-random-projection
+    LSH. At 100 TB, ANN candidate generation is ``join ON bucket`` —
+    shuffle keyed by an int, per-bucket work bounded by occupancy, no
+    cartesian. This query pins the exact bucket assignment (integer-
+    formula hyperplanes → oracle-reproducible)."""
+    v = spread(table(spark, sf_dir, "embeddings"))
+    b = v.select(
+        "vec_id", "label", lsh_bucket(F.col("embedding"), 8).alias("bucket")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def ann_topk_bucketed(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """ANN top-k restricted to same-LSH-bucket candidates (the scale
+    path behind q33's brute-force baseline). ``n_tables`` independent
+    hyperplane families are OR-combined (a candidate matches if it
+    shares a bucket in ANY table) — the standard recall amplification;
+    each table is still an equi-join on an int key, so candidate volume
+    per query tracks bucket occupancy × tables, not corpus size.
+    Returns (qid, rn, neighbor_id, cos_sim). Recall is tested in
+    tests/test_ext.py against the exact baseline."""
+    c_base = emb.select(
+        F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("ce"),
+        F.col("embedding").alias("c_raw"),
+    )
+    q_base = queries.select(
+        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qe"),
+        F.col("embedding").alias("q_raw"),
+    )
+    cand = None
+    for t in range(n_tables):
+        c = c_base.select(
+            "neighbor_id", lsh_bucket(F.col("c_raw"), n_planes, t).alias("bucket")
+        )
+        q = q_base.select(
+            "qid", lsh_bucket(F.col("q_raw"), n_planes, t).alias("bucket")
+        )
+        pairs = c.join(F.broadcast(q), "bucket").select("qid", "neighbor_id")
+        cand = pairs if cand is None else cand.unionAll(pairs)
+    cand = cand.distinct().filter(F.col("neighbor_id") != F.col("qid"))
+    scored = (
+        cand.join(c_base.select("neighbor_id", "ce"), "neighbor_id")
+        .join(F.broadcast(q_base.select("qid", "qe")), "qid")
+        .select(
+            "qid",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "rn", "neighbor_id", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — per-label embedding statistics (exact integer-scaled)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q35_embedding_stats",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    m AS (SELECT label,
+                 CAST(ROUND({_DUCK_NORM} * 1e6) AS BIGINT) AS norm_u,
+                 CAST(ROUND(e[1] * 1e6) AS BIGINT) AS c0_u
+          FROM v)
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(norm_u) AS DOUBLE) / (1e6 * COUNT(*)) AS avg_norm,
+           MIN(c0_u) AS min_c0_u, MAX(c0_u) AS max_c0_u
+    FROM m
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q35_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector statistics. Row-level doubles (norms) are
+    scaled to micro-unit BIGINTs before the cross-row SUM, so the
+    aggregate is exact integer math — immune to partial-aggregation
+    order, the same trick the money queries use with decimals."""
+    v = table(spark, sf_dir, "embeddings").select(
+        "label", as_double(F.col("embedding")).alias("e")
+    )
+    m = v.select(
+        "label",
+        F.round(norm(F.col("e")) * 1e6).cast("bigint").alias("norm_u"),
+        F.round(F.element_at("e", 1) * 1e6).cast("bigint").alias("c0_u"),
+    )
+    return (
+        m.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("norm_u").cast("double") / (1e6 * F.count(F.lit(1)))).alias(
+                "avg_norm"
+            ),
+            F.min("c0_u").alias("min_c0_u"),
+            F.max("c0_u").alias("max_c0_u"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — multimodal binary column round-trip
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q36_binary_payloads",
+    oracle="""
+    SELECT doc_id,
+           source,
+           'text/plain' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest,
+           CASE WHEN decode(encode(text)) = text THEN 1 ELSE 0 END AS roundtrip_ok
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def q36_binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column pattern: payload as opaque BinaryType + typed
+    metadata (media_type, n_bytes, digest). Text stands in for image/
+    audio bytes — the schema, encode/decode round-trip, and digest
+    plumbing are what an asset table needs; actual media decode is the
+    stubbed Pandas path in operators.multimodal."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    bin_col = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.lit("text/plain").alias("media_type"),
+        F.octet_length(bin_col).alias("n_bytes"),
+        F.md5(bin_col).alias("digest"),
+        F.when(F.decode(bin_col, "UTF-8") == F.col("text"), 1)
+        .otherwise(0)
+        .alias("roundtrip_ok"),
+    ).orderBy("doc_id")

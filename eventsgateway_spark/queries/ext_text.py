@@ -31,7 +31,7 @@ from eventsgateway_spark.functions.text import (
     tokens,
 )
 from eventsgateway_spark.queries import query
-from eventsgateway_spark.queries._util import table
+from eventsgateway_spark.queries._util import spread, table
 
 # DuckDB-side token array (empties dropped) — mirror of text.tokens().
 _DUCK_TOKS = "[x FOR x IN string_split(text, ' ') IF x <> '']"
@@ -62,10 +62,13 @@ def q24_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language bigram frequencies (n-gram operator, n=2).
     transform over an index sequence builds the gram array JVM-side;
     explode + hash-aggregate is the scalable shape (no self-join)."""
-    docs = table(spark, sf_dir, "documents")
-    toks = tokens("text")
+    docs = spread(table(spark, sf_dir, "documents").select("lang", "text"))
+    # project the token array BEFORE the n-gram lambda: inlined, the
+    # split+filter subtree would be re-evaluated per element reference
+    # (measured 5× slower at sf0.1)
+    with_toks = docs.select("lang", tokens("text").alias("toks"))
     return (
-        docs.select("lang", F.explode(ngrams(toks, 2)).alias("bigram"))
+        with_toks.select("lang", F.explode(ngrams(F.col("toks"), 2)).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
@@ -109,10 +112,15 @@ def q25_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream), then the small scored slice is ranked. The n_docs scalar
     rides a broadcast cross-join — no driver-side collect."""
     docs = table(spark, sf_dir, "documents")
+    # materialized once: consumed by BOTH the document-frequency agg
+    # and the scored slice (recomputing the explode would double the
+    # token-stream cost)
     tf = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -174,8 +182,8 @@ def q26_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword vocabularies, argmax with a fixed tie-break (en > es >
     und). Integer counts only — exactly reproducible."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    toks = tokens("text")
-    hits = docs.select(
+    toks = F.col("toks")
+    hits = docs.select("doc_id", "lang", tokens("text").alias("toks")).select(
         "doc_id",
         "lang",
         F.size(toks).alias("n_tokens"),
@@ -224,8 +232,10 @@ def q27_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ratios are single IEEE divisions of exact integers (deterministic
     across engines); thresholds mirror C4-style heuristics."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    toks = tokens("text")
+    toks = F.col("toks")
     m = docs.select(
+        "doc_id", "n_chars", "text", tokens("text").alias("toks")
+    ).select(
         "doc_id",
         "n_chars",
         F.length(F.regexp_replace("text", "[^a-z]", "")).alias("n_alpha"),
@@ -276,9 +286,9 @@ def q28_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     count of documents sharing it (exact-sequence duplicate detector —
     the cheap first pass before fuzzy dedup). md5-derived token hashes
     keep the fold identical in both engines."""
-    docs = table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    h = docs.select(
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = F.col("toks")
+    h = docs.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         rolling_fingerprint(toks).alias("fingerprint"),

@@ -39,3 +39,49 @@ def run_etl(
     the flag and set a processing-time trigger."""
     events = decode_events(spark, payloads)
     return write_events_stream(events, table_path, checkpoint, trigger_once=trigger_once)
+
+
+def run_etl_with_metrics(
+    spark: SparkSession,
+    payloads: DataFrame,
+    table_path: str,
+    metrics_path: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """A4 — side-output fan-out: the SAME decoded micro-batch feeds the
+    events table AND a metrics sink (per-batch counts by event name),
+    mirroring the reference's interceptor pattern where every request
+    both lands in Kafka and increments Prometheus counters
+    (server/app/app.go:177-224). ``foreachBatch`` gives transactional
+    per-batch fan-out to two sinks — the supported Spark shape for
+    multi-sink streams (one source read, two writes per batch)."""
+    from pyspark.sql import functions as F
+
+    from eventsgateway_spark.operators.transforms import derive_date_partitions
+    from eventsgateway_spark.sources.lakehouse import PARTITION_COLS
+
+    events = decode_events(spark, payloads)
+
+    def fan_out(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            derive_date_partitions(batch_df).write.mode("append").partitionBy(
+                *PARTITION_COLS
+            ).parquet(table_path)
+            (
+                batch_df.groupBy("name")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(metrics_path)
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = events.writeStream.foreachBatch(fan_out).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -166,3 +166,106 @@ def test_watermark_drops_late_event(spark, tmp_path):
     assert counts.get("2024-01-01 00:00:00") == 1  # late_out dropped
     assert counts.get("2024-01-01 00:30:00") == 1  # late_in accepted
     assert counts.get("2024-01-01 00:40:00") == 1  # b finalized
+
+
+def test_sliding_window_counts(spark):
+    """Sliding 10-min/5-min windows: an event at t=7min belongs to the
+    [0,10) and [5,15) windows."""
+    rows = [("a", "click", _mins(7)), ("b", "click", _mins(12))]
+    df = spark.createDataFrame(rows, "id string, name string, clienttimestamp long")
+    out = SW.sliding_counts(SW.with_event_time(df), ["name"]).collect()
+    counts = {str(r["window_start"]): r["n"] for r in out}
+    assert counts == {
+        "2024-01-01 00:00:00": 1,  # a
+        "2024-01-01 00:05:00": 2,  # a + b
+        "2024-01-01 00:10:00": 1,  # b
+    }
+
+
+def test_last_value_gauge(spark):
+    """A3 — gauge keeps the latest value per key by event time,
+    independent of row order (metrics/metrics.go:69-76 semantics)."""
+    rows = [
+        ("t1", 5.0, _mins(2)),
+        ("t1", 9.0, _mins(1)),   # older, must lose despite larger value
+        ("t2", 1.0, _mins(0)),
+        ("t2", 3.0, _mins(4)),
+    ]
+    df = spark.createDataFrame(rows, "topic string, fill double, clienttimestamp long")
+    out = {
+        r["topic"]: (r["last_value"], str(r["as_of"]))
+        for r in SW.last_value_gauge(
+            SW.with_event_time(df), ["topic"], "fill"
+        ).collect()
+    }
+    assert out["t1"] == (5.0, "2024-01-01 00:02:00")
+    assert out["t2"] == (3.0, "2024-01-01 00:04:00")
+
+
+def test_streaming_interval_join(spark, tmp_path):
+    """Q5 streaming: purchases joined to views within the preceding
+    10 minutes, stream-stream with watermarks (bounded state)."""
+    from eventsgateway_spark.operators.asof import interval_join_cond
+
+    pdir, vdir = str(tmp_path / "p"), str(tmp_path / "v")
+    schema = "user string, id string, clienttimestamp long"
+    spark.createDataFrame(
+        [("u1", "p1", _mins(15)), ("u2", "p2", _mins(20))], schema
+    ).write.parquet(pdir)
+    spark.createDataFrame(
+        [("u1", "v1", _mins(8)),    # 7 min before p1 → joins
+         ("u1", "v2", _mins(1)),    # 14 min before p1 → outside range
+         ("u2", "v3", _mins(20))],  # same instant as p2 → joins
+        schema,
+    ).write.parquet(vdir)
+
+    p = SW.with_event_time(spark.readStream.schema(schema).parquet(pdir)).select(
+        F.col("user").alias("p_user"), F.col("id").alias("p_id"),
+        F.col("event_time").alias("p_time"),
+    ).withWatermark("p_time", "10 minutes")
+    v = SW.with_event_time(spark.readStream.schema(schema).parquet(vdir)).select(
+        F.col("user").alias("v_user"), F.col("id").alias("v_id"),
+        F.col("event_time").alias("v_time"),
+    ).withWatermark("v_time", "10 minutes")
+
+    joined = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & interval_join_cond(F.col("p_time"), F.col("v_time"), "10 minutes", "0 seconds"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("interval_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["p_id"], r["v_id"]) for r in spark.sql("select * from interval_join_test").collect()}
+    assert got == {("p1", "v1"), ("p2", "v3")}
+
+
+def test_etl_metrics_fanout(spark, tmp_path):
+    """A4 — one decoded stream feeds two sinks per micro-batch: the
+    events table and a metrics (count-by-name) side output."""
+    from eventsgateway_spark.streaming.pipeline import run_etl_with_metrics
+
+    gw = Gateway(spark, default_topic="game1")
+    gw.send_at("session_start", _mins(0), {})
+    gw.send_at("session_start", _mins(1), {})
+    gw.send_at("purchase", _mins(2), {})
+    bus = FileBus(spark, str(tmp_path / "bus"))
+    bus.produce(gw.ingest().payloads)
+
+    table = str(tmp_path / "tbl")
+    metrics = str(tmp_path / "metrics")
+    q = run_etl_with_metrics(
+        spark, bus.consume_stream(), table, metrics, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    assert spark.read.parquet(table).count() == 3
+    got = {
+        r["name"]: r["n"] for r in spark.read.parquet(metrics).collect()
+    }
+    assert got == {"session_start": 2, "purchase": 1}
