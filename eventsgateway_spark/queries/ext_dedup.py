@@ -405,3 +405,64 @@ def q32_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q39 — SimHash document signatures
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(CASE WHEN (hs >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIMHASH_EXPR = " + ".join(
+    f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+)
+
+
+@query(
+    "q39_simhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS hs
+            FROM (SELECT doc_id, unnest(toks) AS tk FROM t)),
+    sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_SIMHASH_EXPR} AS simhash FROM sums)
+    SELECT doc_id, simhash,
+           COUNT(*) OVER (PARTITION BY simhash) AS n_same
+    FROM sig
+    ORDER BY doc_id
+    """,
+)
+def q39_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit): per bit, tokens vote +1/-1 by their hash bit;
+    the signature keeps the sign. Near-identical token distributions
+    produce identical-or-close signatures, so exact-match grouping on
+    the signature (n_same) is a content-dedup tier between exact hash
+    and MinHash — one explode + one hash-aggregate, linear, no joins.
+    Token votes use multiplicity (tf-weighted), the classic Charikar
+    construction."""
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tk")).select(
+        "doc_id", token_hash32(F.col("tk")).alias("hs")
+    )
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.shiftright("hs", b).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig_expr = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sig = sums.select("doc_id", sig_expr.alias("simhash"))
+    return sig.select(
+        "doc_id",
+        "simhash",
+        F.count(F.lit(1)).over(Window.partitionBy("simhash")).alias("n_same"),
+    ).orderBy("doc_id")

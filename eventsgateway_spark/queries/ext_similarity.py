@@ -49,9 +49,15 @@ def _duck_proj(j: int) -> str:
     )
 
 
-_DUCK_BUCKET = " + ".join(
-    f"(CASE WHEN {_duck_proj(j)} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(8)
-)
+def _duck_bucket(n_planes: int = 8, table_id: int = 0) -> str:
+    """DuckDB mirror of functions.vectors.lsh_bucket."""
+    return " + ".join(
+        f"(CASE WHEN {_duck_proj(table_id * n_planes + b)} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(n_planes)
+    )
+
+
+_DUCK_BUCKET = _duck_bucket(8, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -294,3 +300,73 @@ def q36_binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("roundtrip_ok"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q38 — embedding-cosine near-duplicate pairs (LSH candidates, verified)
+# ---------------------------------------------------------------------------
+
+_ND_PLANES = 4
+_ND_TABLES = 2
+_DUCK_ND_BUCKETS = "\n            UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_duck_bucket(_ND_PLANES, t)} AS bucket FROM v"
+    for t in range(_ND_TABLES)
+)
+
+
+@query(
+    "q38_embedding_near_dup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    b AS ({_DUCK_ND_BUCKETS}),
+    cand AS (SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+             FROM b x JOIN b y
+               ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+    scored AS (
+        SELECT c.id1, c.id2,
+               ROUND(list_sum(list_transform(range(1, len(a.e)+1),
+                                             i -> a.e[i] * z.e[i]))
+                     / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+                        * sqrt(list_sum(list_transform(z.e, x -> x*x)))),
+                     6) AS cos_sim
+        FROM cand c JOIN v a ON a.vec_id = c.id1 JOIN v z ON z.vec_id = c.id2
+    )
+    SELECT id1, id2, cos_sim FROM scored
+    WHERE cos_sim >= 0.4
+    ORDER BY id1, id2
+    """,
+)
+def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from
+    {_ND_TABLES} OR-combined LSH tables (equi-join on bucket per
+    table — never an all-pairs cross join), then exact-cosine
+    verification at 0.4. LSH recall here is intentionally partial —
+    the oracle mirrors the same candidate generation, so the result is
+    still exact for the operator AS DEFINED. At 100 TB this is the
+    only viable near-dup shape: candidate volume tracks bucket
+    occupancy, and verification touches candidates only."""
+    v = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").alias("raw"), as_double(F.col("embedding")).alias("e")
+    ).localCheckpoint()
+    cand = None
+    for t in range(_ND_TABLES):
+        b = v.select("vec_id", lsh_bucket(F.col("raw"), _ND_PLANES, t).alias("bucket"))
+        x, y = b.alias("x"), b.alias("y")
+        p = x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        ).select(F.col("x.vec_id").alias("id1"), F.col("y.vec_id").alias("id2"))
+        cand = p if cand is None else cand.unionAll(p)
+    cand = cand.distinct()
+    a = v.select(F.col("vec_id").alias("id1"), F.col("e").alias("e1"))
+    z = v.select(F.col("vec_id").alias("id2"), F.col("e").alias("e2"))
+    return (
+        cand.join(a, "id1")
+        .join(z, "id2")
+        .select(
+            "id1", "id2", F.round(cosine(F.col("e1"), F.col("e2")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .orderBy("id1", "id2")
+    )

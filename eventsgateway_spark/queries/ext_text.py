@@ -296,3 +296,64 @@ def q28_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "*", F.count(F.lit(1)).over(Window.partitionBy("fingerprint")).alias("n_same")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q40 — token counting (whitespace + BPE-ish subword regex)
+# ---------------------------------------------------------------------------
+
+# Shared regex subset (Java regex ∩ RE2): letter runs, digit runs, or a
+# single other non-space char — a crude BPE-like pre-tokenizer.
+_SUBWORD_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "q40_token_budget",
+    oracle=f"""
+    WITH m AS (
+        SELECT source,
+               len({_DUCK_TOKS}) AS ws_tokens,
+               len(regexp_extract_all(text, '{_SUBWORD_RE}')) AS subword_tokens,
+               length(text) AS chars
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(ws_tokens) AS ws_tokens,
+           SUM(subword_tokens) AS subword_tokens,
+           SUM(chars) AS chars,
+           CAST(SUM(chars) AS DOUBLE) / SUM(subword_tokens) AS chars_per_token
+    FROM m
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q40_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token budgeting: whitespace tokens vs BPE-ish subword
+    units (letter runs / digit runs / single punctuation) per source,
+    plus chars-per-token — the planning numbers an LLM data pipeline
+    reports before training. Pure integer aggregation + one IEEE
+    division; the subword regex sits in the Java-regex ∩ RE2 subset so
+    both engines tokenize identically."""
+    docs = spread(table(spark, sf_dir, "documents").select("source", "text"))
+    m = docs.select(
+        "source",
+        F.size(tokens("text")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_SUBWORD_RE), F.lit(0))).alias(
+            "subword_tokens"
+        ),
+        F.length("text").alias("chars"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("ws_tokens"),
+            F.sum("subword_tokens").alias("subword_tokens"),
+            F.sum("chars").alias("chars"),
+            (F.sum("chars").cast("double") / F.sum("subword_tokens")).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -269,3 +269,46 @@ def test_etl_metrics_fanout(spark, tmp_path):
         r["name"]: r["n"] for r in spark.read.parquet(metrics).collect()
     }
     assert got == {"session_start": 2, "purchase": 1}
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState carries exact per-key state across
+    micro-batches: two sequential availableNow runs over one checkpoint
+    must produce cumulative totals in the second run."""
+    from eventsgateway_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "key string, value double"
+    run_no = 0
+
+    def run_batch(rows, name):
+        nonlocal run_no
+        run_no += 1
+        sink = str(tmp_path / f"sink{run_no}")
+
+        def save(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            running_totals(stream)
+            .writeStream.foreachBatch(save)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["key"]: r for r in spark.read.parquet(sink).collect()}
+
+    out1 = run_batch([("a", 1.0), ("a", 2.0), ("b", 5.0)], "state_run1")
+    assert out1["a"]["total_events"] == 2 and out1["a"]["total_value"] == 3.0
+    assert out1["b"]["total_events"] == 1
+
+    out2 = run_batch([("a", 10.0), ("c", 7.0)], "state_run2")
+    assert out2["a"]["batch_events"] == 1
+    assert out2["a"]["total_events"] == 3 and out2["a"]["total_value"] == 13.0
+    assert out2["c"]["total_events"] == 1 and out2["c"]["total_value"] == 7.0
