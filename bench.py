@@ -36,6 +36,8 @@ def _sf_from_dir(d: str) -> float:
 
 
 def main() -> None:
+    import gc
+
     from eventsgateway_spark.queries import QUERIES
     from eventsgateway_spark.session import get_spark
 
@@ -50,6 +52,11 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+        # release leftover localCheckpoint blocks / broadcasts between
+        # queries — 40 queries share one session and the accumulated
+        # blocks otherwise distort later measurements
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     print(
         json.dumps(

@@ -31,6 +31,7 @@ from eventsgateway_spark.functions.vectors import (
     LSH_B,
     as_double,
     cosine,
+    dot,
     lsh_bucket,
     norm,
 )
@@ -306,7 +307,7 @@ def q36_binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q38 — embedding-cosine near-duplicate pairs (LSH candidates, verified)
 # ---------------------------------------------------------------------------
 
-_ND_PLANES = 4
+_ND_PLANES = 6
 _ND_TABLES = 2
 _DUCK_ND_BUCKETS = "\n            UNION ALL ".join(
     f"SELECT vec_id, {t} AS tbl, {_duck_bucket(_ND_PLANES, t)} AS bucket FROM v"
@@ -318,6 +319,8 @@ _DUCK_ND_BUCKETS = "\n            UNION ALL ".join(
     "q38_embedding_near_dup",
     oracle=f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm
+          FROM v),
     b AS ({_DUCK_ND_BUCKETS}),
     cand AS (SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
              FROM b x JOIN b y
@@ -326,10 +329,8 @@ _DUCK_ND_BUCKETS = "\n            UNION ALL ".join(
         SELECT c.id1, c.id2,
                ROUND(list_sum(list_transform(range(1, len(a.e)+1),
                                              i -> a.e[i] * z.e[i]))
-                     / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
-                        * sqrt(list_sum(list_transform(z.e, x -> x*x)))),
-                     6) AS cos_sim
-        FROM cand c JOIN v a ON a.vec_id = c.id1 JOIN v z ON z.vec_id = c.id2
+                     / (a.nrm * z.nrm), 6) AS cos_sim
+        FROM cand c JOIN n a ON a.vec_id = c.id1 JOIN n z ON z.vec_id = c.id2
     )
     SELECT id1, id2, cos_sim FROM scored
     WHERE cos_sim >= 0.4
@@ -337,17 +338,25 @@ _DUCK_ND_BUCKETS = "\n            UNION ALL ".join(
     """,
 )
 def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidates from
-    {_ND_TABLES} OR-combined LSH tables (equi-join on bucket per
-    table — never an all-pairs cross join), then exact-cosine
-    verification at 0.4. LSH recall here is intentionally partial —
-    the oracle mirrors the same candidate generation, so the result is
-    still exact for the operator AS DEFINED. At 100 TB this is the
-    only viable near-dup shape: candidate volume tracks bucket
-    occupancy, and verification touches candidates only."""
-    v = spread(table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").alias("raw"), as_double(F.col("embedding")).alias("e")
-    ).localCheckpoint()
+    """Embedding-cosine near-duplicate pairs: candidates from two
+    OR-combined 6-plane LSH tables (equi-join on bucket per table —
+    never an all-pairs cross join), then exact-cosine verification at
+    0.4. LSH recall here is intentionally partial — the oracle mirrors
+    the same candidate generation, so the result is exact for the
+    operator AS DEFINED. Norms are computed ONCE per vector and joined
+    in (higher-order-function folds are not codegen'd, so per-PAIR
+    work must be a single dot fold). 6 planes → 64 buckets keeps the
+    candidate count ~N²/64 per table instead of N²/16."""
+    v = (
+        spread(table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            F.col("embedding").alias("raw"),
+            as_double(F.col("embedding")).alias("e"),
+        )
+        .select("vec_id", "raw", "e", norm(F.col("e")).alias("nrm"))
+        .localCheckpoint()
+    )
     cand = None
     for t in range(_ND_TABLES):
         b = v.select("vec_id", lsh_bucket(F.col("raw"), _ND_PLANES, t).alias("bucket"))
@@ -358,14 +367,23 @@ def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         ).select(F.col("x.vec_id").alias("id1"), F.col("y.vec_id").alias("id2"))
         cand = p if cand is None else cand.unionAll(p)
-    cand = cand.distinct()
-    a = v.select(F.col("vec_id").alias("id1"), F.col("e").alias("e1"))
-    z = v.select(F.col("vec_id").alias("id2"), F.col("e").alias("e2"))
+    # explicit repartition: the candidate pairs are only a few MB, so
+    # AQE would coalesce them to 1 partition — but the per-pair dot
+    # fold is CPU-bound (higher-order functions are interpreted, not
+    # codegen'd), so byte-size-based coalescing serializes the hot
+    # loop. An explicit numPartitions is exempt from AQE coalescing.
+    cand = spread(cand.distinct())
+    a = v.select(F.col("vec_id").alias("id1"), F.col("e").alias("e1"), F.col("nrm").alias("n1"))
+    z = v.select(F.col("vec_id").alias("id2"), F.col("e").alias("e2"), F.col("nrm").alias("n2"))
     return (
-        cand.join(a, "id1")
-        .join(z, "id2")
+        cand.join(F.broadcast(a), "id1")
+        .join(F.broadcast(z), "id2")
         .select(
-            "id1", "id2", F.round(cosine(F.col("e1"), F.col("e2")), 6).alias("cos_sim")
+            "id1",
+            "id2",
+            F.round(dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 6).alias(
+                "cos_sim"
+            ),
         )
         .filter(F.col("cos_sim") >= 0.4)
         .orderBy("id1", "id2")
