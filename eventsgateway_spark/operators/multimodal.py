@@ -106,3 +106,74 @@ def decode_media(assets: DataFrame, stub: bool = True) -> DataFrame:
             yield _stub_decode_batch(pdf)
 
     return assets.mapInPandas(run, FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize / frame-sample stubs (same mapInPandas contract as decode)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(assets: DataFrame, width: int = 32, height: int = 32, stub: bool = True) -> DataFrame:
+    """Thumbnail stub: emits a deterministic fixed-size byte block per
+    asset (a real implementation decodes + PIL-resizes inside the same
+    batch loop). One output row per input row; payload column dropped
+    before any downstream shuffle."""
+    if not stub:
+        raise NotImplementedError("real resize needs PIL — not available; use stub=True")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [
+                bytes((b[i % max(len(b), 1)] if len(b) else 0) for i in range(width * height // 256 + 1))
+                for b in (bytes(x) for x in pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": width,
+                    "height": height,
+                    "thumb": thumbs,
+                }
+            )
+
+    return assets.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 10, max_frames: int = 3, stub: bool = True) -> DataFrame:
+    """Frame-sampling stub (video → k frames): fans each asset out to
+    ≤ max_frames rows, one per sampled frame — the row-explosion shape
+    a real ffmpeg-based sampler produces. Deterministic: frame bytes
+    are fixed slices of the payload."""
+    if not stub:
+        raise NotImplementedError("real frame sampling needs libav — use stub=True")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"asset_id": [], "frame_idx": [], "frame": []}
+            for aid, raw in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(raw)
+                n = min(max_frames, max(1, len(b) // max(every_n, 1)))
+                for i in range(n):
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(i)
+                    rows["frame"].append(b[i * every_n : (i + 1) * every_n])
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(run, FRAMES_SCHEMA)

@@ -199,3 +199,51 @@ def q23_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — grouped-map applyInPandas (per-group Arrow batch transform)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q41_grouped_pandas_rank",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id) AS BIGINT) AS value_rank,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+    FROM events
+    WHERE user_id < 50
+    ORDER BY user_id, value_rank
+    """,
+)
+def q41_grouped_pandas_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: each user's events arrive as ONE
+    Arrow-backed pandas frame; the UDF ranks values per user (integer
+    output — exactly checkable against the window-function oracle).
+    This is the seam where per-group Python logic that Spark SQL can't
+    express (model scoring, curve fitting) plugs in; state stays
+    bounded by group size, shuffle is the single groupBy key."""
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["value", "event_id"], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "value_rank": range(1, len(pdf) + 1),
+                "n_events": len(pdf),
+            }
+        )
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        ev.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            rank_group,
+            "user_id bigint, event_id bigint, value_rank bigint, n_events bigint",
+        )
+        .orderBy("user_id", "value_rank")
+    )

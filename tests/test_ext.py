@@ -189,3 +189,59 @@ def test_jaccard_pairs_are_clustered_together(spark):
     for cid, members in by_cluster.items():
         assert cid == min(members)
         assert len(members) >= 2  # singletons never enter the edge set
+
+
+# ---------------------------------------------------------------------------
+# multimodal resize / frame-sample stubs
+# ---------------------------------------------------------------------------
+
+
+def test_resize_and_frame_sample_stubs(spark):
+    from eventsgateway_spark.operators.multimodal import resize_media, sample_frames
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(10)
+    assets = documents_as_media(docs)
+    thumbs = resize_media(assets).collect()
+    assert len(thumbs) == 10
+    assert all(r["width"] == 32 and len(r["thumb"]) > 0 for r in thumbs)
+
+    frames = sample_frames(assets, every_n=20, max_frames=3).collect()
+    by_asset: dict[int, list] = {}
+    for r in frames:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert set(by_asset) == {r["asset_id"] for r in assets.collect()}
+    for rows in by_asset.values():
+        assert 1 <= len(rows) <= 3
+        assert [r["frame_idx"] for r in sorted(rows, key=lambda x: x["frame_idx"])] == list(range(len(rows)))
+
+
+# ---------------------------------------------------------------------------
+# skew salting
+# ---------------------------------------------------------------------------
+
+
+def test_salted_agg_matches_plain(spark):
+    """Two-phase salted aggregation must be value-identical to the
+    direct groupBy for algebraic aggregates (integer sums avoid float
+    order effects)."""
+    from eventsgateway_spark.operators.skew import salted_agg
+    from eventsgateway_spark.queries._util import table
+
+    ev = table(spark, SF_ORACLE, "events").select(
+        "event_type", "event_id", (F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    plain = {
+        r["event_type"]: (r["n"], r["total"], r["mx"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count("event_id").alias("n"), F.sum("cents").alias("total"), F.max("cents").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["n"], r["total"], r["mx"])
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            {"n": ("event_id", "count"), "total": ("cents", "sum"), "mx": ("cents", "max")},
+        ).collect()
+    }
+    assert plain == salted
