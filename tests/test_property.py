@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the pure-Python seams where
+deterministic fixtures can't cover the input space: the Avro binary
+codec (arbitrary unicode envelopes must round-trip bit-exactly) and
+the as-of join (must match pandas merge_asof on arbitrary key/time
+layouts). Spark-free where possible so hypothesis can run hundreds of
+examples cheaply."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from eventsgateway_spark.sources.avro_codec import decode_event, encode_event
+
+# Avro strings are arbitrary UTF-8; surrogates are not encodable.
+utf8 = st.text(alphabet=st.characters(codec="utf-8"), max_size=80)
+ts = st.integers(min_value=-(2**62), max_value=2**62)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    id=utf8,
+    name=utf8,
+    props=st.dictionaries(utf8, utf8, max_size=8),
+    sts=ts,
+    cts=ts,
+)
+def test_avro_codec_roundtrip(id, name, props, sts, cts):
+    raw = encode_event(id, name, props, sts, cts)
+    rec = decode_event(raw)
+    assert rec == {
+        "id": id,
+        "name": name,
+        "props": props,
+        "serverTimestamp": sts,
+        "clientTimestamp": cts,
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=20),
+    tss=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=20),
+)
+def test_zigzag_long_boundaries(ids, tss):
+    """Negative / boundary longs survive the zigzag varint encoding
+    (map sizes, timestamps near ±2^62 are covered by ts above; this
+    exercises dense small values where varint lengths change)."""
+    for a, b in zip(ids, tss):
+        raw = encode_event(str(a), "n", {}, a - b, b - a)
+        rec = decode_event(raw)
+        assert rec["serverTimestamp"] == a - b and rec["clientTimestamp"] == b - a
+
+
+def test_asof_join_random_layouts(spark):
+    """asof_join ≡ pandas merge_asof(direction='backward') over a grid
+    of randomized layouts (fixed seed — deterministic). Covers: keys
+    with no right rows, ties, multiple updates between events, and
+    right rows after every left row."""
+    import numpy as np
+
+    from eventsgateway_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(7)
+    for trial in range(5):
+        n_l, n_r = rng.randint(1, 30), rng.randint(0, 30)
+        left = pd.DataFrame(
+            {
+                "k": rng.randint(0, 4, n_l).astype(str),
+                "t": rng.randint(0, 40, n_l),
+                "lv": np.arange(n_l),
+            }
+        )
+        # unique (k, t) on the right — the operator's documented
+        # determinism precondition (pre-dedup ties upstream)
+        right = (
+            pd.DataFrame(
+                {
+                    "k": rng.randint(0, 4, n_r).astype(str),
+                    "t": rng.randint(0, 40, n_r),
+                }
+            )
+            .drop_duplicates(["k", "t"])
+            .reset_index(drop=True)
+        )
+        right["rv"] = np.arange(len(right))
+        if right.empty:
+            right = pd.DataFrame({"k": ["zz"], "t": [0], "rv": [0]})
+        got = (
+            asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                on=["k"],
+                left_time="t",
+                right_time="t",
+                right_values=["rv"],
+            )
+            .orderBy("lv")
+            .toPandas()
+        )
+        want = (
+            pd.merge_asof(
+                left.sort_values(["t", "lv"]),
+                right.sort_values("t"),
+                on="t",
+                by="k",
+                direction="backward",
+            )
+            .sort_values("lv")
+            .reset_index(drop=True)
+        )
+        got_rv = [None if pd.isna(x) else int(x) for x in got["rv_asof"]]
+        want_rv = [None if pd.isna(x) else int(x) for x in want["rv"]]
+        assert got_rv == want_rv, f"trial {trial}"
