@@ -472,3 +472,48 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_late_items"))
         .orderBy("o_orderpriority", "order_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q1/Q6 — scalar + correlated subqueries (Catalyst rewrites to joins)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q42_above_avg_spenders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spend
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    HAVING SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) >
+           (SELECT 2 * SUM(CAST(o_totalprice AS DECIMAL(14,2))) / COUNT(DISTINCT o_custkey)
+            FROM orders)
+    ORDER BY 1
+    """,
+)
+def q42_above_avg_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in HAVING: customers spending > 2× the mean
+    per-customer spend. Catalyst plans the subquery as a one-row
+    broadcast joined into the aggregate filter — no driver round-trip,
+    no second job. Exact decimal spend; the threshold division is a
+    single decimal-to-double conversion in both engines."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(price).alias("_spend"))
+    )
+    threshold = o.agg(
+        (
+            F.lit(2) * F.sum(price) / F.countDistinct("o_custkey")
+        ).alias("_thr")
+    )
+    return (
+        spend.crossJoin(F.broadcast(threshold))
+        .filter(F.col("_spend") > F.col("_thr"))
+        .select("c_custkey", "c_name", as_double(F.col("_spend")).alias("spend"))
+        .orderBy("c_custkey")
+    )

@@ -90,3 +90,22 @@ def test_date_partition_derivation(spark):
     )
     row = derive_date_partitions(df).collect()[0]
     assert (row["year"], row["month"], row["day"]) == ("2024", "01", "01")
+
+
+def test_observe_ingest_counters(spark):
+    """A4 observe() path: counters ride the ingest plan itself — no
+    second scan — and report the same numbers a separate aggregation
+    would."""
+    from eventsgateway_spark.gateway import Gateway
+    from eventsgateway_spark.operators.metrics import observed_payloads
+
+    gw = Gateway(spark, default_topic="g")
+    for i in range(5):
+        gw.send_at("evt", 1704067200000 + i, {"k": str(i)})
+    payloads = gw.ingest().payloads
+    observed, obs = observed_payloads(payloads)
+    rows = observed.collect()  # first action materializes the observation
+    m = obs.get
+    assert m["n_events"] == 5 == len(rows)
+    assert m["payload_bytes"] == sum(len(r["value"]) for r in rows)
+    assert m["approx_topics"] >= 1
