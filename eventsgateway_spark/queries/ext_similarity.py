@@ -388,3 +388,172 @@ def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.4)
         .orderBy("id1", "id2")
     )
+
+
+# ---------------------------------------------------------------------------
+# q43 — IVF ANN: centroid cells + nprobe search (the k-means-style scale path)
+# ---------------------------------------------------------------------------
+
+IVF_K = 8  # centroid count (cells)
+IVF_NPROBE = 2  # cells searched per query
+
+_DUCK_L2SQ = (
+    "ROUND(list_sum(list_transform(range(1, len(v.e)+1),"
+    " i -> (v.e[i]-c.ce[i])*(v.e[i]-c.ce[i]))), 6)"
+)
+
+
+def ivf_assign(emb: DataFrame, k: int = IVF_K) -> DataFrame:
+    """(vec_id, e, nrm, cell_id): every vector assigned to its nearest
+    centroid by squared L2 (rounded to 6, centroid-id tie-break).
+
+    Centroids are the first ``k`` vectors by id — a deterministic stand-
+    in for trained k-means centers; the *assignment/probe machinery* is
+    what IVF is, and it is identical whichever way centers are produced.
+    The k centroids are collapsed to ONE array-of-structs row and
+    broadcast, so assignment is a per-row ``array_min`` over k fold
+    distances inside the scan — a map-only stage, NO shuffle of the
+    corpus, which is the property that makes IVF viable at 100 TB."""
+    v = emb.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("e"),
+    ).select("vec_id", "e", norm(F.col("e")).alias("nrm"))
+    cents = (
+        v.filter(F.col("vec_id") < k)
+        .select(F.struct(F.col("vec_id").alias("cid"), F.col("e").alias("ce")).alias("c"))
+        .agg(F.collect_list("c").alias("cents"))
+    )
+    dist_structs = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("e"), c["ce"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, val: acc + val,
+                ),
+                6,
+            ).alias("d"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "e", "nrm", F.array_min(dist_structs)["cid"].alias("cell_id")
+    )
+
+
+def ivf_probes(
+    emb: DataFrame, query_pred, k: int = IVF_K, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """(qid, qe, qn, cell_id): the ``nprobe`` nearest centroid cells per
+    query vector — ``array_sort`` on the same (dist, cid) structs, then
+    ``slice``. One row per (query, probed cell); the query set is tiny
+    by construction so this side broadcasts into the candidate join."""
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("e")).select(
+        "vec_id", "e", norm(F.col("e")).alias("nrm")
+    )
+    cents = (
+        v.filter(F.col("vec_id") < k)
+        .select(F.struct(F.col("vec_id").alias("cid"), F.col("e").alias("ce")).alias("c"))
+        .agg(F.collect_list("c").alias("cents"))
+    )
+    dist_structs = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("e"), c["ce"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, val: acc + val,
+                ),
+                6,
+            ).alias("d"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return (
+        v.filter(query_pred)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(dist_structs), 1, nprobe), lambda s: s["cid"]
+                )
+            ).alias("cell_id"),
+        )
+    )
+
+
+@query(
+    "q43_ivf_ann",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {IVF_K}),
+    d AS (SELECT v.vec_id, c.cid, {_DUCK_L2SQ} AS dist
+          FROM v CROSS JOIN c),
+    ranked AS (SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rn
+               FROM d),
+    assign AS (SELECT vec_id, cid AS cell_id FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, cid AS cell_id FROM ranked
+               WHERE rn <= {IVF_NPROBE} AND vec_id >= 10 AND vec_id < 20),
+    n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm
+          FROM v),
+    cand AS (SELECT p.qid, a.vec_id AS neighbor_id, a.cell_id
+             FROM probes p JOIN assign a
+               ON a.cell_id = p.cell_id AND a.vec_id <> p.qid),
+    scored AS (
+        SELECT cand.qid, cand.neighbor_id, cand.cell_id,
+               ROUND(list_sum(list_transform(range(1, len(q.e)+1),
+                                             i -> q.e[i] * t.e[i]))
+                     / (q.nrm * t.nrm), 6) AS cos_sim
+        FROM cand
+        JOIN n q ON q.vec_id = cand.qid
+        JOIN n t ON t.vec_id = cand.neighbor_id
+    )
+    SELECT qid, rn, neighbor_id, cell_id, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    ORDER BY qid, rn
+    """,
+)
+def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into K centroid
+    cells, then search only the ``nprobe`` nearest cells per query.
+
+    The complement of the LSH path (q34/q38): LSH buckets by random
+    hyperplanes, IVF buckets by data-dependent centers. Physical shape
+    at 100 TB: assignment is map-only (centroids broadcast as one
+    array row — see ``ivf_assign``); the candidate join keys on
+    ``cell_id`` with the tiny probe side broadcast, so the corpus is
+    scanned once and never shuffled; per-query work is bounded by
+    nprobe × cell occupancy, not corpus size. Deterministic centroids
+    (first K ids) keep the whole query oracle-reproducible."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    assign = ivf_assign(emb)
+    probes = ivf_probes(emb, (F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    scored = (
+        assign.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell_id",
+            F.round(
+                dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "rn", "neighbor_id", "cell_id", "cos_sim")
+        .orderBy("qid", "rn")
+    )
