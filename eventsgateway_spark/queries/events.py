@@ -362,3 +362,126 @@ def q37_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("ts_asof").alias("view_ms"),
         (F.unix_millis("ts") - F.unix_millis("ts_asof")).alias("gap_ms"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q44 — pivot: wide per-day event-type matrix
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q44_pivot_daily_matrix",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
+           SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
+           SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)
+               AS purchase_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q44_pivot_daily_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: one row per day, one count column per event
+    type. ``pivot`` with an EXPLICIT value list — omitting it would add
+    a whole extra job just to collect distinct types, and the output
+    schema would depend on the data (a deploy hazard at 100 TB).
+    Physically this is a single hash-aggregate keyed on event_date (the
+    pivot becomes conditional aggregates inside one shuffle — same plan
+    as the CASE-WHEN SQL an analyst would write)."""
+    ev = table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", money("value")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).alias("val"),
+        )
+    )
+    return wide.select(
+        "event_date",
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+        as_double(F.coalesce(F.col("purchase_val"), F.lit(0).cast("decimal(18,2)")))
+        .alias("purchase_value"),
+    ).orderBy("event_date")
+
+
+# ---------------------------------------------------------------------------
+# q45 — date-spine gap fill (sequence → explode → left join → zero-fill)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q45_gap_fill_daily",
+    oracle="""
+    WITH spine AS (
+        SELECT CAST(unnest(generate_series(DATE '2023-12-25',
+                                           DATE '2024-02-05',
+                                           INTERVAL 1 DAY)) AS DATE) AS event_date
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS event_date,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT s.event_date,
+           COALESCE(d.n, 0) AS n_purchases,
+           CAST(COALESCE(d.v, 0) AS DOUBLE) AS purchase_value,
+           CASE WHEN d.event_date IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM spine s LEFT JOIN daily d USING (event_date)
+    ORDER BY 1
+    """,
+)
+def q45_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled daily time series: a generated date spine
+    (``sequence`` + ``explode`` — rows from an expression, no input
+    scan) LEFT-joined to the aggregated daily counts. The spine is a
+    few thousand rows at any horizon, so it broadcast-joins against the
+    aggregate; the fact table is touched exactly once by the groupBy.
+    The idiom every dashboard/training-data rollup needs: missing days
+    must surface as zeros, not vanish."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2023-12-25").cast("date"), F.lit("2024-02-05").cast("date")
+            )
+        ).alias("event_date")
+    )
+    daily = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("value")).alias("v"),
+        )
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily.withColumn("hit", F.lit(1)), "event_date", "left")
+        .select(
+            "event_date",
+            F.coalesce("n", F.lit(0)).alias("n_purchases"),
+            as_double(F.coalesce(F.col("v"), F.lit(0).cast("decimal(18,2)"))).alias(
+                "purchase_value"
+            ),
+            F.when(F.col("hit").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+        .orderBy("event_date")
+    )

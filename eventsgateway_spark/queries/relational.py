@@ -517,3 +517,65 @@ def q42_above_avg_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", as_double(F.col("_spend")).alias("spend"))
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — time-range window frame (RANGE BETWEEN, not ROWS)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q46_moving_7day_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS order_date,
+               DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS ord,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT order_date,
+           n_orders,
+           CAST(rev AS DOUBLE) AS day_revenue,
+           CAST(SUM(rev) OVER (
+                ORDER BY ord RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS revenue_7d,
+           CAST(SUM(n_orders) OVER (
+                ORDER BY ord RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS orders_7d
+    FROM daily
+    ORDER BY 1
+    """,
+)
+def q46_moving_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue via a RANGE frame over the day ordinal —
+    value-based, so missing calendar days still shrink the window
+    (a ROWS frame would silently span gaps). Decimal sums inside the
+    frame keep the running totals exact.
+
+    The window input is the PRE-AGGREGATED per-day table (|distinct
+    order dates| rows — ~2.4k over seven years), not the fact table,
+    so the unpartitioned global sort is bounded by the calendar, never
+    by data volume; the only full-data pass is the grouped aggregate.
+    That two-level shape (aggregate down, then window over the small
+    series) is the scale-safe form of every moving-metric query."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .withColumn(
+            "ord", F.datediff("order_date", F.lit("1970-01-01").cast("date"))
+        )
+    )
+    w = W.orderBy("ord").rangeBetween(-6, 0)
+    return daily.select(
+        "order_date",
+        "n_orders",
+        as_double(F.col("rev")).alias("day_revenue"),
+        as_double(F.sum("rev").over(w)).alias("revenue_7d"),
+        F.sum("n_orders").over(w).cast("bigint").alias("orders_7d"),
+    ).orderBy("order_date")
