@@ -1,0 +1,125 @@
+"""[EXT] Deterministic sampling / dataset-split operators over
+``documents`` — the selection layer of an LLM training-data pipeline.
+
+The reference delegates everything downstream of ingestion
+(README.md:11-17); a 100 TB corpus still has to be *partitioned into
+splits*, *rebalanced across classes*, and *shuffled for training*
+before any model sees it. Random-number generators are a
+reproducibility trap in distributed engines (per-partition RNG state
+changes with the split layout), so every operator here derives its
+randomness from a content hash (md5 → first 8 hex chars → bigint, the
+same construction as ``functions.text.token_hash32``) — the
+assignment of a row never depends on partitioning, executor count, or
+row order, and is identical in Spark and DuckDB.
+
+Scale posture: q47 is a map-only projection + one tiny aggregate; q48
+is a single window shuffle keyed by the class column (the cap bounds
+the OUTPUT, the shuffle is the classic top-k-per-group shape; a skewed
+class shows up as one hot partition — cap the input first with an
+approximate pre-filter if a class dominates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from eventsgateway_spark.queries import query
+from eventsgateway_spark.queries._util import table
+
+# split thresholds on the hash-percent: [0,80) train, [80,90) val, rest test
+TRAIN_PCT = 80
+VAL_PCT = 90
+
+_DUCK_HASHPCT = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+
+def hash_pct(col: F.Column) -> F.Column:
+    """Stable pseudo-uniform percent in [0,100) from a key column."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+
+
+def split_col(key: F.Column) -> F.Column:
+    p = hash_pct(key)
+    return (
+        F.when(p < TRAIN_PCT, "train").when(p < VAL_PCT, "val").otherwise("test")
+    )
+
+
+@query(
+    "q47_hash_split",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, length(text) AS n_chars,
+               CASE WHEN {_DUCK_HASHPCT} < {TRAIN_PCT} THEN 'train'
+                    WHEN {_DUCK_HASHPCT} < {VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS n_chars,
+           MIN(doc_id) AS min_doc_id,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM s) AS share
+    FROM s
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q47_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment by content-hash percent (80/10/10).
+
+    A row's split is a pure function of its id — adding data, changing
+    partitioning, or re-running never moves an existing row between
+    splits (the property random() cannot give you, and the reason
+    every production pipeline splits by hash). Map-only over the
+    corpus; the audit aggregate is 3 rows. The share column verifies
+    the hash is uniform enough to hit the 80/10/10 targets."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    s = docs.select("doc_id", "n_chars", split_col(F.col("doc_id")).alias("split"))
+    total = s.count()  # tiny scalar; driver-side by design for the audit
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            (F.count(F.lit(1)).cast("double") / F.lit(total)).alias("share"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "q48_balanced_sample",
+    oracle="""
+    WITH r AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT lang, doc_id, rk
+    FROM r WHERE rk <= 20
+    ORDER BY lang, rk
+    """,
+)
+def q48_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample: at most 20 docs per language, chosen
+    by hash order — a deterministic uniform draw without RNG state.
+    One window shuffle keyed on the class column; the md5 sort key
+    doubles as the training shuffle (hash order ≈ random order), so
+    the selected set needs no second pass to be mixed."""
+    docs = table(spark, sf_dir, "documents").select("lang", "doc_id")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )
