@@ -485,3 +485,54 @@ def q45_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+# ---------------------------------------------------------------------------
+# q49 — salted aggregation over a hot key (skew posture, oracle-identical)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q49_salted_hot_key_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q49_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a LOW-cardinality key (5 event
+    types → at most 5 reduce tasks would do all the work unsalted).
+    Phase 1 spreads each key over 16 salts, phase 2 merges partials —
+    algebraic aggregates are salt-invariant, so the result (and this
+    oracle check) is EXACTLY the plain GROUP BY. At 100 TB this is the
+    difference between 5 straggler tasks and full-cluster parallelism
+    on the partial aggregate; the merge shuffles only keys × salts
+    rows. (Spark's own partial aggregation covers sum/count too; the
+    explicit salt matters once collect_list-class or size-bounded
+    state enters the agg.)"""
+    from eventsgateway_spark.operators.skew import salted_agg
+
+    ev = table(spark, sf_dir, "events").withColumn("val", money("value"))
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("event_id", "count"),
+            "sum_dec": ("val", "sum"),
+            "min_dec": ("val", "min"),
+            "max_dec": ("val", "max"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        as_double(F.col("sum_dec")).alias("sum_value"),
+        as_double(F.col("min_dec")).alias("min_value"),
+        as_double(F.col("max_dec")).alias("max_value"),
+    ).orderBy("event_type")
