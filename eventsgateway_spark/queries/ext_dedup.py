@@ -373,26 +373,24 @@ def q32_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(und.u)
             .agg(F.min("label").alias("nbr_min"))
         )
-        # lazy checkpoint: lineage is truncated when the `changed`
-        # count materializes it — one Spark job per iteration instead
-        # of two (eager checkpoint + count)
-        new_labels = (
+        # The convergence check rides the SAME job as the label update:
+        # keep the pre-update label through the lazy checkpoint, so the
+        # changed-row count is a filter over the just-materialized
+        # checkpoint partitions — each iteration is exactly one real job
+        # (join + label update), not a second join pass over the labels.
+        updated = (
             labels.join(nbr, labels.node == nbr.u, "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
                     "label"
                 ),
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = updated.filter(F.col("label") < F.col("_old")).count()
+        labels = updated.select("node", "label")
         if changed == 0:
             break
     return (
