@@ -202,6 +202,39 @@ def q23_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q7 — mergeable HLL sketches (partial re-aggregation, the 100 TB pattern)
+# ---------------------------------------------------------------------------
+
+
+@query("q50_hll_sketch_rollup")
+def q50_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL via
+    ``hll_sketch_agg`` / ``hll_union_agg``): per-(event_type, day) user
+    sketches are built in one scan — at scale, an incrementally
+    maintained sketch table — then any coarser distinct-user rollup is
+    a merge of fixed-size binary sketches, with no re-scan of raw
+    events and no dedup shuffle. Unlike ``approx_count_distinct``
+    (one-shot), the sketches compose: the same daily partials serve
+    weekly, monthly, and all-time rollups. Register-max merging is
+    order-insensitive, so the estimate is deterministic under any
+    partitioning."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n").alias("n_events"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q16 — grouped-map applyInPandas (per-group Arrow batch transform)
 # ---------------------------------------------------------------------------
 
