@@ -62,3 +62,78 @@ def test_engine_facade_registers_views(spark):
     # events view must expose the normalized µs timestamp, not raw nanos
     assert dict(eng.sql("select * from events limit 1").dtypes)["ts"] == "timestamp"
     assert eng.query("q09_top10_customers_by_spend").count() == 10
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Co-located join via bucketing — the 100 TB strategy for a
+    repeatedly-joined fact/dim pair: both sides bucketed (and sorted)
+    on the join key join with ZERO Exchange in the plan. At scale this
+    removes the dominant shuffle from every consumer of the pair."""
+    from pyspark.sql import functions as F
+
+    from eventsgateway_spark.queries._util import table
+
+    orders = table(spark, SF_ORACLE, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, SF_ORACLE, "lineitem").select("l_orderkey", "l_quantity")
+    (
+        orders.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(tmp_path / "o"))
+        .mode("overwrite")
+        .saveAsTable("bk_orders")
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(tmp_path / "l"))
+        .mode("overwrite")
+        .saveAsTable("bk_lineitem")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bk_lineitem").join(
+            spark.table("bk_orders"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout co-locates both sides
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_orders")
+        spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+
+
+def test_lakehouse_partition_pruning(spark, tmp_path):
+    """The y/m/d layout must prune at the directory level: a day-equality
+    filter reads only that day's files and shows up as a PartitionFilter
+    (not a data filter) in the scan."""
+    from pyspark.sql import functions as F
+
+    from eventsgateway_spark.sources.lakehouse import (
+        read_events_table,
+        write_events_batch,
+    )
+
+    base = 1577836800000  # 2020-01-01 UTC, millis
+    rows = [
+        (f"id{d}-{i}", f"ev{i % 3}", base + d * 86_400_000 + i)
+        for d in range(3)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id string, name string, clientTimestamp long")
+    write_events_batch(df, str(tmp_path / "events"), mode="overwrite")
+
+    tbl = read_events_table(spark, str(tmp_path / "events"))
+    one_day = tbl.filter(
+        (F.col("year") == "2020") & (F.col("month") == "01") & (F.col("day") == "02")
+    )
+    assert set(tbl.select("day").distinct().toPandas()["day"]) == {"01", "02", "03"}
+    assert one_day.count() == 20
+    # the day predicate must be a directory-level PartitionFilter on the
+    # scan (pruned before reading), not a post-scan data filter
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:300]
+    assert "day" in pf and "02" in pf
