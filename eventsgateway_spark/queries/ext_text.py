@@ -357,3 +357,67 @@ def q40_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q51 — fixed-size token chunking with overlap (context-window prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@query(
+    "q51_doc_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+        FROM t WHERE len(toks) > 0
+    ),
+    c AS (
+        SELECT doc_id,
+               CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               list_slice(toks, start + 1, start + {CHUNK_TOKENS}) AS chunk
+        FROM s
+    )
+    SELECT doc_id, chunk_id, len(chunk) AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q51_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the standard LLM pre-training
+    transform: each document becomes overlapping windows of
+    ``CHUNK_TOKENS`` whitespace tokens at stride ``CHUNK_STRIDE`` (the
+    final window may be short). Entirely JVM-side: posexplode over a
+    stride sequence + ``slice`` on the projected token array; linear in
+    corpus token count, output rows ≈ tokens/stride per doc, no UDFs.
+    At 100 TB the chunk table is written partitioned by a hash-split of
+    doc_id (q47's operator) so downstream shuffles are balanced."""
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    with_toks = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    starts = with_toks.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("chunk_id", "start"),
+    )
+    return (
+        starts.select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.slice("toks", F.col("start") + 1, F.lit(CHUNK_TOKENS)).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").cast("bigint").alias("n_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

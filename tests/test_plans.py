@@ -137,3 +137,34 @@ def test_lakehouse_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters", 1)[1][:300]
     assert "day" in pf and "02" in pf
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
+    """A join between the partitioned events table and a filtered dim on
+    the partition column must inject a dynamicpruning expression into
+    the scan's PartitionFilters — at scale this is what keeps a
+    dim-driven fact query from scanning every date partition."""
+    from pyspark.sql import functions as F
+
+    from eventsgateway_spark.sources.lakehouse import (
+        read_events_table,
+        write_events_batch,
+    )
+
+    base = 1577836800000  # 2020-01-01 UTC, millis
+    rows = [
+        (f"id{d}-{i}", f"ev{i % 3}", base + d * 86_400_000 + i)
+        for d in range(3)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id string, name string, clientTimestamp long")
+    write_events_batch(df, str(tmp_path / "events"), mode="overwrite")
+    tbl = read_events_table(spark, str(tmp_path / "events"))
+
+    dim = spark.createDataFrame(
+        [("02", "keep"), ("03", "drop")], "day string, tag string"
+    )
+    j = tbl.join(dim.filter(F.col("tag") == "keep"), "day")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert j.count() == 20
