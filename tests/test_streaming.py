@@ -312,3 +312,72 @@ def test_stateful_running_totals(spark, tmp_path):
     assert out2["a"]["batch_events"] == 1
     assert out2["a"]["total_events"] == 3 and out2["a"]["total_value"] == 13.0
     assert out2["c"]["total_events"] == 1 and out2["c"]["total_value"] == 7.0
+
+
+def test_streaming_upsert_merges_and_replays_idempotently(spark, tmp_path):
+    """Upsert sink (streaming/upsert.py): newest row per id wins across
+    micro-batches; only touched date partitions are rewritten; and
+    re-merging an already-applied batch (crash-replay) leaves the table
+    unchanged."""
+    from eventsgateway_spark.streaming.upsert import merge_batch, upsert_events_stream
+
+    schema = "id string, name string, clientTimestamp long, serverTimestamp long"
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame(
+        [
+            ("a", "signup", _mins(0), _mins(0)),
+            ("b", "click", _mins(1), _mins(1)),
+            ("c", "click", T0 + 86_400_000, T0 + 86_400_000),  # next day
+        ],
+        schema,
+    )
+    b1.write.mode("overwrite").parquet(src)
+    q = upsert_events_stream(
+        spark.readStream.schema(b1.schema).parquet(src), tbl, ckpt, trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    # batch 2: update id=b (newer serverTimestamp), insert id=d
+    b2 = spark.createDataFrame(
+        [
+            ("b", "click_v2", _mins(1), _mins(9)),
+            ("d", "error", _mins(2), _mins(2)),
+        ],
+        schema,
+    )
+    b2.write.mode("append").parquet(src)
+    q = upsert_events_stream(
+        spark.readStream.schema(b1.schema).parquet(src), tbl, ckpt, trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["id"]: (r["name"], r["serverTimestamp"])
+        for r in read_events_table(spark, tbl).collect()
+    }
+    assert got == {
+        "a": ("signup", _mins(0)),
+        "b": ("click_v2", _mins(9)),  # updated, not duplicated
+        "c": ("click", T0 + 86_400_000),
+        "d": ("error", _mins(2)),
+    }
+
+    # crash-replay: merging batch 2 again must be a no-op
+    merge_batch(spark, b2, tbl)
+    replay = {
+        r["id"]: (r["name"], r["serverTimestamp"])
+        for r in read_events_table(spark, tbl).collect()
+    }
+    assert replay == got
+    # older row for an existing id must NOT win
+    merge_batch(
+        spark,
+        spark.createDataFrame([("b", "stale", _mins(1), _mins(3))], schema),
+        tbl,
+    )
+    assert {
+        r["id"]: r["name"] for r in read_events_table(spark, tbl).collect()
+    }["b"] == "click_v2"
