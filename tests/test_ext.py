@@ -294,3 +294,25 @@ def test_salted_agg_matches_plain(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_udtf_chunker_matches_jvm_chunker(spark):
+    """Q16 UDTF surface: the Python table function must reproduce q51's
+    JVM-side chunking exactly (same windows, same order) — proving the
+    UDTF escape hatch and the fast path share semantics."""
+    from eventsgateway_spark.functions.udtfs import register_udtfs
+    from eventsgateway_spark.queries import QUERIES
+
+    register_udtfs(spark)
+    spark.read.parquet(f"{SF_ORACLE}/documents.parquet").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    via_udtf = spark.sql(
+        """
+        SELECT cd.* FROM _udtf_docs d,
+        LATERAL chunk_doc(d.doc_id, d.text) cd
+        ORDER BY doc_id, chunk_id
+        """
+    ).collect()
+    via_jvm = QUERIES["q51_doc_chunks"](spark, SF_ORACLE).collect()
+    assert [tuple(r) for r in via_udtf] == [tuple(r) for r in via_jvm]
