@@ -16,6 +16,7 @@ within partitions instead (``sort_within``).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from eventsgateway_spark.operators.transforms import derive_date_partitions
@@ -71,3 +72,57 @@ def read_events_table(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
     finally:
         spark.conf.set(conf_key, prev)
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    year: str,
+    month: str,
+    day: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_within: str | None = "name",
+) -> int:
+    """Rewrite ONE date partition into ~``target_bytes`` files — the
+    plain-parquet analog of Delta OPTIMIZE for the streaming sink's
+    small-file problem (each micro-batch commit lands one file per
+    task; a day of 1-minute triggers is ~1440+ tiny files, which
+    degrades scan planning and shuffle-free reads at scale).
+
+    Reads just the target partition (directory-pruned), coalesces to
+    ``ceil(bytes/target)`` files, re-sorts the cluster column, and
+    atomically replaces only that partition via dynamic overwrite.
+    Returns the resulting file count. Run it on closed (past-watermark)
+    partitions only — the streaming writer must not be appending to the
+    partition being rewritten. (Sizing walks the local filesystem; on an
+    object store, size the partition from the table's file index
+    instead.)"""
+    import math
+    import os
+
+    part_dir = os.path.join(path, f"year={year}", f"month={month}", f"day={day}")
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, files in os.walk(part_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_bytes))
+    rows = read_events_table(spark, path).filter(
+        (F.col("year") == year) & (F.col("month") == month) & (F.col("day") == day)
+    )
+    out = rows.repartition(n_files)
+    if sort_within:
+        out = out.sortWithinPartitions(sort_within)
+    # lineage reads the path being replaced — materialize first
+    out = out.localCheckpoint()
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy(*PARTITION_COLS).parquet(path)
+    finally:
+        spark.conf.set(conf_key, prev)
+    return len(
+        [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    )

@@ -381,3 +381,42 @@ def test_streaming_upsert_merges_and_replays_idempotently(spark, tmp_path):
     assert {
         r["id"]: r["name"] for r in read_events_table(spark, tbl).collect()
     }["b"] == "click_v2"
+
+
+def test_compact_partition_shrinks_files_keeps_rows(spark, tmp_path):
+    """Compaction (Delta OPTIMIZE analog): many small appends into one
+    date partition collapse to few files; rows, values, and the other
+    partition are untouched."""
+    import os
+
+    from eventsgateway_spark.sources.lakehouse import (
+        compact_partition,
+        write_events_batch,
+    )
+
+    schema = "id string, name string, clientTimestamp long"
+    tbl = str(tmp_path / "tbl")
+    # 6 separate appends -> many small files in day 01; one append in day 02
+    for k in range(6):
+        write_events_batch(
+            spark.createDataFrame(
+                [(f"d1-{k}-{i}", f"ev{i % 3}", T0 + i) for i in range(10)], schema
+            ),
+            tbl,
+        )
+    write_events_batch(
+        spark.createDataFrame(
+            [(f"d2-{i}", "ev0", T0 + 86_400_000 + i) for i in range(5)], schema
+        ),
+        tbl,
+    )
+    p1 = os.path.join(tbl, "year=2024", "month=01", "day=01")
+    before = len([f for f in os.listdir(p1) if f.endswith(".parquet")])
+    assert before >= 6
+
+    n_after = compact_partition(spark, tbl, "2024", "01", "01")
+    assert n_after == 1  # tiny partition -> single target-size file
+    got = read_events_table(spark, tbl)
+    assert got.filter(F.col("day") == "01").count() == 60
+    assert got.filter(F.col("day") == "02").count() == 5
+    assert got.select("id").distinct().count() == 65
