@@ -557,3 +557,76 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rn", "neighbor_id", "cell_id", "cos_sim")
         .orderBy("qid", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q52 — int8 embedding quantization (absmax), exact-deterministic audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q52_embedding_quantize",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    w AS (SELECT vec_id, label, e,
+                 list_max(list_transform(e, x -> abs(x))) AS mx
+          FROM v),
+    q AS (SELECT vec_id, label, e, mx,
+                 list_transform(e, x -> CAST(ROUND(x * 127.0 / mx) AS BIGINT)) AS qs
+          FROM w WHERE mx > 0)
+    SELECT vec_id, label,
+           len(e) AS n_dims,
+           CAST(list_sum(qs) AS BIGINT) AS sum_q,
+           len(list_filter(qs, x -> abs(x) = 127)) AS n_sat,
+           CAST(list_sum(list_transform(range(1, len(e) + 1),
+               i -> CAST(ROUND(POWER(e[i] - qs[i] * mx / 127.0, 2) * 1e12) AS BIGINT)
+           )) AS BIGINT) AS err_u
+    FROM q
+    ORDER BY vec_id
+    """,
+)
+def q52_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absmax int8 quantization — the standard embedding-storage
+    compression (4× smaller, dot products in integer SIMD downstream):
+    q_i = round(127·x_i / max|x|). The audit columns are exact under
+    any partitioning: quantized codes are integers, and the per-element
+    reconstruction error is scaled to pico-unit BIGINTs *inside the
+    row* before summing, so no cross-row float accumulation exists.
+    All JVM higher-order functions (transform/filter/zip_with) — the
+    quantizer itself needs no UDF at any scale; project mx before the
+    lambda consumers (re-inlined subtrees re-evaluate per reference)."""
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e")
+    )
+    w = v.select(
+        "vec_id", "label", "e", F.array_max(F.transform("e", F.abs)).alias("mx")
+    ).filter(F.col("mx") > 0)
+    q = w.select(
+        "vec_id",
+        "label",
+        "e",
+        "mx",
+        F.transform(
+            "e", lambda x: F.round(x * 127.0 / F.col("mx")).cast("bigint")
+        ).alias("qs"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return q.select(
+        "vec_id",
+        "label",
+        F.size("e").cast("bigint").alias("n_dims"),
+        F.aggregate("qs", zero, lambda acc, x: acc + x).alias("sum_q"),
+        F.size(F.filter("qs", lambda x: F.abs(x) == 127)).cast("bigint").alias("n_sat"),
+        F.aggregate(
+            F.zip_with(
+                "e",
+                "qs",
+                lambda e, qq: F.round(
+                    F.pow(e - qq * F.col("mx") / 127.0, F.lit(2)) * 1e12
+                ).cast("bigint"),
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        ).alias("err_u"),
+    ).orderBy("vec_id")
