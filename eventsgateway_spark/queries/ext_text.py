@@ -421,3 +421,58 @@ def q51_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q53 — test-set decontamination (n-gram overlap vs an eval corpus)
+# ---------------------------------------------------------------------------
+
+DECON_N = 5  # contamination n-gram length
+EVAL_SOURCE = "src0"  # the held-out "benchmark" corpus
+
+_DECON_GRAM = " || ' ' || ".join(f"toks[i+{j}]" for j in range(DECON_N))
+
+
+@query(
+    "q53_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, source,
+                 unnest(list_distinct(list_transform(
+                     range(1, len(toks) - {DECON_N - 2}), i -> {_DECON_GRAM}))) AS g
+          FROM t),
+    ev AS (SELECT DISTINCT g FROM g WHERE source = '{EVAL_SOURCE}')
+    SELECT doc_id, source, COUNT(*) AS n_shared_grams
+    FROM g JOIN ev USING (g)
+    WHERE source <> '{EVAL_SOURCE}'
+    GROUP BY 1, 2
+    ORDER BY doc_id
+    """,
+)
+def q53_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination — the mandatory step before training on
+    scraped data: flag every training document sharing at least one
+    {DECON_N}-gram with the held-out eval corpus, with the distinct
+    shared-gram count as evidence. The eval side collapses to a
+    distinct gram set (tiny relative to the corpus — benchmarks are KBs
+    against TBs) and BROADCASTS, so the scan of training grams never
+    shuffles: explode → broadcast-hash semi-side join → per-doc count.
+    At 100 TB the eval gram set stays a broadcast (it scales with
+    benchmark size, not corpus size)."""
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    with_toks = docs.select("doc_id", "source", tokens("text").alias("toks"))
+    grams = with_toks.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(ngrams(F.col("toks"), DECON_N))).alias("g"),
+    )
+    eval_grams = (
+        grams.filter(F.col("source") == EVAL_SOURCE).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("source") != EVAL_SOURCE)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )

@@ -168,3 +168,12 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert j.count() == 20
+
+
+def test_decontamination_broadcasts_eval_grams(spark):
+    """q53's eval-side gram set must broadcast (it scales with benchmark
+    size, not corpus size) — the training-gram scan never shuffles for
+    the join."""
+    plan = _plan(spark, "q53_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
