@@ -536,3 +536,128 @@ def q49_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double(F.col("min_dec")).alias("min_value"),
         as_double(F.col("max_dec")).alias("max_value"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q54 — ordered conversion funnel (signup → view → purchase)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q54_funnel",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'signup' GROUP BY 1),
+    v AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'view' AND e.ts > s.t1 GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > v.t2 GROUP BY 1),
+    c AS (SELECT 1 AS stage_no, 'signup' AS stage, COUNT(*) AS n_users FROM s
+          UNION ALL SELECT 2, 'view', COUNT(*) FROM v
+          UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p)
+    SELECT stage_no, stage, n_users,
+           CAST(n_users AS DOUBLE)
+               / FIRST_VALUE(n_users) OVER (ORDER BY stage_no) AS conversion
+    FROM c ORDER BY stage_no
+    """,
+)
+def q54_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel — THE canonical game-analytics query
+    over the reference's event stream: users who signed up, then
+    viewed strictly after, then purchased strictly after that. Each
+    stage is min-timestamp-per-user joined to the previous stage (one
+    user_id-keyed shuffle per stage, reused by Catalyst where
+    co-partitioned); no row explosion, no self-cartesian. Conversion
+    is relative to stage 1 via a 3-row window."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(no).alias("stage_no"), F.lit(name).alias("stage"), "n_users"
+        )
+
+    c = stage(s, 1, "signup").unionAll(stage(v, 2, "view")).unionAll(
+        stage(p, 3, "purchase")
+    )
+    w = W.orderBy("stage_no")
+    return c.select(
+        "stage_no",
+        "stage",
+        "n_users",
+        (F.col("n_users").cast("double") / F.first("n_users").over(w)).alias(
+            "conversion"
+        ),
+    ).orderBy("stage_no")
+
+
+# ---------------------------------------------------------------------------
+# q55 — cohort retention (day-1 / day-7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q55_cohort_retention",
+    oracle="""
+    WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_d
+               FROM events GROUP BY 1),
+    a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    r AS (SELECT f.cohort_d, f.user_id,
+                 MAX(CASE WHEN a.d = f.cohort_d + 1 THEN 1 ELSE 0 END) AS d1,
+                 MAX(CASE WHEN a.d = f.cohort_d + 7 THEN 1 ELSE 0 END) AS d7
+          FROM f JOIN a ON f.user_id = a.user_id GROUP BY 1, 2)
+    SELECT cohort_d, COUNT(*) AS cohort_size,
+           SUM(d1) AS d1_retained, SUM(d7) AS d7_retained
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def q55_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the other canonical game-analytics query:
+    users grouped by first-seen date; day-1/day-7 retained = any
+    activity exactly N days later. One user-keyed shuffle builds both
+    the cohort map and the distinct activity days; the flag aggregation
+    is integer MAX/SUM, so the result is exact."""
+    ev = table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_d"))
+    a = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    r = (
+        f.join(a, "user_id")
+        .groupBy("cohort_d", "user_id")
+        .agg(
+            F.max(
+                F.when(F.col("d") == F.date_add("cohort_d", 1), 1).otherwise(0)
+            ).alias("d1"),
+            F.max(
+                F.when(F.col("d") == F.date_add("cohort_d", 7), 1).otherwise(0)
+            ).alias("d7"),
+        )
+    )
+    return (
+        r.groupBy("cohort_d")
+        .agg(
+            F.count(F.lit(1)).alias("cohort_size"),
+            F.sum("d1").alias("d1_retained"),
+            F.sum("d7").alias("d7_retained"),
+        )
+        .orderBy("cohort_d")
+    )
