@@ -476,3 +476,50 @@ def q53_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q56 — within-document repetition (C4-style boilerplate signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q56_repetition_ratio",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+          FROM t),
+    c AS (SELECT doc_id, g, COUNT(*) AS n FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_grams,
+           COUNT(*) AS n_distinct,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(n) AS dup_ratio,
+           MAX(n) AS max_gram_count
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def q56_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition — the C4/Gopher boilerplate signal:
+    fraction of duplicated trigrams per document plus the hottest
+    trigram's count (template pages repeat one phrase many times).
+    Single explode → (doc, gram) count → per-doc rollup; integers
+    except one final IEEE division, so exact everywhere."""
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    with_toks = docs.select("doc_id", tokens("text").alias("toks"))
+    c = (
+        with_toks.select("doc_id", F.explode(ngrams(F.col("toks"), 3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            (1.0 - F.count(F.lit(1)).cast("double") / F.sum("n")).alias("dup_ratio"),
+            F.max("n").alias("max_gram_count"),
+        )
+        .orderBy("doc_id")
+    )
