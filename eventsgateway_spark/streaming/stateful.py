@@ -62,3 +62,65 @@ def running_totals(df: DataFrame, key_col: str = "key") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState variant (Spark 4 arbitrary-stateful v2)
+# ---------------------------------------------------------------------------
+
+try:  # PySpark >= 4.0
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """Same running-totals semantics as ``_running_totals``, on the
+        transformWithState API: typed value state, explicit lifecycle,
+        RocksDB-backed state store (changelog-checkpointed at scale —
+        the v2 API's operational win over HDFS-snapshot state)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterable[pd.DataFrame]:
+            te, tv = self._totals.get() if self._totals.exists() else (0, 0.0)
+            batch_events = 0
+            for pdf in rows:
+                batch_events += len(pdf)
+                te += len(pdf)
+                tv += float(pdf["value"].sum())
+            self._totals.update((te, tv))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "batch_events": [batch_events],
+                    "total_events": [te],
+                    "total_value": [tv],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_totals_tws(df: DataFrame, key_col: str = "key") -> DataFrame:
+        """transformWithState flavor of :func:`running_totals`. Requires
+        the RocksDB state store provider (set
+        ``spark.sql.streaming.stateStore.providerClass`` to
+        ``...state.RocksDBStateStoreProvider`` on the session) and the
+        ``google.protobuf`` Python package (the v2 API's worker↔state-
+        server protocol; absent in this container, present on standard
+        cluster images — the test skips accordingly)."""
+        return (
+            df.withColumnRenamed(key_col, "key")
+            .groupBy("key")
+            .transformWithStateInPandas(
+                statefulProcessor=RunningTotalsProcessor(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+
+except ImportError:  # pragma: no cover — older PySpark
+    RunningTotalsProcessor = None  # type: ignore[assignment]
+
+    def running_totals_tws(df: DataFrame, key_col: str = "key") -> DataFrame:
+        raise NotImplementedError("transformWithState requires PySpark >= 4.0")

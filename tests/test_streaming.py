@@ -420,3 +420,64 @@ def test_compact_partition_shrinks_files_keeps_rows(spark, tmp_path):
     assert got.filter(F.col("day") == "01").count() == 60
     assert got.filter(F.col("day") == "02").count() == 5
     assert got.select("id").distinct().count() == 65
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithState (arbitrary-stateful v2, RocksDB state store)
+    must carry the same cumulative per-key state across sequential
+    availableNow runs as the applyInPandasWithState operator.
+
+    The v2 API's Python worker speaks protobuf to the state server;
+    without the google.protobuf package (absent in this container) the
+    operator cannot run, so the test skips — the gated operator is
+    exercised on any cluster image that ships protobuf."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState needs python protobuf"
+    )
+    from eventsgateway_spark.streaming.stateful import running_totals_tws
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "key string, value double"
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    run_no = 0
+
+    def run_batch(rows):
+        nonlocal run_no
+        run_no += 1
+        sink = str(tmp_path / f"sink{run_no}")
+
+        def save(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            src
+        )
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            running_totals_tws(stream)
+            .writeStream.foreachBatch(save)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["key"]: r for r in spark.read.parquet(sink).collect()}
+
+    try:
+        out1 = run_batch([("a", 1.0), ("a", 2.0), ("b", 5.0)])
+        assert out1["a"]["total_events"] == 2 and out1["a"]["total_value"] == 3.0
+        out2 = run_batch([("a", 4.0), ("c", 7.0)])
+        assert out2["a"]["total_events"] == 3 and out2["a"]["total_value"] == 7.0
+        assert out2["c"]["total_events"] == 1 and out2["c"]["total_value"] == 7.0
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
