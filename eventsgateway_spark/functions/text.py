@@ -70,3 +70,11 @@ def count_in(toks: Column, vocab: list[str]) -> Column:
 # expressible in the DuckDB oracle SQL.
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "is", "in", "it"]
 ES_STOPWORDS = ["el", "la", "de", "y", "que", "en", "los", "un"]
+
+
+# Context-window chunking parameters — single source of truth for the
+# JVM chunker (queries/ext_text.py q51) and the UDTF escape hatch
+# (functions/udtfs.py); a drift between the two would break their
+# parity contract.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks

@@ -21,8 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql.functions import udtf
 
-CHUNK_TOKENS = 32
-CHUNK_STRIDE = 24
+from eventsgateway_spark.functions.text import CHUNK_STRIDE, CHUNK_TOKENS
 
 
 def _tokenize(text: str | None) -> list[str]:

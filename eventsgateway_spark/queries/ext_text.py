@@ -363,8 +363,7 @@ def q40_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q51 — fixed-size token chunking with overlap (context-window prep)
 # ---------------------------------------------------------------------------
 
-CHUNK_TOKENS = 32
-CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+from eventsgateway_spark.functions.text import CHUNK_STRIDE, CHUNK_TOKENS  # noqa: E402
 
 
 @query(

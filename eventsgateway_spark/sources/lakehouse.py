@@ -101,6 +101,8 @@ def compact_partition(
     import os
 
     part_dir = os.path.join(path, f"year={year}", f"month={month}", f"day={day}")
+    if not os.path.isdir(part_dir):
+        raise ValueError(f"partition not found: {part_dir}")
     size = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, files in os.walk(part_dir)
@@ -108,21 +110,28 @@ def compact_partition(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(size / target_bytes))
-    rows = read_events_table(spark, path).filter(
-        (F.col("year") == year) & (F.col("month") == month) & (F.col("day") == day)
-    )
-    out = rows.repartition(n_files)
+    # read the ONE partition directory with basePath so only it is
+    # listed — reading the table root would list every partition's
+    # files (the exact small-file cost this function exists to remove)
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        rows = spark.read.option("basePath", path).parquet(part_dir)
+    finally:
+        spark.conf.set(conf_key, prev)
+    # coalesce, not repartition: many-files→few needs no shuffle
+    out = rows.coalesce(n_files)
     if sort_within:
         out = out.sortWithinPartitions(sort_within)
     # lineage reads the path being replaced — materialize first
     out = out.localCheckpoint()
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic")
-    try:
-        out.write.mode("overwrite").partitionBy(*PARTITION_COLS).parquet(path)
-    finally:
-        spark.conf.set(conf_key, prev)
-    return len(
-        [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    (
+        out.write.mode("overwrite")
+        # per-write option — session-conf mutation would race
+        # concurrent writers (see streaming/upsert.py)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*PARTITION_COLS)
+        .parquet(path)
     )
+    return len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])

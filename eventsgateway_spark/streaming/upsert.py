@@ -42,11 +42,25 @@ def merge_batch(
     key_cols: tuple[str, ...] = ("id",),
     order_col: str = "serverTimestamp",
     tiebreak: str = "name",
+    sort_within: str | None = "name",
 ) -> None:
     """Merge one micro-batch into the partitioned table at ``path``:
     newest row per key wins (ties broken deterministically), and only
-    the partitions present in the batch are rewritten."""
-    batch = derive_date_partitions(batch_df)
+    the partitions present in the batch are rewritten.
+
+    Precondition: a key never changes date partition. The partition
+    derives from ``clientTimestamp`` (immutable event time — the
+    reference's duplicate source is client retries resending the SAME
+    event, client/async.go:232-279, so a replayed id always carries the
+    same clientTimestamp and lands in the same partition). If your keys
+    CAN move partitions, partition-scoped merging is the wrong tool —
+    that needs a globally-indexed table format (Delta/Hudi/Iceberg
+    MERGE), not this analog.
+    """
+    # Materialize the derived batch once: the touched-partition collect
+    # and the merge union below would otherwise each re-evaluate the
+    # foreachBatch source.
+    batch = derive_date_partitions(batch_df).localCheckpoint()
     touched = [tuple(r) for r in batch.select(*PARTITION_COLS).distinct().collect()]
     if not touched:
         return
@@ -67,13 +81,20 @@ def merge_batch(
     # same path being replaced, which Spark (correctly) refuses for a
     # lazy plan ("Cannot overwrite a path that is also being read from").
     winners = winners.localCheckpoint()
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic")
-    try:
-        winners.write.mode("overwrite").partitionBy(*PARTITION_COLS).parquet(path)
-    finally:
-        spark.conf.set(conf_key, prev)
+    if sort_within and sort_within in winners.columns:
+        # keep the table's cluster-column layout (min/max skipping),
+        # matching write_events_batch / compact_partition
+        winners = winners.sortWithinPartitions(*PARTITION_COLS, sort_within)
+    # per-write option, NOT session conf: mutating the session-global
+    # partitionOverwriteMode races concurrent writers on the same
+    # session (a restore-to-static could demote another thread's
+    # in-flight dynamic overwrite into a whole-table delete).
+    (
+        winners.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*PARTITION_COLS)
+        .parquet(path)
+    )
 
 
 def upsert_events_stream(
