@@ -43,6 +43,17 @@ def get_spark(app_name: str = "eventsgateway_spark", **extra_confs: str) -> Spar
     need a specific memory size must call this before any other session
     exists.
     """
+    # Python workers inherit PYTHONPATH from the driver's environment,
+    # not the driver's sys.path — without this, any pickled function
+    # referencing the package (pandas-UDF Avro fallback, UDTFs) fails
+    # on executors when the caller runs outside the repo root. Must be
+    # set before the first JVM starts; no effect on a live session.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.master(

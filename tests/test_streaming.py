@@ -481,3 +481,44 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming event source enriched by a
+    broadcast static dimension (game metadata) — no stream-side state,
+    no watermark needed; the static side re-broadcasts per micro-batch.
+    The production enrichment shape for dims too small to shuffle."""
+    src = str(tmp_path / "src")
+    schema = "id string, name string, game string, value double"
+    spark.createDataFrame(
+        [
+            ("e1", "click", "g1", 1.0),
+            ("e2", "click", "g2", 2.0),
+            ("e3", "error", "g3", 3.0),  # g3 absent from dim -> left join null
+        ],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    dim = spark.createDataFrame(
+        [("g1", "puzzle", "NA"), ("g2", "racer", "EU")],
+        "game string, genre string, region string",
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    enriched = stream.join(F.broadcast(dim), "game", "left")
+
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: (r["genre"], r["region"]) for r in spark.sql(
+        "select * from enrich_test"
+    ).collect()}
+    assert got == {
+        "e1": ("puzzle", "NA"),
+        "e2": ("racer", "EU"),
+        "e3": (None, None),
+    }
