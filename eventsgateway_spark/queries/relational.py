@@ -579,3 +579,56 @@ def q46_moving_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double(F.sum("rev").over(w)).alias("revenue_7d"),
         F.sum("n_orders").over(w).cast("bigint").alias("orders_7d"),
     ).orderBy("order_date")
+
+
+# ---------------------------------------------------------------------------
+# q57 — distribution windows: ntile / percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q57_spend_deciles",
+    oracle="""
+    WITH s AS (
+        SELECT c_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    )
+    SELECT c_custkey, spend,
+           NTILE(10)       OVER w AS decile,
+           PERCENT_RANK()  OVER w AS pct_rank,
+           CUME_DIST()     OVER w AS cume
+    FROM s
+    WINDOW w AS (ORDER BY spend DESC, c_custkey)
+    ORDER BY spend DESC, c_custkey
+    """,
+)
+def q57_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window battery — ntile deciles, percent_rank, and
+    cume_dist over customer lifetime spend (exact decimal sums; the
+    double cast happens once, after aggregation). The window input is
+    the per-customer aggregate (|customers| rows), not the fact table,
+    and the ordering carries a custkey tiebreak so every rank function
+    is deterministic. The global sort is the scale bound here: one
+    range-partitioned exchange over the customer aggregate — fine at
+    any realistic customer count; a per-segment partitionBy would
+    remove even that if deciles-within-segment suffice."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(as_double(F.sum(money("o_totalprice"))).alias("spend"))
+    )
+    w = W.orderBy(F.desc("spend"), F.asc("c_custkey"))
+    return (
+        s.select(
+            "c_custkey",
+            "spend",
+            F.ntile(10).over(w).alias("decile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy(F.desc("spend"), F.asc("c_custkey"))
+    )
