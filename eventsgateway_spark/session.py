@@ -43,17 +43,24 @@ def get_spark(app_name: str = "eventsgateway_spark", **extra_confs: str) -> Spar
     need a specific memory size must call this before any other session
     exists.
     """
-    # Python workers inherit PYTHONPATH from the driver's environment,
+    # Python workers inherit PYTHONPATH from their parent process env,
     # not the driver's sys.path — without this, any pickled function
     # referencing the package (pandas-UDF Avro fallback, UDTFs) fails
-    # on executors when the caller runs outside the repo root. Must be
-    # set before the first JVM starts; no effect on a live session.
+    # with ModuleNotFoundError when the caller runs outside the repo
+    # root. Local mode: the driver env var reaches the workers (must be
+    # set before the first JVM starts). Cluster mode: executors spawn
+    # from the executor JVM's env, so spark.executorEnv.PYTHONPATH is
+    # set too — on a real deployment prefer shipping the package
+    # (pip install / --py-files), which needs neither.
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     existing = os.environ.get("PYTHONPATH", "")
     if pkg_root not in existing.split(os.pathsep):
         os.environ["PYTHONPATH"] = (
             pkg_root + (os.pathsep + existing if existing else "")
         )
+    extra_confs.setdefault(
+        "spark.executorEnv.PYTHONPATH", os.environ.get("PYTHONPATH", pkg_root)
+    )
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.master(

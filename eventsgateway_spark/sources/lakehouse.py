@@ -64,14 +64,15 @@ def read_events_table(spark: SparkSession, path: str) -> DataFrame:
     """Read the events table with the reference's schema: year/month/day
     are *strings* (.ipynb:97-107). Partition-column type inference would
     silently turn the zero-padded directory values ("01") into ints, so
-    pin it off for this read."""
-    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev = spark.conf.get(conf_key, "true")
-    spark.conf.set(conf_key, "false")
-    try:
-        return spark.read.parquet(path)
-    finally:
-        spark.conf.set(conf_key, prev)
+    it is pinned off — and deliberately NOT restored: a set-and-restore
+    around the read would race concurrent readers on the same session
+    (an interleaved restore re-enables inference mid-read elsewhere,
+    yielding month=1 vs month=01 split partitions on the next write).
+    String partition columns are engine policy session-wide."""
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    return spark.read.parquet(path)
 
 
 def compact_partition(
@@ -110,18 +111,25 @@ def compact_partition(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(size / target_bytes))
-    # read the ONE partition directory with basePath so only it is
-    # listed — reading the table root would list every partition's
-    # files (the exact small-file cost this function exists to remove)
-    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev = spark.conf.get(conf_key, "true")
-    spark.conf.set(conf_key, "false")
-    try:
-        rows = spark.read.option("basePath", path).parquet(part_dir)
-    finally:
-        spark.conf.set(conf_key, prev)
-    # coalesce, not repartition: many-files→few needs no shuffle
-    out = rows.coalesce(n_files)
+    # Read the ONE partition directory without basePath: only that dir
+    # is listed (reading the table root would list every partition's
+    # files — the exact small-file cost this function exists to remove)
+    # and no partition columns are inferred at all, so no session conf
+    # is touched (toggling partitionColumnTypeInference here would race
+    # concurrent readers on the same session). The partition values are
+    # re-attached as string literals, exactly as the directory names
+    # spell them.
+    rows = (
+        spark.read.parquet(part_dir)
+        .withColumn("year", F.lit(year))
+        .withColumn("month", F.lit(month))
+        .withColumn("day", F.lit(day))
+    )
+    # many-files→few merges shuffle-free via coalesce; only when asked
+    # to SPLIT into more files than the scan produced is a shuffle
+    # unavoidable
+    n_scan = rows.rdd.getNumPartitions()
+    out = rows.coalesce(n_files) if n_scan >= n_files else rows.repartition(n_files)
     if sort_within:
         out = out.sortWithinPartitions(sort_within)
     # lineage reads the path being replaced — materialize first

@@ -104,6 +104,7 @@ def upsert_events_stream(
     key_cols: tuple[str, ...] = ("id",),
     order_col: str = "serverTimestamp",
     tiebreak: str = "name",
+    sort_within: str | None = "name",
     trigger_once: bool = False,
 ) -> StreamingQuery:
     """Streaming upsert sink: checkpointed ``foreachBatch`` over
@@ -111,7 +112,13 @@ def upsert_events_stream(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         merge_batch(
-            batch_df.sparkSession, batch_df, path, key_cols, order_col, tiebreak
+            batch_df.sparkSession,
+            batch_df,
+            path,
+            key_cols,
+            order_col,
+            tiebreak,
+            sort_within,
         )
 
     writer = events.writeStream.foreachBatch(_merge).option(
