@@ -366,6 +366,35 @@ def q40_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 from eventsgateway_spark.functions.text import CHUNK_STRIDE, CHUNK_TOKENS  # noqa: E402
 
 
+def chunk_documents(docs: DataFrame) -> DataFrame:
+    """The q51 chunking plan over ANY (doc_id, text) frame — also the
+    Spark side of the UDTF/property parity tests."""
+    with_toks = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    starts = with_toks.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("chunk_id", "start"),
+    )
+    return (
+        starts.select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.slice("toks", F.col("start") + 1, F.lit(CHUNK_TOKENS)).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").cast("bigint").alias("n_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
 @query(
     "q51_doc_chunks",
     oracle=f"""
@@ -395,30 +424,8 @@ def q51_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus token count, output rows ≈ tokens/stride per doc, no UDFs.
     At 100 TB the chunk table is written partitioned by a hash-split of
     doc_id (q47's operator) so downstream shuffles are balanced."""
-    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    with_toks = docs.select("doc_id", tokens("text").alias("toks")).filter(
-        F.size("toks") > 0
-    )
-    starts = with_toks.select(
-        "doc_id",
-        "toks",
-        F.posexplode(
-            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
-        ).alias("chunk_id", "start"),
-    )
-    return (
-        starts.select(
-            "doc_id",
-            F.col("chunk_id").cast("bigint").alias("chunk_id"),
-            F.slice("toks", F.col("start") + 1, F.lit(CHUNK_TOKENS)).alias("chunk"),
-        )
-        .select(
-            "doc_id",
-            "chunk_id",
-            F.size("chunk").cast("bigint").alias("n_tokens"),
-            F.array_join("chunk", " ").alias("chunk_text"),
-        )
-        .orderBy("doc_id", "chunk_id")
+    return chunk_documents(
+        spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
     )
 
 

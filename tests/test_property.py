@@ -113,3 +113,35 @@ def test_asof_join_random_layouts(spark):
         got_rv = [None if pd.isna(x) else int(x) for x in got["rv_asof"]]
         want_rv = [None if pd.isna(x) else int(x) for x in want["rv"]]
         assert got_rv == want_rv, f"trial {trial}"
+
+
+def test_chunker_spark_python_parity_random(spark):
+    """The JVM chunk plan (q51's posexplode+slice) must agree with the
+    pure-Python chunker (the UDTF's logic) on a seeded random corpus
+    covering: empty docs, whitespace runs (empty-token artifacts), docs
+    shorter than one window, exact window multiples, and long docs."""
+    import random
+
+    from eventsgateway_spark.functions.text import CHUNK_STRIDE, CHUNK_TOKENS
+    from eventsgateway_spark.queries.ext_text import chunk_documents
+
+    rng = random.Random(42)
+    vocab = ["a", "bb", "ccc", "dddd", "ee"]
+    texts = ["", " ", "  ", "one", " ".join(["x"] * CHUNK_TOKENS)]
+    for _ in range(200):
+        n = rng.randint(0, 3 * CHUNK_TOKENS)
+        sep = lambda: " " * rng.randint(1, 3)  # noqa: E731 — double-space artifacts
+        texts.append(sep().join(rng.choice(vocab) for _ in range(n)))
+
+    expected = []
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in text.split(" ") if t]
+        for chunk_id, start in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+            w = toks[start : start + CHUNK_TOKENS]
+            expected.append((doc_id, chunk_id, len(w), " ".join(w)))
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [tuple(r) for r in chunk_documents(df).collect()]
+    assert got == sorted(expected)
