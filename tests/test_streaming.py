@@ -522,3 +522,46 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
         "e2": ("racer", "EU"),
         "e3": (None, None),
     }
+
+
+def test_stream_dedup_against_corpus(spark, tmp_path):
+    """Streaming corpus dedup: a micro-batch is Jaccard-checked against
+    a static corpus index built once; near-copies route to the dup sink
+    with match evidence, novel docs to the corpus sink."""
+    from eventsgateway_spark.streaming.near_dup import stream_dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (1, "spark shuffles partitions across executors during wide joins"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            # near-copy of corpus doc 0 (one trailing word changed)
+            (100, "the quick brown fox jumps over the lazy dog again and once"),
+            # novel
+            (101, "completely unrelated words about cooking pasta with basil"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    incoming.coalesce(1).write.parquet(src)
+
+    q = stream_dedup_against_corpus(
+        spark.readStream.schema(incoming.schema).parquet(src),
+        corpus,
+        novel_path=str(tmp_path / "novel"),
+        dup_path=str(tmp_path / "dups"),
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.5,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    dups = spark.read.parquet(str(tmp_path / "dups")).collect()
+    novel = spark.read.parquet(str(tmp_path / "novel")).collect()
+    assert [(r["doc_id"], r["matched_corpus_id"]) for r in dups] == [(100, 0)]
+    assert 0.5 <= dups[0]["jaccard"] < 1.0
+    assert [r["doc_id"] for r in novel] == [101]
