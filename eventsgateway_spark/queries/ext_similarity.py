@@ -403,27 +403,32 @@ _DUCK_L2SQ = (
 )
 
 
-def ivf_assign(emb: DataFrame, k: int = IVF_K) -> DataFrame:
-    """(vec_id, e, nrm, cell_id): every vector assigned to its nearest
-    centroid by squared L2 (rounded to 6, centroid-id tie-break).
+def norm_view(emb: DataFrame) -> DataFrame:
+    """(vec_id, e, nrm) — the promoted-double embedding with its norm."""
+    return emb.select("vec_id", as_double(F.col("embedding")).alias("e")).select(
+        "vec_id", "e", norm(F.col("e")).alias("nrm")
+    )
 
+
+def ivf_centroids(emb: DataFrame, k: int = IVF_K) -> DataFrame:
+    """ONE row holding all k centroids as an array of (cid, ce) structs.
     Centroids are the first ``k`` vectors by id — a deterministic stand-
     in for trained k-means centers; the *assignment/probe machinery* is
-    what IVF is, and it is identical whichever way centers are produced.
-    The k centroids are collapsed to ONE array-of-structs row and
-    broadcast, so assignment is a per-row ``array_min`` over k fold
-    distances inside the scan — a map-only stage, NO shuffle of the
-    corpus, which is the property that makes IVF viable at 100 TB."""
-    v = emb.select(
-        "vec_id",
-        as_double(F.col("embedding")).alias("e"),
-    ).select("vec_id", "e", norm(F.col("e")).alias("nrm"))
-    cents = (
-        v.filter(F.col("vec_id") < k)
+    what IVF is, and it is identical whichever way centers are
+    produced."""
+    return (
+        norm_view(emb)
+        .filter(F.col("vec_id") < k)
         .select(F.struct(F.col("vec_id").alias("cid"), F.col("e").alias("ce")).alias("c"))
         .agg(F.collect_list("c").alias("cents"))
     )
-    dist_structs = F.transform(
+
+
+def _dist_structs():
+    """(squared-L2-to-centroid, cid) struct array for the row's ``e``
+    against the broadcast ``cents`` column; rounded to 6 with cid
+    tie-break so argmin/sort are deterministic."""
+    return F.transform(
         F.col("cents"),
         lambda c: F.struct(
             F.round(
@@ -437,53 +442,50 @@ def ivf_assign(emb: DataFrame, k: int = IVF_K) -> DataFrame:
             c["cid"].alias("cid"),
         ),
     )
+
+
+def ivf_assign_with(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, e, nrm, cell_id) for a (vec_id, e, nrm) frame against a
+    prebuilt centroid row. The centroids broadcast, so assignment is a
+    per-row ``array_min`` over k fold distances inside the scan — a
+    map-only stage, NO shuffle of the corpus, which is the property
+    that makes IVF viable at 100 TB."""
     return v.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "e", "nrm", F.array_min(dist_structs)["cid"].alias("cell_id")
+        "vec_id", "e", "nrm", F.array_min(_dist_structs())["cid"].alias("cell_id")
+    )
+
+
+def ivf_assign(emb: DataFrame, k: int = IVF_K) -> DataFrame:
+    """Corpus-side IVF assignment (see :func:`ivf_assign_with`)."""
+    return ivf_assign_with(norm_view(emb), ivf_centroids(emb, k))
+
+
+def ivf_probe_with(
+    v: DataFrame, cents: DataFrame, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """(qid, qe, qn, cell_id): the ``nprobe`` nearest centroid cells per
+    query row — ``array_sort`` on the same (dist, cid) structs, then
+    ``slice``. One row per (query, probed cell)."""
+    return v.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(_dist_structs()), 1, nprobe), lambda s: s["cid"]
+            )
+        ).alias("cell_id"),
     )
 
 
 def ivf_probes(
     emb: DataFrame, query_pred, k: int = IVF_K, nprobe: int = IVF_NPROBE
 ) -> DataFrame:
-    """(qid, qe, qn, cell_id): the ``nprobe`` nearest centroid cells per
-    query vector — ``array_sort`` on the same (dist, cid) structs, then
-    ``slice``. One row per (query, probed cell); the query set is tiny
-    by construction so this side broadcasts into the candidate join."""
-    v = emb.select("vec_id", as_double(F.col("embedding")).alias("e")).select(
-        "vec_id", "e", norm(F.col("e")).alias("nrm")
-    )
-    cents = (
-        v.filter(F.col("vec_id") < k)
-        .select(F.struct(F.col("vec_id").alias("cid"), F.col("e").alias("ce")).alias("c"))
-        .agg(F.collect_list("c").alias("cents"))
-    )
-    dist_structs = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            F.round(
-                F.aggregate(
-                    F.zip_with(F.col("e"), c["ce"], lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, val: acc + val,
-                ),
-                6,
-            ).alias("d"),
-            c["cid"].alias("cid"),
-        ),
-    )
-    return (
-        v.filter(query_pred)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("e").alias("qe"),
-            F.col("nrm").alias("qn"),
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(dist_structs), 1, nprobe), lambda s: s["cid"]
-                )
-            ).alias("cell_id"),
-        )
+    """Probe cells for a query subset of the corpus itself (q43's
+    shape); the query set is tiny by construction so this side
+    broadcasts into the candidate join."""
+    return ivf_probe_with(
+        norm_view(emb).filter(query_pred), ivf_centroids(emb, k), nprobe
     )
 
 

@@ -18,6 +18,7 @@ from eventsgateway_spark.sources.lakehouse import read_events_table
 from eventsgateway_spark.streaming.pipeline import run_etl
 from eventsgateway_spark.streaming import windows as SW
 from eventsgateway_spark.streaming.dedup import dedup_by_id
+from tests.conftest import SF_ORACLE
 
 T0 = 1704067200000  # 2024-01-01 00:00:00 UTC
 
@@ -565,3 +566,37 @@ def test_stream_dedup_against_corpus(spark, tmp_path):
     assert [(r["doc_id"], r["matched_corpus_id"]) for r in dups] == [(100, 0)]
     assert 0.5 <= dups[0]["jaccard"] < 1.0
     assert [r["doc_id"] for r in novel] == [101]
+
+
+def test_streaming_ann_lookup_against_ivf_index(spark, tmp_path):
+    """Streaming ANN: query vectors answered per micro-batch from an
+    IVF index built once over the corpus. An exact copy of a corpus
+    vector (searching its own cell) must return that vector as its
+    top-1 with cos_sim=1.0."""
+    from eventsgateway_spark.streaming.ann_lookup import ann_lookup_stream
+
+    corpus = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # queries: exact copies of corpus vectors 20 and 21, re-keyed
+    queries = corpus.filter(F.col("vec_id").isin(20, 21)).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    src = str(tmp_path / "q")
+    queries.coalesce(1).write.parquet(src)
+
+    q = ann_lookup_stream(
+        spark.readStream.schema(queries.schema).parquet(src),
+        corpus,
+        out_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    top1 = {r["qid"]: (r["neighbor_id"], r["cos_sim"]) for r in out.filter(
+        F.col("rn") == 1
+    ).collect()}
+    assert top1 == {1020: (20, 1.0), 1021: (21, 1.0)}
+    assert out.count() == 6  # top-3 per query
