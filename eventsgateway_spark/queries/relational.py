@@ -632,3 +632,89 @@ def q57_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("spend"), F.asc("c_custkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q58 — exact second moments: stddev / correlation from integer sums
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q58_exact_moments",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS xc,
+               CAST(l_quantity AS BIGINT) AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(xc AS HUGEINT)) AS sx,
+               SUM(CAST(xc AS HUGEINT) * xc) AS sxx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CAST(xc AS HUGEINT) * y) AS sxy
+        FROM m GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           ROUND(CAST(sx AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)), 6) AS avg_price,
+           ROUND(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                 / 100.0, 6) AS stddev_price,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS corr_price_qty
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def q58_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numerically exact variance/correlation at any scale: built-in
+    stddev/corr accumulate doubles, so their low digits depend on
+    partial-aggregation ORDER — two runs of the same query on different
+    partitionings disagree. Here every cross-row sum is exact integer
+    math (cents as decimal(19,0); squares/products as decimal(38,0) —
+    ~6e19 max at sf1, 19 digits of headroom at 100 TB), and the
+    double formulas run once per GROUP on identical exact inputs, so
+    the result is bit-identical under any partitioning, AQE re-plan, or
+    engine (the DuckDB oracle hash-matches through HUGEINT sums)."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = (money("l_extendedprice") * 100).cast("decimal(19,0)")
+    m = li.select(
+        "l_returnflag",
+        cents.alias("xc"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    s = m.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").alias("sx"),
+        F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum((F.col("xc") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / (100.0 * n), 6).alias("avg_price"),
+        F.round(F.sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) / 100.0, 6).alias(
+            "stddev_price"
+        ),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_price_qty"),
+    ).orderBy("l_returnflag")
