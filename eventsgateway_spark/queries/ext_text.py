@@ -368,7 +368,10 @@ from eventsgateway_spark.functions.text import CHUNK_STRIDE, CHUNK_TOKENS  # noq
 
 def chunk_documents(docs: DataFrame) -> DataFrame:
     """The q51 chunking plan over ANY (doc_id, text) frame — also the
-    Spark side of the UDTF/property parity tests."""
+    Spark side of the UDTF/property parity tests. Unordered: the total
+    sort is q51's presentation contract, not the operator's — composers
+    (e.g. a hash-partitioned chunk-table write) must not pay a global
+    range shuffle."""
     with_toks = docs.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") > 0
     )
@@ -391,7 +394,6 @@ def chunk_documents(docs: DataFrame) -> DataFrame:
             F.size("chunk").cast("bigint").alias("n_tokens"),
             F.array_join("chunk", " ").alias("chunk_text"),
         )
-        .orderBy("doc_id", "chunk_id")
     )
 
 
@@ -426,7 +428,7 @@ def q51_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id (q47's operator) so downstream shuffles are balanced."""
     return chunk_documents(
         spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    )
+    ).orderBy("doc_id", "chunk_id")
 
 
 # ---------------------------------------------------------------------------

@@ -74,9 +74,16 @@ def ann_lookup_stream(
     assign = ivf_assign_with(norm_view(corpus_emb), cents).localCheckpoint()
 
     def _answer(batch_df: DataFrame, batch_id: int) -> None:
-        ann_lookup_batch(batch_df, assign, cents, nprobe, topk).write.mode(
-            "append"
-        ).parquet(out_path)
+        # batch_id partition + dynamic overwrite: a checkpoint replay
+        # rewrites its own partition instead of appending duplicates
+        (
+            ann_lookup_batch(batch_df, assign, cents, nprobe, topk)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
 
     writer = query_stream.writeStream.foreachBatch(_answer).option(
         "checkpointLocation", checkpoint

@@ -11,49 +11,86 @@ valid/quarantine split (operators/transforms.validate).
 
 Executed via ``foreachBatch``: aggregation-over-candidates is not
 expressible in pure append-mode streaming, and foreachBatch is Spark's
-supported seam for reusing arbitrary batch plans per micro-batch.
+supported seam for reusing arbitrary batch plans per micro-batch. Both
+sinks are written as batch_id=N partitions with dynamic overwrite, so
+a checkpoint replay rewrites its own partition instead of appending
+duplicates (the idempotence contract of streaming/upsert.py).
 
 Scale posture (100 TB corpus): the per-batch cost is
 |batch shingles| joined against the corpus index — an equi-join on the
-shingle key, shuffle-partitioned, never all-pairs; the corpus index is
-loaded once (at real scale: a bucketed table on `s`, so the per-batch
-join co-locates without reshuffling the corpus). State lives in the
-index, not the stream — no streaming state at all. The index is
-df-capped (doc_shingles' hot-shingle prune) so per-key fan-out is
-bounded. New docs admitted to the corpus do NOT update the index
-mid-stream (batch-boundary consistency); rebuild or append to the
-index on the compaction cadence.
+shingle key, shuffle-partitioned, never all-pairs; the corpus index
+(pruned shingles, hot-shingle list, per-doc sizes) is built once — at
+real scale a bucketed-on-`s` table, so the per-batch join co-locates
+without reshuffling the corpus. State lives in the index, not the
+stream. The hot-shingle prune is applied to BOTH sides (the q30
+semantics): batch shingles are anti-joined against the same hot list,
+so Jaccard numerator and denominators count the same shingle universe.
+New docs admitted to the corpus do NOT update the index mid-stream
+(batch-boundary consistency); rebuild or append to the index on the
+compaction cadence.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from eventsgateway_spark.functions.text import ngrams, tokens
-from eventsgateway_spark.queries.ext_dedup import SHINGLE_N, doc_shingles
+from eventsgateway_spark.queries.ext_dedup import MAX_SHINGLE_DF, SHINGLE_N
 
 
 def batch_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, s) distinct shingles for an incoming batch — the
-    streaming-safe sibling of doc_shingles: no hot-list prune (the cap
-    belongs to the corpus side) and no checkpoint (micro-batches are
-    small and consumed once)."""
+    """(doc_id, s) distinct shingles — the un-pruned, checkpoint-free
+    shingle explode (safe on micro-batch frames)."""
     return docs.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id", F.explode(F.array_distinct(ngrams(F.col("toks"), n))).alias("s")
     )
 
 
+class CorpusIndex(NamedTuple):
+    """Materialized once, reused by every micro-batch."""
+
+    shingles: DataFrame  # (doc_id, s) — hot-pruned
+    hot: DataFrame  # (s) — shingles with df > cap, pruned from BOTH sides
+    sizes: DataFrame  # (corpus_id, sz_corp) — post-prune shingle counts
+
+
+def build_corpus_index(
+    corpus_docs: DataFrame, n: int = SHINGLE_N, max_df: int = MAX_SHINGLE_DF
+) -> CorpusIndex:
+    raw = batch_shingles(corpus_docs, n).localCheckpoint()
+    hot = (
+        raw.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("s")
+        .localCheckpoint()
+    )
+    sh = raw.join(F.broadcast(hot), "s", "left_anti").localCheckpoint()
+    sizes = (
+        sh.groupBy(F.col("doc_id").alias("corpus_id"))
+        .agg(F.count(F.lit(1)).alias("sz_corp"))
+        .localCheckpoint()
+    )
+    return CorpusIndex(shingles=sh, hot=hot, sizes=sizes)
+
+
 def flag_near_dups(
-    batch_docs: DataFrame, corpus_sh: DataFrame, threshold: float = 0.5
+    batch_docs: DataFrame, index: CorpusIndex, threshold: float = 0.5
 ) -> DataFrame:
     """(doc_id, corpus_id, jaccard) for every batch doc whose shingle
-    Jaccard against some corpus doc reaches the threshold."""
-    sh_new = batch_shingles(batch_docs)
+    Jaccard against some corpus doc reaches the threshold. Batch
+    shingles are pruned with the SAME hot list as the index, so both
+    Jaccard denominators count the same shingle universe (q30
+    semantics)."""
+    sh_new = batch_shingles(batch_docs).join(
+        F.broadcast(index.hot), "s", "left_anti"
+    )
     sz_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_new"))
-    corp = corpus_sh.withColumnRenamed("doc_id", "corpus_id")
-    sz_corp = corp.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("sz_corp"))
+    corp = index.shingles.withColumnRenamed("doc_id", "corpus_id")
     inter = (
         sh_new.join(corp, "s")
         .groupBy("doc_id", "corpus_id")
@@ -61,7 +98,7 @@ def flag_near_dups(
     )
     return (
         inter.join(sz_new, "doc_id")
-        .join(sz_corp, "corpus_id")
+        .join(index.sizes, "corpus_id")
         .select(
             "doc_id",
             "corpus_id",
@@ -71,6 +108,19 @@ def flag_near_dups(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _idempotent_append(df: DataFrame, batch_id: int, path: str) -> None:
+    """Write a micro-batch output as its own batch_id partition with
+    dynamic overwrite — a checkpoint replay rewrites the same partition
+    instead of appending duplicates."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
     )
 
 
@@ -85,14 +135,15 @@ def stream_dedup_against_corpus(
 ) -> StreamingQuery:
     """Route a document stream: near-dups of the corpus → ``dup_path``
     (with best-match evidence), novel docs → ``novel_path``."""
-    # Built once, reused by every micro-batch (the whole point).
-    corpus_sh = doc_shingles(corpus_docs).localCheckpoint()
+    index = build_corpus_index(corpus_docs)
 
     def _route(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.localCheckpoint()  # consumed by 2 sinks + the join
-        flags = flag_near_dups(batch, corpus_sh, threshold)
-        best = flags.groupBy("doc_id").agg(
-            F.max(F.struct("jaccard", "corpus_id")).alias("m")
+        best = (
+            flag_near_dups(batch, index, threshold)
+            .groupBy("doc_id")
+            .agg(F.max(F.struct("jaccard", "corpus_id")).alias("m"))
+            .localCheckpoint()  # consumed by the dup join AND the anti-join
         )
         dups = batch.join(best, "doc_id").select(
             "doc_id",
@@ -101,8 +152,8 @@ def stream_dedup_against_corpus(
             F.col("m.jaccard").alias("jaccard"),
         )
         novel = batch.join(best.select("doc_id"), "doc_id", "left_anti")
-        dups.write.mode("append").parquet(dup_path)
-        novel.write.mode("append").parquet(novel_path)
+        _idempotent_append(dups, batch_id, dup_path)
+        _idempotent_append(novel, batch_id, novel_path)
 
     writer = stream_docs.writeStream.foreachBatch(_route).option(
         "checkpointLocation", checkpoint
