@@ -661,3 +661,80 @@ def q55_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_d")
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — sequence pattern: signup → purchase with NO error in between
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q59_clean_conversion",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'signup' GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s.t1 GROUP BY 1),
+    w AS (SELECT s.user_id, s.t1, p.t3
+          FROM s JOIN p ON s.user_id = p.user_id),
+    errs AS (SELECT w.user_id, COUNT(e.event_id) AS n_err
+             FROM w LEFT JOIN events e ON e.user_id = w.user_id
+                AND e.event_type = 'error' AND e.ts > w.t1 AND e.ts < w.t3
+             GROUP BY 1)
+    SELECT w.user_id, w.t1 AS signup_ts, w.t3 AS purchase_ts,
+           (epoch_us(w.t3) - epoch_us(w.t1)) // 1000000 AS secs_to_convert
+    FROM w JOIN errs ON w.user_id = errs.user_id
+    WHERE errs.n_err = 0
+    ORDER BY w.user_id
+    """,
+)
+def q59_clean_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (the MATCH_RECOGNIZE class):
+    users whose first signup is followed by a purchase with NO error
+    event strictly between the two timestamps. The negative condition
+    is a per-user interval count via a left join bounded by the
+    (t1, t3) window — the anti-pattern scan stays an equi-join on
+    user_id with a time-range predicate, never a sequence explode.
+    Conversion latency is exact integer seconds (µs difference, both
+    engines integer-divide)."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    w = s.join(p, "user_id")
+    errs = (
+        w.join(
+            ev.filter(F.col("event_type") == "error").select(
+                F.col("user_id").alias("eu"), F.col("ts").alias("ets")
+            ),
+            (F.col("user_id") == F.col("eu"))
+            & (F.col("ets") > F.col("t1"))
+            & (F.col("ets") < F.col("t3")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(F.count("ets").alias("n_err"))
+    )
+    return (
+        w.join(errs, "user_id")
+        .filter(F.col("n_err") == 0)
+        .select(
+            "user_id",
+            F.col("t1").alias("signup_ts"),
+            F.col("t3").alias("purchase_ts"),
+            F.expr("(unix_micros(t3) - unix_micros(t1)) div 1000000").alias(
+                "secs_to_convert"
+            ),
+        )
+        .orderBy("user_id")
+    )
