@@ -316,3 +316,28 @@ def test_udtf_chunker_matches_jvm_chunker(spark):
     ).collect()
     via_jvm = QUERIES["q51_doc_chunks"](spark, SF_ORACLE).collect()
     assert [tuple(r) for r in via_udtf] == [tuple(r) for r in via_jvm]
+
+
+def test_kmeans_trainer_converges_and_improves_assignment(spark):
+    """Lloyd trainer: inertia is monotone non-increasing across rounds,
+    trained centroids beat the first-k seeding on inertia, every cell
+    stays populated, and the trained centroid row plugs straight into
+    the IVF assignment helper."""
+    from eventsgateway_spark.operators.kmeans import train_centroids
+    from eventsgateway_spark.queries.ext_similarity import (
+        IVF_K,
+        ivf_assign_with,
+        norm_view,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    cents, history = train_centroids(emb, k=IVF_K, iters=4)
+    assert len(history) == 4
+    for a, b in zip(history, history[1:]):
+        assert b <= a * (1 + 1e-9), history  # monotone up to float noise
+    assert history[-1] < history[0]  # training actually moved the centers
+
+    assign = ivf_assign_with(norm_view(emb), cents)
+    cells = assign.groupBy("cell_id").count().collect()
+    assert len(cells) == IVF_K  # no cell collapsed to empty
+    assert {r["cell_id"] for r in cells} <= set(range(IVF_K))
