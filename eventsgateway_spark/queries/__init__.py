@@ -38,5 +38,6 @@ from eventsgateway_spark.queries import ext_text  # noqa: E402,F401
 from eventsgateway_spark.queries import ext_dedup  # noqa: E402,F401
 from eventsgateway_spark.queries import ext_similarity  # noqa: E402,F401
 from eventsgateway_spark.queries import ext_sampling  # noqa: E402,F401
+from eventsgateway_spark.queries import ext_pipeline  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE_SQL", "query"]

@@ -1,0 +1,162 @@
+"""[EXT] The end-to-end LLM corpus-prep pipeline as ONE declared query.
+
+q60 composes the individually-verified operators into the pipeline a
+training-data team actually runs — proof the operator set closes over
+the real use-case, in a single Catalyst plan (one driver program, no
+intermediate materialization the optimizer can't see through):
+
+    quality filter (q27 class)      → drop short docs
+    exact dedup (q29)               → keep min doc_id per token-bag key
+    near-dup drop (q30)             → drop the larger doc of each
+                                      Jaccard≥0.5 pair (keep-first)
+    decontamination (q53)           → drop eval-corpus docs + any doc
+                                      sharing a 5-gram with them
+    context chunking (q51)          → overlapping token windows
+    hash split (q47)                → train/val/test by content hash
+
+Every stage is deterministic, so the WHOLE pipeline hash-matches the
+DuckDB oracle. Scale posture: the stages chain through equi-joins and
+hash-aggregates only — each inherits the posture documented for its
+standalone operator (SCALE.md); nothing in the composition adds a
+shuffle the standalone operators didn't already have.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eventsgateway_spark.functions.text import CHUNK_STRIDE, CHUNK_TOKENS, tokens
+from eventsgateway_spark.queries import query
+from eventsgateway_spark.queries._util import table
+from eventsgateway_spark.queries.ext_dedup import (
+    MAX_SHINGLE_DF,
+    doc_shingles,
+    jaccard_pairs,
+)
+from eventsgateway_spark.queries.ext_sampling import TRAIN_PCT, VAL_PCT
+from eventsgateway_spark.queries.ext_sampling import _DUCK_HASHPCT, split_col
+from eventsgateway_spark.queries.ext_text import DECON_N, EVAL_SOURCE, chunk_documents
+
+MIN_TOKENS = 10  # quality floor
+
+_TOKS = "[x FOR x IN string_split(text, ' ') IF x <> '']"
+_TRIGRAM = "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+_FIVEGRAM = " || ' ' || ".join(f"toks[i+{j}]" for j in range(DECON_N))
+
+
+@query(
+    "q60_corpus_prep",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+    q AS (SELECT * FROM base WHERE len(toks) >= {MIN_TOKENS}),
+    canon AS (SELECT *, array_to_string(list_sort(list_distinct(toks)), ' ') AS k
+              FROM q),
+    keep1 AS (SELECT k, MIN(doc_id) AS keep_id FROM canon GROUP BY 1),
+    s1 AS (SELECT c.doc_id, c.source, c.toks FROM canon c
+           JOIN keep1 ON c.k = keep1.k AND c.doc_id = keep1.keep_id),
+    sh0 AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(toks) - 1), i -> {_TRIGRAM}))) AS s
+            FROM s1),
+    sh AS (SELECT doc_id, s FROM sh0
+           WHERE s IN (SELECT s FROM sh0 GROUP BY s
+                       HAVING COUNT(*) <= {MAX_SHINGLE_DF})),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    losers AS (SELECT DISTINCT d2 AS doc_id
+               FROM pairs JOIN sizes x ON pairs.d1 = x.doc_id
+                          JOIN sizes y ON pairs.d2 = y.doc_id
+               WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5),
+    s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+    evg AS (SELECT DISTINCT g FROM (
+               SELECT unnest(list_distinct(list_transform(
+                   range(1, len(toks) - {DECON_N - 2}), i -> {_FIVEGRAM}))) AS g
+               FROM base WHERE source = '{EVAL_SOURCE}')),
+    cont AS (SELECT DISTINCT doc_id FROM (
+               SELECT doc_id,
+                      unnest(list_distinct(list_transform(
+                          range(1, len(toks) - {DECON_N - 2}), i -> {_FIVEGRAM}))) AS g
+               FROM s2 WHERE source <> '{EVAL_SOURCE}') t
+             JOIN evg USING (g)),
+    s3 AS (SELECT * FROM s2
+           WHERE source <> '{EVAL_SOURCE}'
+             AND doc_id NOT IN (SELECT doc_id FROM cont)),
+    starts AS (SELECT doc_id, toks,
+                      unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+               FROM s3 WHERE len(toks) > 0),
+    chunks AS (SELECT doc_id,
+                      CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+                      list_slice(toks, start + 1, start + {CHUNK_TOKENS}) AS chunk
+               FROM starts)
+    SELECT doc_id, chunk_id,
+           CASE WHEN {_DUCK_HASHPCT} < {TRAIN_PCT} THEN 'train'
+                WHEN {_DUCK_HASHPCT} < {VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           len(chunk) AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q60_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring — the composed pipeline, one Catalyst plan."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    with_toks = docs.withColumn("toks", tokens("text"))
+
+    # quality floor
+    q = with_toks.filter(F.size("toks") >= MIN_TOKENS)
+
+    # exact dedup: keep the minimum doc_id per canonical token-bag key
+    canon = q.withColumn(
+        "k", F.array_join(F.sort_array(F.array_distinct("toks")), " ")
+    )
+    keep1 = canon.groupBy("k").agg(F.min("doc_id").alias("keep_id"))
+    s1 = (
+        canon.join(keep1, "k")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "source", "text")
+    )
+
+    # near-dup keep-first: drop the larger doc of every Jaccard≥0.5 pair
+    losers = (
+        jaccard_pairs(doc_shingles(s1), 0.5)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(losers, "doc_id", "left_anti")
+
+    # decontamination: drop the eval corpus itself + anything sharing a
+    # 5-gram with it (eval grams from the ORIGINAL corpus, broadcast)
+    def five_grams(df: DataFrame) -> DataFrame:
+        from eventsgateway_spark.functions.text import ngrams
+
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(ngrams(tokens("text"), DECON_N))
+            ).alias("g"),
+        )
+
+    eval_grams = (
+        five_grams(docs.filter(F.col("source") == EVAL_SOURCE))
+        .select("g")
+        .distinct()
+    )
+    cont = (
+        five_grams(s2.filter(F.col("source") != EVAL_SOURCE))
+        .join(F.broadcast(eval_grams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    s3 = s2.filter(F.col("source") != EVAL_SOURCE).join(cont, "doc_id", "left_anti")
+
+    # chunk + split
+    return (
+        chunk_documents(s3.select("doc_id", "text"))
+        .withColumn("split", split_col(F.col("doc_id")))
+        .select("doc_id", "chunk_id", "split", "n_tokens", "chunk_text")
+        .orderBy("doc_id", "chunk_id")
+    )
