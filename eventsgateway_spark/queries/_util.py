@@ -11,10 +11,13 @@ DuckDB oracle):
   is cast to DOUBLE (one correctly-rounded conversion in both engines).
 - **No bare timestamps in outputs** — project DATE or formatted strings
   (Spark TIMESTAMP carries a timezone; DuckDB's is naive).
-- **events.ts is parquet TIMESTAMP(NANOS)**, unreadable by stock Spark;
-  we flip ``spark.sql.legacy.parquet.nanosAsLong`` at runtime and derive
-  a microsecond timestamp with ``timestamp_micros(ts div 1000)`` —
-  identical to DuckDB's ns→µs truncation.
+- **events.ts parquet encoding varies by fixture generation** — either
+  TIMESTAMP(NANOS) (unreadable by stock Spark; we flip
+  ``spark.sql.legacy.parquet.nanosAsLong`` and truncate ns→µs exactly
+  like DuckDB) or TIMESTAMP(MICROS) without UTC adjustment (arrives as
+  TIMESTAMP_NTZ; we cast to session-tz TIMESTAMP under a pinned UTC
+  session zone, which is value-identical to DuckDB's naive read). The
+  loader branches on the dtype it actually got back.
 """
 
 from __future__ import annotations
@@ -40,9 +43,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # ts arrives as bigint nanos; truncate to µs exactly like DuckDB's
-        # CAST(timestamp_ns AS timestamp).
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) fixture read as raw nanos; truncate to µs
+            # exactly like DuckDB's CAST(timestamp_ns AS timestamp).
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS) fixture; interpret the naive value in the
+            # pinned UTC session zone so downstream to_date()/hour() match
+            # DuckDB's naive timestamps.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
