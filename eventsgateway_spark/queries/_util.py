@@ -23,6 +23,7 @@ DuckDB oracle):
 from __future__ import annotations
 
 import os
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,21 +54,77 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # pinned UTC session zone so downstream to_date()/hour() match
             # DuckDB's naive timestamps.
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        if ts_type == "timestamp":
+            # Already session-tz; value-identical to the NTZ branch under
+            # the UTC pin (e.g. NTZ inference disabled), so pass through.
+            return df
+        raise TypeError(
+            f"events.ts arrived as unexpected dtype {ts_type!r}; the "
+            "fixture contract is TIMESTAMP(NANOS)->bigint or "
+            "TIMESTAMP(MICROS)->timestamp_ntz — refusing to guess "
+            "(silent pass-through would surface as oracle mismatches)"
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# Leaf-input size below which a frame is "fixture-scale": per-task
+# scheduling and materialization overhead dominate real work, so the
+# scale helpers (spread / pin) become identity. 256 KB splits the
+# driver's oracle fixtures (sf0.01 documents ≈ 65 KB) from the bench
+# scale (sf0.1 documents ≈ 580 KB) and is 3 orders of magnitude below
+# anything a real cluster would scan.
+FIXTURE_INPUT_BYTES = 256 << 10
+
+
+def input_bytes(df: DataFrame) -> int:
+    """Total on-disk bytes of the frame's leaf input files.
+
+    Driver-side only (no job). Unknown/remote inputs count as huge so
+    every scale optimization stays ON when we cannot prove the input
+    is a local fixture."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 1 << 60
+    total = 0
+    for uri in files:
+        path = urlparse(uri).path or uri
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return 1 << 60
+    return total
+
+
+def is_fixture_scale(df: DataFrame) -> bool:
+    return input_bytes(df) < FIXTURE_INPUT_BYTES
 
 
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's shuffle parallelism.
 
     Use before CPU-heavy per-row expansion (tokenize → shingle →
-    explode, per-row vector folds): a small fixture table arrives as
-    ONE file split, so the expansion would run single-threaded. The
-    repartition shuffles only the narrow pre-explosion rows (cheap);
-    on a real 100 TB table the scan already yields thousands of splits
-    and this is a near-no-op safety net."""
+    explode, per-row vector folds): a small table arrives as ONE file
+    split, so the expansion would run single-threaded. The repartition
+    shuffles only the narrow pre-explosion rows (cheap); on a real
+    100 TB table the scan already yields thousands of splits and this
+    is a near-no-op safety net. At fixture scale (driver oracle runs)
+    the shuffle is pure overhead, so it is skipped."""
+    if is_fixture_scale(df):
+        return df
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     return df.repartition(n)
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Materialize a frame that several downstream jobs will consume.
+
+    At real scale a ``localCheckpoint`` stops every consumer from
+    re-running the (explode-heavy) lineage back to the scan; at
+    fixture scale the checkpoint job costs more than the recompute it
+    saves, so the frame is returned lazy. 100 TB posture: the pinned
+    frame should instead be a persisted/bucketed table (SCALE.md)."""
+    return df if is_fixture_scale(df) else df.localCheckpoint()
 
 
 def money(col_name: str) -> F.Column:

@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 
 from eventsgateway_spark.functions.text import ngrams, token_hash32, tokens
 from eventsgateway_spark.queries import query
-from eventsgateway_spark.queries._util import spread, table
+from eventsgateway_spark.queries._util import pin, spread, table
 
 _DUCK_TOKS = "[x FOR x IN string_split(text, ' ') IF x <> '']"
 
@@ -65,20 +65,20 @@ def doc_shingles(
     frequent shingles pruned by document frequency (bounds the fan-out
     of any later equi-join on s).
 
-    The raw shingle table is ``localCheckpoint``-materialized once
+    The raw shingle table is ``pin``-materialized once at real scale
     (every consumer — hot-list aggregation, pair join sides, size
     table, minhash — would otherwise re-run the explode lineage from
-    the parquet scan). The df-cap is then a broadcast ANTI join against
-    the hot-shingle list: the list of shingles with df > cap is tiny by
-    construction, so the prune costs no shuffle and no sort (a window
-    count would sort every partition by s)."""
-    sh = (
+    the parquet scan; at fixture scale the recompute is cheaper than
+    the checkpoint job). The df-cap is then a broadcast ANTI join
+    against the hot-shingle list: the list of shingles with df > cap
+    is tiny by construction, so the prune costs no shuffle and no sort
+    (a window count would sort every partition by s)."""
+    sh = pin(
         spread(docs.select("doc_id", "text"))
         # project toks first — inlined, the split+filter subtree is
         # re-evaluated per n-gram lambda reference (5× slower)
         .select("doc_id", tokens("text").alias("toks"))
         .select("doc_id", F.explode(F.array_distinct(ngrams(F.col("toks"), n))).alias("s"))
-        .localCheckpoint()
     )
     hot = (
         sh.groupBy("s")
@@ -287,8 +287,9 @@ def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     # one explode instead of a 4-way union (which would recompute the
-    # signature aggregation once per band)
-    bands = mins.select(
+    # signature aggregation once per band); pinned because BOTH sides
+    # of the self-join read it
+    bands = pin(mins.select(
         "doc_id",
         F.explode(
             F.array(
@@ -305,7 +306,7 @@ def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bkey").localCheckpoint()
+    ).select("doc_id", "bk.band", "bk.bkey"))
     a = bands.alias("a")
     bb = bands.alias("b")
     cand = (

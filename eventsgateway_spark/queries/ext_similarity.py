@@ -36,7 +36,7 @@ from eventsgateway_spark.functions.vectors import (
     norm,
 )
 from eventsgateway_spark.queries import query
-from eventsgateway_spark.queries._util import spread, table
+from eventsgateway_spark.queries._util import pin, spread, table
 
 # DuckDB-side mirrors of the sequential folds in functions.vectors.
 _DUCK_NORM = "sqrt(list_sum(list_transform(e, x -> x*x)))"
@@ -347,7 +347,7 @@ def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in (higher-order-function folds are not codegen'd, so per-PAIR
     work must be a single dot fold). 6 planes → 64 buckets keeps the
     candidate count ~N²/64 per table instead of N²/16."""
-    v = (
+    v = pin(
         spread(table(spark, sf_dir, "embeddings"))
         .select(
             "vec_id",
@@ -355,7 +355,6 @@ def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double(F.col("embedding")).alias("e"),
         )
         .select("vec_id", "raw", "e", norm(F.col("e")).alias("nrm"))
-        .localCheckpoint()
     )
     cand = None
     for t in range(_ND_TABLES):

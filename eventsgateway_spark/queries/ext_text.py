@@ -31,7 +31,7 @@ from eventsgateway_spark.functions.text import (
     tokens,
 )
 from eventsgateway_spark.queries import query
-from eventsgateway_spark.queries._util import spread, table
+from eventsgateway_spark.queries._util import pin, spread, table
 
 # DuckDB-side token array (empties dropped) — mirror of text.tokens().
 _DUCK_TOKS = "[x FOR x IN string_split(text, ' ') IF x <> '']"
@@ -112,15 +112,14 @@ def q25_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream), then the small scored slice is ranked. The n_docs scalar
     rides a broadcast cross-join — no driver-side collect."""
     docs = table(spark, sf_dir, "documents")
-    # materialized once: consumed by BOTH the document-frequency agg
-    # and the scored slice (recomputing the explode would double the
-    # token-stream cost)
-    tf = (
+    # materialized once at scale: consumed by BOTH the document-
+    # frequency agg and the scored slice (recomputing the explode
+    # would double the token-stream cost)
+    tf = pin(
         spread(docs.select("doc_id", "text"))
         .select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
