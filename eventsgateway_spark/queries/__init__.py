@@ -30,14 +30,17 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# Import side-effect: populate the registry.
+# Import side-effect: populate the registry. Registration order is
+# also the driver's evaluation order, so the modules that are cheap
+# and were starved of CORRECTNESS rows in r2 come before the heavy
+# pair-join family (ext_dedup / ext_pipeline).
 from eventsgateway_spark.queries import relational  # noqa: E402,F401
 from eventsgateway_spark.queries import events  # noqa: E402,F401
 from eventsgateway_spark.queries import advanced  # noqa: E402,F401
-from eventsgateway_spark.queries import ext_text  # noqa: E402,F401
-from eventsgateway_spark.queries import ext_dedup  # noqa: E402,F401
 from eventsgateway_spark.queries import ext_similarity  # noqa: E402,F401
 from eventsgateway_spark.queries import ext_sampling  # noqa: E402,F401
+from eventsgateway_spark.queries import ext_text  # noqa: E402,F401
+from eventsgateway_spark.queries import ext_dedup  # noqa: E402,F401
 from eventsgateway_spark.queries import ext_pipeline  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE_SQL", "query"]

@@ -381,8 +381,8 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
            SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
            SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
            CAST(SUM(CASE WHEN event_type = 'purchase'
-                         THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)
-               AS purchase_value
+                         THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) * 100
+                AS BIGINT) AS purchase_cents
     FROM events
     GROUP BY 1
     ORDER BY 1
@@ -415,8 +415,11 @@ def q44_pivot_daily_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}")
             for t in _EVENT_TYPES
         ],
-        as_double(F.coalesce(F.col("purchase_val"), F.lit(0).cast("decimal(18,2)")))
-        .alias("purchase_value"),
+        # exact integer cents (decimal → ×100 → bigint): immune to any
+        # double canonicalization drift between the engines
+        (F.coalesce(F.col("purchase_val"), F.lit(0).cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("purchase_cents"),
     ).orderBy("event_date")
 
 
@@ -626,7 +629,8 @@ def q54_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                  MAX(CASE WHEN a.d = f.cohort_d + 1 THEN 1 ELSE 0 END) AS d1,
                  MAX(CASE WHEN a.d = f.cohort_d + 7 THEN 1 ELSE 0 END) AS d7
           FROM f JOIN a ON f.user_id = a.user_id GROUP BY 1, 2)
-    SELECT cohort_d, COUNT(*) AS cohort_size,
+    SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+           COUNT(*) AS cohort_size,
            SUM(d1) AS d1_retained, SUM(d7) AS d7_retained
     FROM r GROUP BY 1 ORDER BY 1
     """,
@@ -659,7 +663,15 @@ def q55_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d1").alias("d1_retained"),
             F.sum("d7").alias("d7_retained"),
         )
-        .orderBy("cohort_d")
+        # ISO string output sidesteps cross-engine DATE canonicalization
+        # (sorts identically to the date)
+        .select(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+            "cohort_size",
+            "d1_retained",
+            "d7_retained",
+        )
+        .orderBy("cohort_day")
     )
 
 

@@ -62,7 +62,8 @@ def split_col(key: F.Column) -> F.Column:
            COUNT(*) AS n_docs,
            SUM(n_chars) AS n_chars,
            MIN(doc_id) AS min_doc_id,
-           CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM s) AS share
+           CAST((1000000 * COUNT(*)) // (SELECT COUNT(*) FROM s) AS BIGINT)
+               AS share_ppm
     FROM s
     GROUP BY 1
     ORDER BY 1
@@ -88,7 +89,9 @@ def q47_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("n_chars"),
             F.min("doc_id").alias("min_doc_id"),
-            (F.count(F.lit(1)).cast("double") / F.lit(total)).alias("share"),
+            # parts-per-million as exact integer division (identical
+            # truncation in both engines on positives)
+            F.expr(f"(1000000 * count(1)) div {total}").alias("share_ppm"),
         )
         .orderBy("split")
     )

@@ -76,15 +76,15 @@ _DUCK_BUCKET = _duck_bucket(8, 0)
           FROM v WHERE vec_id < 10),
     scored AS (
         SELECT q.qid, q.q_label, v.vec_id AS neighbor_id, v.label AS n_label,
-               ROUND(list_sum(list_transform(range(1, len(q.qe)+1),
-                                             i -> q.qe[i] * v.e[i]))
-                     / (q.qn * sqrt(list_sum(list_transform(v.e, x -> x*x)))),
-                     6) AS cos_sim
+               CAST(ROUND(list_sum(list_transform(range(1, len(q.qe)+1),
+                                                  i -> q.qe[i] * v.e[i]))
+                          / (q.qn * sqrt(list_sum(list_transform(v.e, x -> x*x))))
+                          * 1e6) AS BIGINT) AS cos_sim_u
         FROM q JOIN v ON v.vec_id <> q.qid
     )
-    SELECT qid, rn, neighbor_id, q_label, n_label, cos_sim
+    SELECT qid, rn, neighbor_id, q_label, n_label, cos_sim_u
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+                                       ORDER BY cos_sim_u DESC, neighbor_id) AS rn
           FROM scored)
     WHERE rn <= 3
     ORDER BY qid, rn
@@ -95,8 +95,9 @@ def q33_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is broadcast, so the physical plan is a broadcast nested-loop
     over the candidates — one linear scan, no shuffle of the big side,
     which is exactly how a 100 TB brute-force pass should look.
-    Ranking uses the rounded score with neighbor-id tie-break, so the
-    order is stable across engines."""
+    Ranking uses the micro-unit integer score (round(cos*1e6) — the
+    canonicalization-proof output type, cf. q35) with neighbor-id
+    tie-break, so the order is stable across engines."""
     v = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("e")
     )
@@ -112,14 +113,16 @@ def q33_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_label",
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("n_label"),
-            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+            F.round(cosine(F.col("qe"), F.col("e")) * 1e6).cast("bigint").alias(
+                "cos_sim_u"
+            ),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim_u"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("qid", "rn", "neighbor_id", "q_label", "n_label", "cos_sim")
+        .select("qid", "rn", "neighbor_id", "q_label", "n_label", "cos_sim_u")
         .orderBy("qid", "rn")
     )
 
@@ -230,7 +233,7 @@ def ann_topk_bucketed(
                  CAST(ROUND(e[1] * 1e6) AS BIGINT) AS c0_u
           FROM v)
     SELECT label, COUNT(*) AS n,
-           CAST(SUM(norm_u) AS DOUBLE) / (1e6 * COUNT(*)) AS avg_norm,
+           CAST(SUM(norm_u) // COUNT(*) AS BIGINT) AS avg_norm_u,
            MIN(c0_u) AS min_c0_u, MAX(c0_u) AS max_c0_u
     FROM m
     GROUP BY 1
@@ -241,7 +244,9 @@ def q35_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector statistics. Row-level doubles (norms) are
     scaled to micro-unit BIGINTs before the cross-row SUM, so the
     aggregate is exact integer math — immune to partial-aggregation
-    order, the same trick the money queries use with decimals."""
+    order, the same trick the money queries use with decimals. The
+    average stays in micro-units (integer division; both engines
+    truncate identically on positives) so the output is all-integer."""
     v = table(spark, sf_dir, "embeddings").select(
         "label", as_double(F.col("embedding")).alias("e")
     )
@@ -254,9 +259,7 @@ def q35_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.sum("norm_u").cast("double") / (1e6 * F.count(F.lit(1)))).alias(
-                "avg_norm"
-            ),
+            F.expr("sum(norm_u) div count(1)").alias("avg_norm_u"),
             F.min("c0_u").alias("min_c0_u"),
             F.max("c0_u").alias("max_c0_u"),
         )
@@ -327,13 +330,13 @@ _DUCK_ND_BUCKETS = "\n            UNION ALL ".join(
                ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
     scored AS (
         SELECT c.id1, c.id2,
-               ROUND(list_sum(list_transform(range(1, len(a.e)+1),
-                                             i -> a.e[i] * z.e[i]))
-                     / (a.nrm * z.nrm), 6) AS cos_sim
+               CAST(ROUND(list_sum(list_transform(range(1, len(a.e)+1),
+                                                  i -> a.e[i] * z.e[i]))
+                          / (a.nrm * z.nrm) * 1e6) AS BIGINT) AS cos_sim_u
         FROM cand c JOIN n a ON a.vec_id = c.id1 JOIN n z ON z.vec_id = c.id2
     )
-    SELECT id1, id2, cos_sim FROM scored
-    WHERE cos_sim >= 0.4
+    SELECT id1, id2, cos_sim_u FROM scored
+    WHERE cos_sim_u >= 400000
     ORDER BY id1, id2
     """,
 )
@@ -380,11 +383,11 @@ def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id1",
             "id2",
-            F.round(dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")) * 1e6)
+            .cast("bigint")
+            .alias("cos_sim_u"),
         )
-        .filter(F.col("cos_sim") >= 0.4)
+        .filter(F.col("cos_sim_u") >= 400000)
         .orderBy("id1", "id2")
     )
 
@@ -509,16 +512,16 @@ def ivf_probes(
                ON a.cell_id = p.cell_id AND a.vec_id <> p.qid),
     scored AS (
         SELECT cand.qid, cand.neighbor_id, cand.cell_id,
-               ROUND(list_sum(list_transform(range(1, len(q.e)+1),
-                                             i -> q.e[i] * t.e[i]))
-                     / (q.nrm * t.nrm), 6) AS cos_sim
+               CAST(ROUND(list_sum(list_transform(range(1, len(q.e)+1),
+                                                  i -> q.e[i] * t.e[i]))
+                          / (q.nrm * t.nrm) * 1e6) AS BIGINT) AS cos_sim_u
         FROM cand
         JOIN n q ON q.vec_id = cand.qid
         JOIN n t ON t.vec_id = cand.neighbor_id
     )
-    SELECT qid, rn, neighbor_id, cell_id, cos_sim
+    SELECT qid, rn, neighbor_id, cell_id, cos_sim_u
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+                                       ORDER BY cos_sim_u DESC, neighbor_id) AS rn
           FROM scored)
     WHERE rn <= 3
     ORDER BY qid, rn
@@ -546,16 +549,16 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             F.col("vec_id").alias("neighbor_id"),
             "cell_id",
-            F.round(
-                dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm")), 6
-            ).alias("cos_sim"),
+            F.round(dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm")) * 1e6)
+            .cast("bigint")
+            .alias("cos_sim_u"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim_u"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("qid", "rn", "neighbor_id", "cell_id", "cos_sim")
+        .select("qid", "rn", "neighbor_id", "cell_id", "cos_sim_u")
         .orderBy("qid", "rn")
     )
 

@@ -321,7 +321,8 @@ _SUBWORD_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
            SUM(ws_tokens) AS ws_tokens,
            SUM(subword_tokens) AS subword_tokens,
            SUM(chars) AS chars,
-           CAST(SUM(chars) AS DOUBLE) / SUM(subword_tokens) AS chars_per_token
+           CAST((1000 * SUM(chars)) // SUM(subword_tokens) AS BIGINT)
+               AS cpt_milli
     FROM m
     GROUP BY 1
     ORDER BY 1
@@ -330,10 +331,11 @@ _SUBWORD_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 def q40_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token budgeting: whitespace tokens vs BPE-ish subword
     units (letter runs / digit runs / single punctuation) per source,
-    plus chars-per-token — the planning numbers an LLM data pipeline
-    reports before training. Pure integer aggregation + one IEEE
-    division; the subword regex sits in the Java-regex ∩ RE2 subset so
-    both engines tokenize identically."""
+    plus chars-per-token in milli-units — the planning numbers an LLM
+    data pipeline reports before training. All-integer output (integer
+    division truncates identically on positives in both engines — no
+    IEEE division reaches the result); the subword regex sits in the
+    Java-regex ∩ RE2 subset so both engines tokenize identically."""
     docs = spread(table(spark, sf_dir, "documents").select("source", "text"))
     m = docs.select(
         "source",
@@ -350,9 +352,7 @@ def q40_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ws_tokens").alias("ws_tokens"),
             F.sum("subword_tokens").alias("subword_tokens"),
             F.sum("chars").alias("chars"),
-            (F.sum("chars").cast("double") / F.sum("subword_tokens")).alias(
-                "chars_per_token"
-            ),
+            F.expr("(1000 * sum(chars)) div sum(subword_tokens)").alias("cpt_milli"),
         )
         .orderBy("source")
     )
