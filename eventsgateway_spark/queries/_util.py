@@ -120,10 +120,13 @@ def pin(df: DataFrame) -> DataFrame:
     """Materialize a frame that several downstream jobs will consume.
 
     At real scale a ``localCheckpoint`` stops every consumer from
-    re-running the (explode-heavy) lineage back to the scan; at
-    fixture scale the checkpoint job costs more than the recompute it
-    saves, so the frame is returned lazy. 100 TB posture: the pinned
-    frame should instead be a persisted/bucketed table (SCALE.md)."""
+    re-running the (explode-heavy) lineage back to the scan; measured
+    at sf0.1 it also beats a lazy ``persist``, whose cache concurrent
+    consumers race (the same partitions get computed several times
+    before the cache fills). At fixture scale the materialization job
+    costs more than the recompute it saves, so the frame is returned
+    untouched. 100 TB posture: a long-lived pinned frame should
+    graduate to a persisted/bucketed table (SCALE.md)."""
     return df if is_fixture_scale(df) else df.localCheckpoint()
 
 
