@@ -296,6 +296,64 @@ def test_salted_agg_matches_plain(spark):
     assert plain == salted
 
 
+def test_topk_per_key_matches_naive_window(spark):
+    """Salted two-phase top-k must equal the single-window plan
+    row-for-row, including on a pathologically hot key (one user with
+    ~40% of all rows)."""
+    from eventsgateway_spark.operators.skew import topk_per_key
+    from eventsgateway_spark.queries._util import table
+    from pyspark.sql.window import Window
+
+    ev = table(spark, SF_ORACLE, "events").select("user_id", "event_id", "ts")
+    hot = ev.limit(2000).withColumn("user_id", F.lit(-1))
+    df = ev.unionAll(hot)
+
+    order = [F.col("ts").desc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    naive = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "rn", "event_id")
+    )
+    fast = topk_per_key(df, ["user_id"], order, k=3).select(
+        "user_id", "rn", "event_id"
+    )
+    assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, fast.collect()))
+
+
+def test_skew_safe_running_sum_matches_naive_window(spark):
+    """The distributed prefix sum must reproduce the naive unbounded
+    window's (rn, running_sum) exactly — integer cents, so equality is
+    bit-exact. Includes a hot key spanning many buckets."""
+    from eventsgateway_spark.operators.skew import skew_safe_running_sum
+    from eventsgateway_spark.queries._util import table
+    from pyspark.sql.window import Window
+
+    ev = table(spark, SF_ORACLE, "events").select(
+        "user_id", "event_id", "ts", (F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    hot = ev.limit(3000).withColumn("user_id", F.lit(-1))
+    df = ev.unionAll(hot)
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    naive = df.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running_sum"),
+    )
+    fast = skew_safe_running_sum(
+        df,
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+        value=F.col("cents"),
+        bucket=F.to_date("ts"),
+    ).select("user_id", "event_id", "rn", "running_sum")
+    assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, fast.collect()))
+
+
 def test_udtf_chunker_matches_jvm_chunker(spark):
     """Q16 UDTF surface: the Python table function must reproduce q51's
     JVM-side chunking exactly (same windows, same order) — proving the
