@@ -40,6 +40,39 @@ def kafka_available(spark: SparkSession) -> bool:
         return False
 
 
+def kafka_broker_reachable(bootstrap: str, timeout: float = 1.0) -> bool:
+    """TCP probe for a live broker — gates the conditional integration
+    test (mirroring the reference's broker-backed tier,
+    client/sync_int_test.go:66-100) without hanging when the sandbox
+    has no Kafka."""
+    import socket
+
+    host, _, port = bootstrap.partition(":")
+    try:
+        with socket.create_connection((host, int(port or "9092")), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
+def read_payloads_kafka(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Batch read of (topic, key, value) from a Kafka topic — the test
+    consumer's earliest-offset read-back (testing/consumer.go:36-56)."""
+    return (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .select("topic", "key", "value")
+    )
+
+
 def write_payloads_kafka(df: DataFrame, bootstrap: str, **producer_opts: str):
     """Kafka sink honoring the per-row topic column. Defaults mirror the
     reference producer: snappy compression, local acks, 1ms linger

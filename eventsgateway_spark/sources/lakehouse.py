@@ -60,7 +60,9 @@ def write_events_stream(
     return writer.start(path)
 
 
-def read_events_table(spark: SparkSession, path: str) -> DataFrame:
+def read_events_table(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
     """Read the events table with the reference's schema: year/month/day
     are *strings* (.ipynb:97-107). Partition-column type inference would
     silently turn the zero-padded directory values ("01") into ints, so
@@ -68,11 +70,17 @@ def read_events_table(spark: SparkSession, path: str) -> DataFrame:
     around the read would race concurrent readers on the same session
     (an interleaved restore re-enables inference mid-read elsewhere,
     yielding month=1 vs month=01 split partitions on the next write).
-    String partition columns are engine policy session-wide."""
+    String partition columns are engine policy session-wide.
+
+    ``fmt`` mirrors the writers: parquet (default), orc (the
+    reference's at-rest deployment — ORC on S3, Makefile:23-24,
+    hive/hive-site.xml), or delta on an enabled cluster. Both parquet
+    and ORC scans are vectorized with predicate pushdown + partition
+    pruning; the layout contract is identical."""
     spark.conf.set(
         "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
     )
-    return spark.read.parquet(path)
+    return spark.read.format(fmt).load(path)
 
 
 def compact_partition(

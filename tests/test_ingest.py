@@ -109,3 +109,41 @@ def test_observe_ingest_counters(spark):
     assert m["n_events"] == 5 == len(rows)
     assert m["payload_bytes"] == sum(len(r["value"]) for r in rows)
     assert m["approx_topics"] >= 1
+
+
+def test_kafka_produce_consume_roundtrip(spark):
+    """Integration tier against a REAL broker, mirroring the
+    reference's produce→consume→match loop (client/sync_int_test.go:
+    66-100, consumer at testing/consumer.go:36-56). Skipped when the
+    sandbox has no Kafka connector or no reachable broker — the point
+    is that the `write_payloads_kafka` path is exercised, not dead,
+    wherever a broker exists (KAFKA_BOOTSTRAP overrides the default
+    localhost:9092)."""
+    import os
+    import uuid as _uuid
+
+    import pytest
+
+    from eventsgateway_spark.sources.kafka import (
+        kafka_available,
+        kafka_broker_reachable,
+        read_payloads_kafka,
+        write_payloads_kafka,
+    )
+
+    bootstrap = os.environ.get("KAFKA_BOOTSTRAP", "localhost:9092")
+    if not kafka_available(spark):
+        pytest.skip("spark-sql-kafka connector not on the classpath")
+    if not kafka_broker_reachable(bootstrap):
+        pytest.skip(f"no Kafka broker reachable at {bootstrap}")
+
+    topic = f"sv-int-{_uuid.uuid4().hex[:8]}"
+    gw = Gateway(spark, default_topic=topic)
+    sent_id = gw.send("integration-event", {"prop1": "val1"})
+    write_payloads_kafka(gw.ingest().payloads, bootstrap)
+
+    back = read_payloads_kafka(spark, bootstrap, f"sv-uploads-{topic}").collect()
+    assert len(back) == 1
+    rec = decode_event(bytes(back[0]["value"]))
+    assert rec["id"] == sent_id and rec["name"] == "integration-event"
+    assert rec["props"] == {"prop1": "val1"}

@@ -139,6 +139,42 @@ def test_lakehouse_partition_pruning(spark, tmp_path):
     assert "day" in pf and "02" in pf
 
 
+def test_lakehouse_orc_roundtrip(spark, tmp_path):
+    """The reference's at-rest deployment is ORC-on-S3 (Makefile:23-24,
+    hive/hive-site.xml); the lakehouse writers/readers must round-trip
+    the same partitioned layout through fmt='orc' with identical rows,
+    string partition columns, and directory-level pruning."""
+    from pyspark.sql import functions as F
+
+    from eventsgateway_spark.sources.lakehouse import (
+        read_events_table,
+        write_events_batch,
+    )
+
+    base = 1577836800000  # 2020-01-01 UTC, millis
+    rows = [
+        (f"id{d}-{i}", f"ev{i % 3}", base + d * 86_400_000 + i)
+        for d in range(2)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id string, name string, clientTimestamp long")
+    write_events_batch(df, str(tmp_path / "events_orc"), fmt="orc", mode="overwrite")
+
+    tbl = read_events_table(spark, str(tmp_path / "events_orc"), fmt="orc")
+    assert tbl.count() == 20
+    assert dict(tbl.dtypes)["year"] == "string"
+    got = {
+        (r["id"], r["name"], r["clientTimestamp"], r["year"], r["month"], r["day"])
+        for r in tbl.collect()
+    }
+    assert ("id1-3", "ev0", base + 86_400_000 + 3, "2020", "01", "02") in got
+    assert len(got) == 20
+    one_day = tbl.filter(F.col("day") == "02")
+    assert one_day.count() == 10
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "orc" in plan.lower()
+
+
 def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
     """A join between the partitioned events table and a filtered dim on
     the partition column must inject a dynamicpruning expression into
