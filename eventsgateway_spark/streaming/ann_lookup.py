@@ -18,6 +18,8 @@ every join broadcasts. Zero streaming state.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -31,6 +33,45 @@ from eventsgateway_spark.queries.ext_similarity import (
     ivf_probe_with,
     norm_view,
 )
+
+
+class IvfIndex(NamedTuple):
+    """The two reusable sides of an IVF index."""
+
+    assign: DataFrame  # (vec_id, e, nrm, cell_id) corpus assignment
+    cents: DataFrame  # single row: array of (cid, ce) centroid structs
+
+
+def build_ivf_index(corpus_emb: DataFrame) -> IvfIndex:
+    """In-session index (localCheckpoint pins); the durable form is
+    :func:`save_ivf_index` + :func:`load_ivf_index`."""
+    cents = ivf_centroids(corpus_emb).localCheckpoint()
+    assign = ivf_assign_with(norm_view(corpus_emb), cents).localCheckpoint()
+    return IvfIndex(assign=assign, cents=cents)
+
+
+def save_ivf_index(
+    corpus_emb: DataFrame, table_prefix: str, buckets: int = 32
+) -> None:
+    """Materialize the IVF index as catalog tables — the 100 TB
+    posture: the assignment table is BUCKETED on ``cell_id`` (the
+    candidate-join key), the centroid row is a one-row table; neither
+    is ever pinned in executor memory or reshuffled per batch, and the
+    index survives session restarts (serving shape)."""
+    idx = build_ivf_index(corpus_emb)
+    (
+        idx.assign.write.bucketBy(buckets, "cell_id")
+        .mode("overwrite")
+        .saveAsTable(f"{table_prefix}_assign")
+    )
+    idx.cents.write.mode("overwrite").saveAsTable(f"{table_prefix}_centroids")
+
+
+def load_ivf_index(spark, table_prefix: str) -> IvfIndex:
+    return IvfIndex(
+        assign=spark.table(f"{table_prefix}_assign"),
+        cents=spark.table(f"{table_prefix}_centroids"),
+    )
 
 
 def ann_lookup_batch(
@@ -60,18 +101,22 @@ def ann_lookup_batch(
 
 def ann_lookup_stream(
     query_stream: DataFrame,
-    corpus_emb: DataFrame,
+    corpus_emb: DataFrame | None,
     out_path: str,
     checkpoint: str,
     nprobe: int = IVF_NPROBE,
     topk: int = 3,
     trigger_once: bool = False,
+    index: IvfIndex | None = None,
 ) -> StreamingQuery:
     """Answer a stream of (vec_id, embedding) queries from the corpus
-    index; results append to ``out_path``."""
-    # Index built once, reused by every micro-batch.
-    cents = ivf_centroids(corpus_emb).localCheckpoint()
-    assign = ivf_assign_with(norm_view(corpus_emb), cents).localCheckpoint()
+    index; results append to ``out_path``. Pass a prebuilt (e.g.
+    table-backed) ``index`` to skip the inline build."""
+    if index is None:
+        if corpus_emb is None:
+            raise ValueError("need corpus_emb or a prebuilt index")
+        index = build_ivf_index(corpus_emb)
+    assign, cents = index.assign, index.cents
 
     def _answer(batch_df: DataFrame, batch_id: int) -> None:
         # batch_id partition + dynamic overwrite: a checkpoint replay

@@ -61,6 +61,9 @@ class CorpusIndex(NamedTuple):
 def build_corpus_index(
     corpus_docs: DataFrame, n: int = SHINGLE_N, max_df: int = MAX_SHINGLE_DF
 ) -> CorpusIndex:
+    """In-session index: localCheckpoint pins (block manager). Fine for
+    one streaming job over a modest corpus; the durable/100 TB form is
+    :func:`save_corpus_index` + :func:`load_corpus_index`."""
     raw = batch_shingles(corpus_docs, n).localCheckpoint()
     hot = (
         raw.groupBy("s")
@@ -76,6 +79,39 @@ def build_corpus_index(
         .localCheckpoint()
     )
     return CorpusIndex(shingles=sh, hot=hot, sizes=sizes)
+
+
+def save_corpus_index(
+    corpus_docs: DataFrame,
+    table_prefix: str,
+    buckets: int = 32,
+    n: int = SHINGLE_N,
+    max_df: int = MAX_SHINGLE_DF,
+) -> None:
+    """Materialize the corpus index as catalog tables — the 100 TB
+    posture: the shingle inverted index is BUCKETED (and sorted) on
+    ``s``, so every micro-batch's candidate equi-join co-locates
+    against the bucket layout and only the (small) batch side
+    shuffles; the corpus is never reshuffled, never pinned in the
+    block manager, and survives session restarts."""
+    idx = build_corpus_index(corpus_docs, n, max_df)
+    (
+        idx.shingles.write.bucketBy(buckets, "s")
+        .sortBy("s")
+        .mode("overwrite")
+        .saveAsTable(f"{table_prefix}_shingles")
+    )
+    idx.hot.write.mode("overwrite").saveAsTable(f"{table_prefix}_hot")
+    idx.sizes.write.mode("overwrite").saveAsTable(f"{table_prefix}_sizes")
+
+
+def load_corpus_index(spark, table_prefix: str) -> CorpusIndex:
+    """Reopen a saved index; drop-in wherever a CorpusIndex is used."""
+    return CorpusIndex(
+        shingles=spark.table(f"{table_prefix}_shingles"),
+        hot=spark.table(f"{table_prefix}_hot"),
+        sizes=spark.table(f"{table_prefix}_sizes"),
+    )
 
 
 def flag_near_dups(
@@ -126,16 +162,21 @@ def _idempotent_append(df: DataFrame, batch_id: int, path: str) -> None:
 
 def stream_dedup_against_corpus(
     stream_docs: DataFrame,
-    corpus_docs: DataFrame,
+    corpus_docs: DataFrame | None,
     novel_path: str,
     dup_path: str,
     checkpoint: str,
     threshold: float = 0.5,
     trigger_once: bool = False,
+    index: CorpusIndex | None = None,
 ) -> StreamingQuery:
     """Route a document stream: near-dups of the corpus → ``dup_path``
-    (with best-match evidence), novel docs → ``novel_path``."""
-    index = build_corpus_index(corpus_docs)
+    (with best-match evidence), novel docs → ``novel_path``. Pass a
+    prebuilt (e.g. table-backed) ``index`` to skip the inline build."""
+    if index is None:
+        if corpus_docs is None:
+            raise ValueError("need corpus_docs or a prebuilt index")
+        index = build_corpus_index(corpus_docs)
 
     def _route(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.localCheckpoint()  # consumed by 2 sinks + the join

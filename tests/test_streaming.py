@@ -600,3 +600,131 @@ def test_streaming_ann_lookup_against_ivf_index(spark, tmp_path):
     ).collect()}
     assert top1 == {1020: (20, 1.0), 1021: (21, 1.0)}
     assert out.count() == 6  # top-3 per query
+
+
+def test_stream_dedup_with_table_backed_index(spark, tmp_path):
+    """Same routing as the inline-index test, but the corpus index is
+    saved/loaded as catalog tables (bucketed on the shingle key) — the
+    durable 100 TB form. The per-batch candidate join must read the
+    bucket layout directly: no Exchange above the corpus-side scan."""
+    from eventsgateway_spark.streaming.near_dup import (
+        batch_shingles,
+        load_corpus_index,
+        save_corpus_index,
+        stream_dedup_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (1, "spark shuffles partitions across executors during wide joins"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog again and once"),
+            (101, "completely unrelated words about cooking pasta with basil"),
+        ],
+        "doc_id long, text string",
+    )
+    save_corpus_index(corpus, "t7_corpus", buckets=4)
+    try:
+        idx = load_corpus_index(spark, "t7_corpus")
+
+        # plan audit: bucketed corpus side joins without its own shuffle
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = batch_shingles(incoming).join(
+                idx.shingles.withColumnRenamed("doc_id", "corpus_id"), "s"
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert plan.count("Exchange") == 1  # batch side only
+            assert "Bucketed: true" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        src = str(tmp_path / "src")
+        incoming.coalesce(1).write.parquet(src)
+        q = stream_dedup_against_corpus(
+            spark.readStream.schema(incoming.schema).parquet(src),
+            corpus_docs=None,
+            novel_path=str(tmp_path / "novel"),
+            dup_path=str(tmp_path / "dups"),
+            checkpoint=str(tmp_path / "ckpt"),
+            threshold=0.5,
+            trigger_once=True,
+            index=idx,
+        )
+        q.awaitTermination(120)
+
+        dups = spark.read.parquet(str(tmp_path / "dups")).collect()
+        novel = spark.read.parquet(str(tmp_path / "novel")).collect()
+        assert [(r["doc_id"], r["matched_corpus_id"]) for r in dups] == [(100, 0)]
+        assert [r["doc_id"] for r in novel] == [101]
+    finally:
+        for t in ("t7_corpus_shingles", "t7_corpus_hot", "t7_corpus_sizes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_ann_lookup_with_table_backed_index(spark, tmp_path):
+    """ANN serving from a saved IVF index: identical answers to the
+    inline build, and the per-batch plan never reshuffles the corpus
+    assignment table (probe side broadcasts; the only Exchange is the
+    BroadcastExchange)."""
+    from eventsgateway_spark.streaming.ann_lookup import (
+        ann_lookup_batch,
+        ann_lookup_stream,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    corpus = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = corpus.filter(F.col("vec_id").isin(20, 21)).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    save_ivf_index(corpus, "t7_ivf", buckets=4)
+    try:
+        idx = load_ivf_index(spark, "t7_ivf")
+
+        # plan audit on the candidate join itself (the top-k window
+        # above it shuffles only the candidate set, by design): the
+        # corpus assignment table must join via broadcast of the probe
+        # side with NO hash-partitioning Exchange — i.e. never get
+        # reshuffled per batch.
+        from eventsgateway_spark.queries.ext_similarity import (
+            ivf_probe_with,
+            norm_view,
+        )
+
+        probes = ivf_probe_with(norm_view(queries), idx.cents)
+        cand = idx.assign.join(F.broadcast(probes), "cell_id")
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # corpus never shuffled
+
+        src = str(tmp_path / "q")
+        queries.coalesce(1).write.parquet(src)
+        q = ann_lookup_stream(
+            spark.readStream.schema(queries.schema).parquet(src),
+            corpus_emb=None,
+            out_path=str(tmp_path / "out"),
+            checkpoint=str(tmp_path / "ckpt"),
+            trigger_once=True,
+            index=idx,
+        )
+        q.awaitTermination(120)
+
+        out = spark.read.parquet(str(tmp_path / "out"))
+        top1 = {r["qid"]: (r["neighbor_id"], r["cos_sim"]) for r in out.filter(
+            F.col("rn") == 1
+        ).collect()}
+        assert top1 == {1020: (20, 1.0), 1021: (21, 1.0)}
+        assert out.count() == 6
+    finally:
+        for t in ("t7_ivf_assign", "t7_ivf_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
