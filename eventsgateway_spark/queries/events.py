@@ -750,3 +750,52 @@ def q59_clean_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q61 — skew-safe running sum (distributed prefix sum, oracle-identical)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q61_skew_safe_running_sum",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, rn
+    """,
+)
+def q61_skew_safe_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14's running window via the SKEW-SAFE physical plan
+    (operators/skew.py): bounded per-(user, day) windows + per-bucket
+    offsets broadcast back — no task ever sorts a hot user's full
+    history. The oracle is the NAIVE unbounded window, so the driver
+    hash-check proves plan-shape equivalence, not just the unit test.
+    Integer cents keep the running sum exact under any partial order."""
+    from eventsgateway_spark.operators.skew import skew_safe_running_sum
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        (money("value") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        skew_safe_running_sum(
+            ev,
+            keys=["user_id"],
+            order_by=["ts", "event_id"],
+            value=F.col("cents"),
+            bucket=F.to_date("ts"),
+            rn_col="rn",
+            sum_col="running_cents",
+        )
+        .select("user_id", "event_id", "rn", "running_cents")
+        .orderBy("user_id", "rn")
+    )

@@ -718,3 +718,54 @@ def q58_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_price_qty"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q62 — salted top-k per key (skew-safe Q8/Q9 physical plan, oracle-identical)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q62_salted_topk_orders",
+    oracle="""
+    WITH o AS (SELECT o_custkey, o_orderkey,
+                      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS price_cents
+               FROM orders)
+    SELECT o_custkey, rn, o_orderkey, price_cents
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY o_custkey
+              ORDER BY price_cents DESC, o_orderkey) AS rn
+          FROM o)
+    WHERE rn <= 2
+    ORDER BY o_custkey, rn
+    """,
+)
+def q62_salted_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q08's top-k-per-group via the SKEW-SAFE two-phase plan
+    (operators/skew.py topk_per_key): local top-k per (customer, salt)
+    first, final rank over <= k*salts survivors — a hot customer's
+    orders never sort in one task. The oracle is the NAIVE window, so
+    the driver hash-check pins exact equivalence."""
+    from eventsgateway_spark.operators.skew import topk_per_key
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (money("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    return (
+        topk_per_key(
+            o,
+            keys=["o_custkey"],
+            order_by=[F.col("price_cents").desc(), F.col("o_orderkey").asc()],
+            k=2,
+        )
+        .select(
+            "o_custkey",
+            F.col("rn").cast("bigint").alias("rn"),
+            "o_orderkey",
+            "price_cents",
+        )
+        .orderBy("o_custkey", "rn")
+    )
