@@ -91,6 +91,7 @@ def compact_partition(
     day: str,
     target_bytes: int = 128 * 1024 * 1024,
     sort_within: str | None = "name",
+    fmt: str = "parquet",
 ) -> int:
     """Rewrite ONE date partition into ~``target_bytes`` files — the
     plain-parquet analog of Delta OPTIMIZE for the streaming sink's
@@ -109,6 +110,7 @@ def compact_partition(
     import math
     import os
 
+    ext = f".{fmt}"
     part_dir = os.path.join(path, f"year={year}", f"month={month}", f"day={day}")
     if not os.path.isdir(part_dir):
         raise ValueError(f"partition not found: {part_dir}")
@@ -116,7 +118,7 @@ def compact_partition(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, files in os.walk(part_dir)
         for f in files
-        if f.endswith(".parquet")
+        if f.endswith(ext)
     )
     n_files = max(1, math.ceil(size / target_bytes))
     # Read the ONE partition directory without basePath: only that dir
@@ -128,7 +130,7 @@ def compact_partition(
     # re-attached as string literals, exactly as the directory names
     # spell them.
     rows = (
-        spark.read.parquet(part_dir)
+        spark.read.format(fmt).load(part_dir)
         .withColumn("year", F.lit(year))
         .withColumn("month", F.lit(month))
         .withColumn("day", F.lit(day))
@@ -148,6 +150,7 @@ def compact_partition(
         # concurrent writers (see streaming/upsert.py)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*PARTITION_COLS)
-        .parquet(path)
+        .format(fmt)
+        .save(path)
     )
-    return len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
+    return len([f for f in os.listdir(part_dir) if f.endswith(ext)])

@@ -399,3 +399,51 @@ def test_kmeans_trainer_converges_and_improves_assignment(spark):
     cells = assign.groupBy("cell_id").count().collect()
     assert len(cells) == IVF_K  # no cell collapsed to empty
     assert {r["cell_id"] for r in cells} <= set(range(IVF_K))
+
+
+def test_simhash_hamming_banding_semantics(spark):
+    """q63's Manku banding: a 1-token edit of a long doc must surface
+    as a bounded-Hamming pair (close token distributions ⇒ few sign
+    flips), an unrelated doc must not pair with it, and the banding
+    candidate set must contain every pair the exhaustive popcount scan
+    finds (exact recall by pigeonhole)."""
+    from eventsgateway_spark.queries.ext_dedup import (
+        HAM_MAX,
+        HAM_SIG_BITS,
+        simhash_sigs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(120))
+    edited = " ".join(f"tok{i}" for i in range(119)) + " changed"
+    other = " ".join(f"zzz{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_sigs(docs, HAM_SIG_BITS).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(sigs[1], sigs[2]) <= HAM_MAX  # near-dup lands in bound
+    assert ham(sigs[1], sigs[3]) > HAM_MAX  # unrelated stays out
+
+    # exact recall: run the declared query's plan over these docs by
+    # writing them as the documents table in a temp dir
+    import os
+    import tempfile
+
+    from eventsgateway_spark.queries import QUERIES
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        pairs = {
+            (r["d1"], r["d2"]): r["hamming"]
+            for r in QUERIES["q63_simhash_hamming_pairs"](spark, d).collect()
+        }
+    expect = {
+        (a, b): ham(sigs[a], sigs[b])
+        for a in sigs
+        for b in sigs
+        if a < b and ham(sigs[a], sigs[b]) <= HAM_MAX
+    }
+    assert pairs == expect and (1, 2) in pairs

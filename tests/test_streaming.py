@@ -423,6 +423,36 @@ def test_compact_partition_shrinks_files_keeps_rows(spark, tmp_path):
     assert got.select("id").distinct().count() == 65
 
 
+def test_compact_partition_orc(spark, tmp_path):
+    """Compaction must work on the ORC layout too (the reference's
+    at-rest format) — same file-count collapse, same row preservation."""
+    import os
+
+    from eventsgateway_spark.sources.lakehouse import (
+        compact_partition,
+        write_events_batch,
+    )
+
+    schema = "id string, name string, clientTimestamp long"
+    tbl = str(tmp_path / "tbl_orc")
+    for k in range(4):
+        write_events_batch(
+            spark.createDataFrame(
+                [(f"d1-{k}-{i}", f"ev{i % 3}", T0 + i) for i in range(10)], schema
+            ),
+            tbl,
+            fmt="orc",
+        )
+    p1 = os.path.join(tbl, "year=2024", "month=01", "day=01")
+    assert len([f for f in os.listdir(p1) if f.endswith(".orc")]) >= 4
+
+    n_after = compact_partition(spark, tbl, "2024", "01", "01", fmt="orc")
+    assert n_after == 1
+    got = read_events_table(spark, tbl, fmt="orc")
+    assert got.count() == 40
+    assert got.select("id").distinct().count() == 40
+
+
 def test_transform_with_state_running_totals(spark, tmp_path):
     """transformWithState (arbitrary-stateful v2, RocksDB state store)
     must carry the same cumulative per-key state across sequential
