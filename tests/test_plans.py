@@ -56,6 +56,28 @@ def test_dedup_pair_join_is_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan  # inverted index = hash/SMJ
 
 
+def test_simhash_hamming_banding_is_equi(spark):
+    """q63's candidate generation must be the banded equi-join — never
+    an all-pairs scan with a popcount filter."""
+    plan = _plan(spark, "q63_simhash_hamming_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_safe_windows_have_two_phase_shape(spark):
+    """q61/q62: the skew-safe plans must show the intended physical
+    shape — bounded windows plus (q61) a broadcast of the per-bucket
+    offsets, and never a cartesian."""
+    p61 = _plan(spark, "q61_skew_safe_running_sum")
+    assert "CartesianProduct" not in p61
+    assert "BroadcastHashJoin" in p61  # offsets join back via broadcast
+    p62 = _plan(spark, "q62_salted_topk_orders")
+    assert "CartesianProduct" not in p62
+    # two window phases = exactly two hash-partitioning exchanges:
+    # (key, salt) local top-k, then key-level final rank
+    assert p62.count("Exchange hashpartitioning") == 2
+
+
 def test_engine_facade_registers_views(spark):
     eng = Engine(spark=spark, sf_dir=SF_ORACLE)
     assert eng.sql("select count(*) n from lineitem").collect()[0]["n"] > 0
