@@ -78,6 +78,37 @@ def test_skew_safe_windows_have_two_phase_shape(spark):
     assert p62.count("Exchange hashpartitioning") == 2
 
 
+def test_no_cartesian_in_any_declared_query(spark):
+    """Scale-killer sweep: NO declared query may plan a CartesianProduct
+    at any scale. (Broadcast nested-loop is allowed only where a side
+    is intentionally tiny — q33's broadcast query set.)"""
+    from eventsgateway_spark.queries import QUERIES
+
+    bad = []
+    for name, fn in QUERIES.items():
+        plan = (
+            fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+        )
+        if "CartesianProduct" in plan:
+            bad.append(name)
+    assert not bad, f"cartesian products in: {bad}"
+
+
+def test_query_paths_are_collect_free():
+    """No driver-side .collect() in any query module — the operators
+    must stay distributed. Allowed exceptions (driver-side scalars by
+    design): kmeans' objective diagnostic; q32's convergence count and
+    q47's audit total use .count(), not .collect()."""
+    import pathlib
+
+    root = pathlib.Path(__file__).parent.parent / "eventsgateway_spark"
+    offenders = []
+    for py in (root / "queries").glob("*.py"):
+        if ".collect(" in py.read_text():
+            offenders.append(str(py))
+    assert not offenders, f".collect() crept into query modules: {offenders}"
+
+
 def test_engine_facade_registers_views(spark):
     eng = Engine(spark=spark, sf_dir=SF_ORACLE)
     assert eng.sql("select count(*) n from lineitem").collect()[0]["n"] > 0
