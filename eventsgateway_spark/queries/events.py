@@ -799,3 +799,59 @@ def q61_skew_safe_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "rn", "running_cents")
         .orderBy("user_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q64 — exact DAU / rolling 7-day WAU (contribute-forward, no range join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q64_active_users",
+    oracle="""
+    WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    contrib AS (SELECT CAST(unnest(generate_series(d, d + 6, INTERVAL 1 DAY))
+                            AS DATE) AS day,
+                       user_id
+                FROM daily),
+    spine AS (SELECT DISTINCT d AS day FROM daily),
+    wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau
+            FROM contrib WHERE day IN (SELECT day FROM spine) GROUP BY 1),
+    dau AS (SELECT d AS day, COUNT(*) AS dau FROM daily GROUP BY 1)
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau
+    FROM dau JOIN wau USING (day)
+    ORDER BY 1
+    """,
+)
+def q64_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU + rolling 7-day WAU per observed day — THE engagement
+    metric for the reference's game-analytics domain.
+
+    Scale shape: the naive formulation (a 7-day range self-join, or
+    COUNT(DISTINCT) over a RANGE window) explodes or single-tasks at
+    100 TB. Here each (day, user) activity row CONTRIBUTES FORWARD to
+    the 7 WAU days it feeds (map-side explode ×7), so WAU is a plain
+    hash-aggregate on (day, user) pairs — one narrow shuffle with
+    map-side dedup, no range join, no window over user histories. The
+    day spine is tiny and broadcast-semi-joined to drop days beyond
+    the observed range. DAU rides the same daily-distinct table."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"),
+        "user_id",
+    )
+    spine = daily.select(F.col("d").alias("day")).distinct()
+    wau = (
+        contrib.join(F.broadcast(spine), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = daily.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau")
+        .orderBy("day")
+    )
