@@ -51,14 +51,24 @@ def build_ivf_index(corpus_emb: DataFrame) -> IvfIndex:
 
 
 def save_ivf_index(
-    corpus_emb: DataFrame, table_prefix: str, buckets: int = 32
+    corpus_emb: DataFrame | None,
+    table_prefix: str,
+    buckets: int = 32,
+    index: IvfIndex | None = None,
 ) -> None:
     """Materialize the IVF index as catalog tables — the 100 TB
     posture: the assignment table is BUCKETED on ``cell_id`` (the
     candidate-join key), the centroid row is a one-row table; neither
     is ever pinned in executor memory or reshuffled per batch, and the
-    index survives session restarts (serving shape)."""
-    idx = build_ivf_index(corpus_emb)
+    index survives session restarts (serving shape). Pass a prebuilt
+    ``index`` (e.g. with `operators.kmeans.train_centroids` centers)
+    to persist trained centers instead of the first-K seeding."""
+    if index is not None:
+        idx = index
+    else:
+        if corpus_emb is None:
+            raise ValueError("need corpus_emb or a prebuilt index")
+        idx = build_ivf_index(corpus_emb)
     (
         idx.assign.write.bucketBy(buckets, "cell_id")
         .mode("overwrite")

@@ -758,3 +758,44 @@ def test_streaming_ann_lookup_with_table_backed_index(spark, tmp_path):
     finally:
         for t in ("t7_ivf_assign", "t7_ivf_centroids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_trained_ivf_index_end_to_end(spark, tmp_path):
+    """The full IVF lifecycle: Lloyd-train centroids → assign corpus →
+    persist as bucketed tables → load → serve lookups. Training must
+    converge (monotone inertia); an exact-copy query must return its
+    original as top-1 with cos_sim 1.0 through the TRAINED index."""
+    from eventsgateway_spark.operators.kmeans import train_centroids
+    from eventsgateway_spark.queries.ext_similarity import (
+        ivf_assign_with,
+        norm_view,
+    )
+    from eventsgateway_spark.streaming.ann_lookup import (
+        IvfIndex,
+        ann_lookup_batch,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    corpus = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents, hist = train_centroids(corpus, iters=3)
+    assert all(a >= b - 1e-6 for a, b in zip(hist, hist[1:]))  # converging
+
+    idx = IvfIndex(assign=ivf_assign_with(norm_view(corpus), cents), cents=cents)
+    save_ivf_index(None, "t_trained_ivf", buckets=4, index=idx)
+    try:
+        loaded = load_ivf_index(spark, "t_trained_ivf")
+        queries = corpus.filter(F.col("vec_id").isin(30, 31)).select(
+            (F.col("vec_id") + 2000).alias("vec_id"), "embedding"
+        )
+        out = ann_lookup_batch(queries, loaded.assign, loaded.cents)
+        top1 = {
+            r["qid"]: (r["neighbor_id"], r["cos_sim"])
+            for r in out.filter(F.col("rn") == 1).collect()
+        }
+        assert top1 == {2030: (30, 1.0), 2031: (31, 1.0)}
+    finally:
+        for t in ("t_trained_ivf_assign", "t_trained_ivf_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
