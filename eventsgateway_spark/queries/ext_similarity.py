@@ -32,6 +32,7 @@ from eventsgateway_spark.functions.vectors import (
     as_double,
     cosine,
     dot,
+    dot_arrow,
     lsh_bucket,
     norm,
 )
@@ -173,6 +174,7 @@ def ann_topk_bucketed(
     k: int = 3,
     n_planes: int = 8,
     n_tables: int = 4,
+    scorer: str = "fold",
 ) -> DataFrame:
     """ANN top-k restricted to same-LSH-bucket candidates (the scale
     path behind q33's brute-force baseline). ``n_tables`` independent
@@ -180,16 +182,23 @@ def ann_topk_bucketed(
     shares a bucket in ANY table) — the standard recall amplification;
     each table is still an equi-join on an int key, so candidate volume
     per query tracks bucket occupancy × tables, not corpus size.
-    Returns (qid, rn, neighbor_id, cos_sim). Recall is tested in
-    tests/test_ext.py against the exact baseline."""
+    Norms are precomputed once per VECTOR (not per pair), so per-pair
+    work is one dot product. ``scorer='fold'`` (default) keeps the
+    sequential JVM fold — bit-reproducible, and MEASURED faster at
+    dim=64 (Arrow transfer of both vectors per pair cancels numpy's
+    compute win; see functions/vectors.py). ``scorer='arrow'`` swaps
+    in the einsum batch scorer for workloads where per-pair compute
+    outgrows transfer (high dims, heavier kernels). Returns
+    (qid, rn, neighbor_id, cos_sim). Recall and fold/arrow agreement
+    are tested in tests/test_ext.py."""
     c_base = emb.select(
         F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("ce"),
         F.col("embedding").alias("c_raw"),
-    )
+    ).withColumn("cn", norm(F.col("ce")))
     q_base = queries.select(
         F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qe"),
         F.col("embedding").alias("q_raw"),
-    )
+    ).withColumn("qn", norm(F.col("qe")))
     cand = None
     for t in range(n_tables):
         c = c_base.select(
@@ -201,13 +210,16 @@ def ann_topk_bucketed(
         pairs = c.join(F.broadcast(q), "bucket").select("qid", "neighbor_id")
         cand = pairs if cand is None else cand.unionAll(pairs)
     cand = cand.distinct().filter(F.col("neighbor_id") != F.col("qid"))
+    pair_dot = dot_arrow if scorer == "arrow" else dot
     scored = (
-        cand.join(c_base.select("neighbor_id", "ce"), "neighbor_id")
-        .join(F.broadcast(q_base.select("qid", "qe")), "qid")
+        cand.join(c_base.select("neighbor_id", "ce", "cn"), "neighbor_id")
+        .join(F.broadcast(q_base.select("qid", "qe", "qn")), "qid")
         .select(
             "qid",
             "neighbor_id",
-            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"),
+            F.round(
+                pair_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -447,3 +447,20 @@ def test_simhash_hamming_banding_semantics(spark):
         if a < b and ham(sigs[a], sigs[b]) <= HAM_MAX
     }
     assert pairs == expect and (1, 2) in pairs
+
+
+def test_ann_arrow_scorer_agrees_with_fold(spark):
+    """The Arrow einsum scorer must produce the same ranked output as
+    the JVM fold at 6dp rounding (summation order differs only in the
+    last float bits)."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    fold = {
+        (r["qid"], r["rn"]): (r["neighbor_id"], r["cos_sim"])
+        for r in ann_topk_bucketed(emb, queries, k=3, scorer="fold").collect()
+    }
+    arrow = {
+        (r["qid"], r["rn"]): (r["neighbor_id"], r["cos_sim"])
+        for r in ann_topk_bucketed(emb, queries, k=3, scorer="arrow").collect()
+    }
+    assert fold == arrow and len(fold) > 0
