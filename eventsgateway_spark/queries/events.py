@@ -326,9 +326,12 @@ def q18_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
     SELECT p.event_id, p.user_id,
            epoch_ms(p.ts) AS purchase_ms,
-           v.view_event_id AS view_event_id,
-           epoch_ms(v.ts) AS view_ms,
-           epoch_ms(p.ts) - epoch_ms(v.ts) AS gap_ms
+           -- COALESCE to -1: a purchase with no prior view yields NULL,
+           -- and any NULL in a BIGINT column degrades the whole column
+           -- to float64 in the driver's pandas canonicalization.
+           COALESCE(v.view_event_id, -1) AS view_event_id,
+           COALESCE(epoch_ms(v.ts), -1) AS view_ms,
+           COALESCE(epoch_ms(p.ts) - epoch_ms(v.ts), -1) AS gap_ms
     FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
     ORDER BY 1
     """,
@@ -358,9 +361,11 @@ def q37_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.unix_millis("ts").alias("purchase_ms"),
-        F.col("view_event_id_asof").alias("view_event_id"),
-        F.unix_millis("ts_asof").alias("view_ms"),
-        (F.unix_millis("ts") - F.unix_millis("ts_asof")).alias("gap_ms"),
+        F.coalesce("view_event_id_asof", F.lit(-1)).alias("view_event_id"),
+        F.coalesce(F.unix_millis("ts_asof"), F.lit(-1)).alias("view_ms"),
+        F.coalesce(
+            F.unix_millis("ts") - F.unix_millis("ts_asof"), F.lit(-1)
+        ).alias("gap_ms"),
     ).orderBy("event_id")
 
 
@@ -375,11 +380,13 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     "q44_pivot_daily_matrix",
     oracle="""
     SELECT CAST(ts AS DATE) AS event_date,
-           SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
-           SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
-           SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
+           -- CAST: DuckDB SUM(int) is HUGEINT, which pandas renders as
+           -- float64 and the driver's value hash diverges on 5 vs 5.0.
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
            CAST(SUM(CASE WHEN event_type = 'purchase'
                          THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) * 100
                 AS BIGINT) AS purchase_cents
@@ -631,7 +638,8 @@ def q54_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM f JOIN a ON f.user_id = a.user_id GROUP BY 1, 2)
     SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
            COUNT(*) AS cohort_size,
-           SUM(d1) AS d1_retained, SUM(d7) AS d7_retained
+           CAST(SUM(d1) AS BIGINT) AS d1_retained,
+           CAST(SUM(d7) AS BIGINT) AS d7_retained
     FROM r GROUP BY 1 ORDER BY 1
     """,
 )
@@ -763,9 +771,10 @@ def q59_clean_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            event_id,
            CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
-           SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS running_cents
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY user_id, rn

@@ -60,7 +60,7 @@ def split_col(key: F.Column) -> F.Column:
     )
     SELECT split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS n_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
            MIN(doc_id) AS min_doc_id,
            CAST((1000000 * COUNT(*)) // (SELECT COUNT(*) FROM s) AS BIGINT)
                AS share_ppm

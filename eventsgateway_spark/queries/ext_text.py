@@ -318,9 +318,9 @@ _SUBWORD_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(ws_tokens) AS ws_tokens,
-           SUM(subword_tokens) AS subword_tokens,
-           SUM(chars) AS chars,
+           CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens,
+           CAST(SUM(subword_tokens) AS BIGINT) AS subword_tokens,
+           CAST(SUM(chars) AS BIGINT) AS chars,
            CAST((1000 * SUM(chars)) // SUM(subword_tokens) AS BIGINT)
                AS cpt_milli
     FROM m

@@ -1,6 +1,14 @@
 """Spark-vs-DuckDB comparison mimicking the driver's correctness gate:
 row count + column names + order-insensitive value equality, with exact
 value comparison (no tolerance) so any cross-engine drift fails loudly.
+
+DRIVER-FAITHFUL FETCH: the driver canonicalizes the DuckDB side through
+pandas, where HUGEINT (DuckDB's SUM(<integer>) result type) degrades to
+float64 (`5` -> `5.0`) and the value hash diverges.  Fetching here via
+``rel.fetchall()`` would hide that class of bug (fetchall converts
+HUGEINT to exact Python int), so we fetch via ``rel.df()`` — an oracle
+whose final projection leaves an un-cast integer SUM fails locally the
+same way it fails at the driver.
 """
 
 from __future__ import annotations
@@ -12,17 +20,30 @@ from typing import Any
 
 
 def _norm(v: Any) -> str:
+    # numpy scalars (pandas fetch path) -> plain Python values first,
+    # so e.g. np.float64 reprs identically to Spark's float.
+    if type(v).__module__ == "numpy" and hasattr(v, "item"):
+        v = v.item()
     if v is None:
         return "␀"
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # pandas renders SQL NULL in numeric columns as NaN; fold
+            # both null spellings together (symmetric on both sides).
+            return "␀"
         return repr(v)
     if isinstance(v, decimal.Decimal):
         return format(v, "f")
     if isinstance(v, datetime.datetime):
+        if v != v:  # pandas NaT
+            return "␀"
+        # DuckDB DATE arrives from pandas as a midnight Timestamp while
+        # Spark yields datetime.date; collapse naive midnights to the
+        # date form (applied to both engines, so exact-equality holds).
+        if v.tzinfo is None and v.time() == datetime.time(0, 0):
+            return v.date().isoformat()
         return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
@@ -49,8 +70,9 @@ def compare_spark_duckdb(spark_df, duck_con, oracle_sql: str) -> None:
     s_rows = [tuple(r) for r in spark_df.collect()]
 
     rel = duck_con.sql(oracle_sql)
-    d_cols = list(rel.columns)
-    d_rows = rel.fetchall()
+    pdf = rel.df()  # pandas fetch = the driver's canonicalization path
+    d_cols = list(pdf.columns)
+    d_rows = list(pdf.itertuples(index=False, name=None))
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
