@@ -19,19 +19,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from eventsgateway_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
+from eventsgateway_spark.queries import (  # noqa: E402
+    DECLARED_ORACLE_SQL,
+    DECLARED_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["q01_daily_event_counts"](spark, "/root/testdata/sf0.001")
+    return DECLARED_QUERIES["q01_daily_event_counts"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Exactly the declared subset (<= the driver's 50-query evaluation
+    window, so every declared query gets a correctness row each round);
+    the full registry — including local-only representatives of already
+    covered families — is oracle-tested by pytest and timed by bench.py.
+    """
+    return dict(DECLARED_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted ⇒ rows-only check)."""
-    return dict(ORACLE_SQL)
+    return dict(DECLARED_ORACLE_SQL)

@@ -39,6 +39,19 @@ class IngestResult(NamedTuple):
     quarantine: DataFrame  # invalid envelopes with reject_reason
     oversized: DataFrame  # size-limit rejects with reject_reason
 
+    def report(self) -> dict[str, int]:
+        """Per-batch ingest outcome: accepted count plus rejected
+        counts keyed by reject_reason — the engine's analog of the
+        reference's per-row failure indexes in the batch response
+        (server/app/server.go:59-65). Small aggregate jobs over the
+        side-outputs; call for observability, not in the hot path."""
+        out = {"accepted": self.payloads.count()}
+        for df in (self.quarantine, self.oversized):
+            for row in df.groupBy("reject_reason").count().collect():
+                reason = row["reject_reason"]
+                out[reason] = out.get(reason, 0) + int(row["count"])
+        return out
+
 
 @dataclass
 class Gateway:

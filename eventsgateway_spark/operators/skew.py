@@ -140,8 +140,13 @@ def skew_safe_running_sum(
         F.coalesce(F.sum("_n").over(w_prev), F.lit(0)).alias("_rn_off"),
         F.coalesce(F.sum("_s").over(w_prev), F.lit(0)).alias("_sum_off"),
     )
+    # NO broadcast hint: offsets has one row per (key, bucket) — globally
+    # |keys| x |buckets| (e.g. users x days), which is NOT broadcastable
+    # at scale. `local` is already hash-partitioned on (keys, _bkt) by
+    # the phase-1 window, so this equi-join reuses that partitioning;
+    # AQE still broadcasts when offsets is genuinely small.
     return (
-        local.join(F.broadcast(offsets), [*keys, "_bkt"])
+        local.join(offsets, [*keys, "_bkt"])
         .withColumn(rn_col, (F.col("_lrn") + F.col("_rn_off")).cast("bigint"))
         .withColumn(sum_col, F.col("_lsum") + F.col("_sum_off"))
         .drop("_bkt", "_lrn", "_lsum", "_rn_off", "_sum_off")

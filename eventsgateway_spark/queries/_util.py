@@ -86,6 +86,10 @@ def input_bytes(df: DataFrame) -> int:
         files = df.inputFiles()
     except Exception:
         return 1 << 60
+    if not files:
+        # no leaf files (createDataFrame, JDBC, temp view): size is
+        # UNKNOWN, not zero — count as huge so spread()/pin() stay ON
+        return 1 << 60
     total = 0
     for uri in files:
         path = urlparse(uri).path or uri

@@ -66,6 +66,7 @@ def q19_fullouter_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q20_grouping_sets_lineitem",
+    declared=False,
     oracle="""
     SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
            COALESCE(l_shipmode, '(all)') AS l_shipmode,
@@ -105,6 +106,7 @@ def q20_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q21_token_explode",
+    declared=False,
     oracle="""
     SELECT lang AS lang, token AS token, COUNT(*) AS n
     FROM (
@@ -174,7 +176,7 @@ def q22_pandas_udf_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q23_approx_distinct_users")
+@query("q23_approx_distinct_users", declared=False)
 def q23_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type + approximate value
     percentiles — the 100 TB substitute for exact COUNT(DISTINCT)

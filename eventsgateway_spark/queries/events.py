@@ -98,6 +98,7 @@ def q13_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q14_user_running_stats",
+    declared=False,
     oracle="""
     SELECT user_id AS user_id,
            event_id AS event_id,
@@ -504,6 +505,7 @@ def q45_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q49_salted_hot_key_agg",
+    declared=False,
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
@@ -690,6 +692,7 @@ def q55_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q59_clean_conversion",
+    declared=False,
     oracle="""
     WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events
                WHERE event_type = 'signup' GROUP BY 1),

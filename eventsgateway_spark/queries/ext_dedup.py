@@ -466,6 +466,7 @@ def simhash_sigs(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 @query(
     "q39_simhash",
+    declared=False,
     oracle=f"""
     WITH {_sig_ctes(SIMHASH_BITS)}
     SELECT doc_id, simhash,

@@ -82,16 +82,28 @@ def q47_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.length("text").alias("n_chars")
     )
     s = docs.select("doc_id", "n_chars", split_col(F.col("doc_id")).alias("split"))
-    total = s.count()  # tiny scalar; driver-side by design for the audit
+    per_split = s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+    # grand total via an unpartitioned window over the 3-row per-split
+    # aggregate — no second corpus scan and no driver round-trip (the
+    # single-partition window is over 3 rows, not the corpus)
+    from pyspark.sql.window import Window
+
     return (
-        s.groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("n_chars"),
-            F.min("doc_id").alias("min_doc_id"),
+        per_split.withColumn(
+            "_total", F.sum("n_docs").over(Window.partitionBy())
+        )
+        .select(
+            "split",
+            "n_docs",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            "min_doc_id",
             # parts-per-million as exact integer division (identical
             # truncation in both engines on positives)
-            F.expr(f"(1000000 * count(1)) div {total}").alias("share_ppm"),
+            F.expr("(1000000 * n_docs) div _total").alias("share_ppm"),
         )
         .orderBy("split")
     )

@@ -389,9 +389,13 @@ def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = spread(cand.distinct())
     a = v.select(F.col("vec_id").alias("id1"), F.col("e").alias("e1"), F.col("nrm").alias("n1"))
     z = v.select(F.col("vec_id").alias("id2"), F.col("e").alias("e2"), F.col("nrm").alias("n2"))
+    # NO broadcast hint on the verify joins: a/z are the FULL embeddings
+    # table, which at corpus scale cannot ship to every executor. These
+    # are plain equi-joins on vec_id; AQE still picks broadcast when the
+    # table is genuinely small (fixtures), and shuffles when it isn't.
     return (
-        cand.join(F.broadcast(a), "id1")
-        .join(F.broadcast(z), "id2")
+        cand.join(a, "id1")
+        .join(z, "id2")
         .select(
             "id1",
             "id2",

@@ -158,6 +158,7 @@ _ES_SQL = ", ".join(f"'{w}'" for w in ES_STOPWORDS)
 
 @query(
     "q26_language_id",
+    declared=False,
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents
                WHERE doc_id < 100),
@@ -205,6 +206,7 @@ def q26_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q27_quality_score",
+    declared=False,
     oracle=f"""
     WITH t AS (SELECT doc_id, n_chars, {_DUCK_TOKS} AS toks,
                       length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
@@ -265,6 +267,7 @@ def q27_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q28_fingerprint",
+    declared=False,
     oracle=f"""
     WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
     h AS (SELECT doc_id, len(toks) AS n_tokens,
@@ -492,6 +495,7 @@ def q53_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q56_repetition_ratio",
+    declared=False,
     oracle=f"""
     WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
     g AS (SELECT doc_id,
@@ -527,6 +531,147 @@ def q56_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_distinct"),
             (1.0 - F.count(F.lit(1)).cast("double") / F.sum("n")).alias("dup_ratio"),
             F.max("n").alias("max_gram_count"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q65 — per-document text profile (declared representative of the
+# lang-id / quality / fingerprint / repetition family; the per-facet
+# queries q26/q27/q28/q56 stay local-only under the driver's 50-query
+# evaluation window)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q65_text_profile",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, n_chars, {_DUCK_TOKS} AS toks,
+                      length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+               FROM documents),
+    m AS (
+        SELECT doc_id, lang, n_chars, n_alpha,
+               len(toks) AS n_tokens,
+               len([x FOR x IN toks IF x IN ({_EN_SQL})]) AS en_hits,
+               len([x FOR x IN toks IF x IN ({_ES_SQL})]) AS es_hits,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform(toks,
+                           t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % {TOK_MOD})),
+                   (a, b) -> (a * 131 + b) % {FP_MOD}) AS fingerprint
+        FROM t
+    ),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+          FROM t),
+    c AS (SELECT doc_id, g, COUNT(*) AS n FROM g GROUP BY 1, 2),
+    rep AS (SELECT doc_id,
+                   CAST(SUM(n) AS BIGINT) AS n_grams3,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct3,
+                   CAST(MAX(n) AS BIGINT) AS max_gram3
+            FROM c GROUP BY 1)
+    SELECT m.doc_id, m.lang,
+           CASE WHEN en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                WHEN es_hits > 0 THEN 'es'
+                ELSE 'und' END AS predicted,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(en_hits AS BIGINT) AS en_hits,
+           CAST(es_hits AS BIGINT) AS es_hits,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_alpha AS BIGINT) AS n_alpha,
+           CAST((1000 * n_alpha) // GREATEST(n_tokens, 1) AS BIGINT) AS avg_len_milli,
+           CAST((1000 * en_hits) // GREATEST(n_tokens, 1) AS BIGINT) AS stop_milli,
+           CASE WHEN n_tokens BETWEEN 20 AND 80
+                     AND (1000 * en_hits) // GREATEST(n_tokens, 1) >= 20
+                THEN 'keep' ELSE 'flag' END AS verdict,
+           fingerprint,
+           CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_same,
+           COALESCE(rep.n_grams3, 0) AS n_grams3,
+           COALESCE(rep.n_distinct3, 0) AS n_distinct3,
+           COALESCE(rep.max_gram3, 0) AS max_gram3,
+           CAST(COALESCE(1000 - (1000 * rep.n_distinct3) // rep.n_grams3, 0)
+                AS BIGINT) AS dup_milli
+    FROM m LEFT JOIN rep USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q65_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-document text profile: function-word language ID
+    (argmax over tiny en/es vocabularies), C4-style quality facets
+    (alpha mass, stopword ratio, keep/flag verdict), order-sensitive
+    rolling-hash fingerprint with its collision count, and trigram
+    repetition mass. All-integer/string output (milli-unit ratios via
+    integer division) so the result is canonicalization-proof.
+
+    Physical shape: the scalar facets are MAP-ONLY over one shared
+    tokenization; the trigram facet is one explode → (doc, gram) count
+    → per-doc rollup joined back on doc_id; the fingerprint collision
+    count is one window keyed by fingerprint. Every shuffle is keyed by
+    doc_id / gram / fingerprint — per-document grain throughout, so the
+    same plan holds on a 100 TB corpus."""
+    docs = spread(table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    ))
+    toks = F.col("toks")
+    m = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.length(F.regexp_replace("text", "[^a-z]", "")).alias("n_alpha"),
+        tokens("text").alias("toks"),
+    ).select(
+        "doc_id", "lang", "n_chars", "n_alpha", "toks",
+        F.size(toks).alias("n_tokens"),
+        count_in(toks, EN_STOPWORDS).alias("en_hits"),
+        count_in(toks, ES_STOPWORDS).alias("es_hits"),
+        rolling_fingerprint(toks).alias("fingerprint"),
+    )
+    rep = (
+        m.select("doc_id", F.explode(ngrams(toks, 3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_grams3"),
+            F.count(F.lit(1)).alias("n_distinct3"),
+            F.max("n").alias("max_gram3"),
+        )
+    )
+    stop_milli = F.expr("(1000 * en_hits) div greatest(n_tokens, 1)")
+    profiled = m.select(
+        "doc_id", "lang",
+        F.when((F.col("en_hits") >= F.col("es_hits")) & (F.col("en_hits") > 0), "en")
+        .when(F.col("es_hits") > 0, "es")
+        .otherwise("und")
+        .alias("predicted"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("en_hits").cast("bigint").alias("en_hits"),
+        F.col("es_hits").cast("bigint").alias("es_hits"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_alpha").cast("bigint").alias("n_alpha"),
+        F.expr("(1000 * n_alpha) div greatest(n_tokens, 1)")
+        .cast("bigint").alias("avg_len_milli"),
+        stop_milli.cast("bigint").alias("stop_milli"),
+        F.when(
+            F.col("n_tokens").between(20, 80) & (stop_milli >= 20), "keep"
+        ).otherwise("flag").alias("verdict"),
+        "fingerprint",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("fingerprint"))
+        .cast("bigint")
+        .alias("n_same"),
+    )
+    return (
+        profiled.join(rep, "doc_id", "left")
+        .select(
+            profiled["*"],
+            F.coalesce("n_grams3", F.lit(0)).cast("bigint").alias("n_grams3"),
+            F.coalesce("n_distinct3", F.lit(0)).cast("bigint").alias("n_distinct3"),
+            F.coalesce("max_gram3", F.lit(0)).cast("bigint").alias("max_gram3"),
+            F.coalesce(
+                F.lit(1000) - F.expr("(1000 * n_distinct3) div n_grams3"),
+                F.lit(0),
+            ).cast("bigint").alias("dup_milli"),
         )
         .orderBy("doc_id")
     )

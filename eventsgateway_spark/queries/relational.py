@@ -39,8 +39,10 @@ from eventsgateway_spark.queries._util import as_double, money, table
     """,
 )
 def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-to-dim star join. nation/region/customer are broadcast —
-    at 100 TB the lineitem↔orders join is the only shuffle."""
+    """Fact-to-dim star join. nation/region (fixed 25/5 rows) are
+    broadcast; customer GROWS with SF (~15 M rows at sf100) so it gets
+    no hint — AQE broadcasts it while it fits and shuffles when it
+    doesn't. At 100 TB the lineitem↔orders join is the big shuffle."""
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -52,7 +54,7 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
@@ -268,7 +270,7 @@ def q07_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     joined = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
     )
@@ -345,7 +347,7 @@ def q09_top10_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))).alias("total_spend"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .select("c_custkey", "c_name", "total_spend", "n_orders")
         .orderBy(F.col("total_spend").desc(), "c_custkey")
         .limit(10)
@@ -445,6 +447,7 @@ def q11_scalar_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q12_late_shipments",
+    declared=False,
     oracle="""
     SELECT o.o_orderpriority AS o_orderpriority,
            CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
@@ -481,6 +484,7 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q42_above_avg_spenders",
+    declared=False,
     oracle="""
     SELECT c.c_custkey, c.c_name,
            CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spend
@@ -502,7 +506,7 @@ def q42_above_avg_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     price = F.col("o_totalprice").cast("decimal(14,2)")
     spend = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(F.sum(price).alias("_spend"))
     )
@@ -588,6 +592,7 @@ def q46_moving_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q57_spend_deciles",
+    declared=False,
     oracle="""
     WITH s AS (
         SELECT c_custkey,
@@ -641,6 +646,7 @@ def q57_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q58_exact_moments",
+    declared=False,
     oracle="""
     WITH m AS (
         SELECT l_returnflag,

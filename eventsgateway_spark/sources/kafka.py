@@ -34,7 +34,11 @@ PAYLOAD_SCHEMA = T.StructType(
 
 def kafka_available(spark: SparkSession) -> bool:
     try:
-        spark._jvm.org.apache.spark.sql.kafka010.KafkaSourceProvider  # noqa: B018
+        # Class.forName, not attribute access: py4j resolves a missing
+        # class path to a silent JavaPackage instead of raising.
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
         return True
     except Exception:
         return False
@@ -47,12 +51,26 @@ def kafka_broker_reachable(bootstrap: str, timeout: float = 1.0) -> bool:
     has no Kafka."""
     import socket
 
-    host, _, port = bootstrap.partition(":")
-    try:
-        with socket.create_connection((host, int(port or "9092")), timeout=timeout):
-            return True
-    except OSError:
-        return False
+    # bootstrap is the standard comma-separated multi-broker form
+    # ("h1:9092,h2:9092", possibly with IPv6 literals "[::1]:9092");
+    # reachable = ANY broker answers.
+    for entry in bootstrap.split(","):
+        entry = entry.strip()
+        if not entry:
+            continue
+        if entry.startswith("["):  # IPv6 literal
+            host, _, rest = entry[1:].partition("]")
+            port = rest.lstrip(":")
+        else:
+            host, _, port = entry.partition(":")
+        try:
+            with socket.create_connection(
+                (host, int(port or "9092")), timeout=timeout
+            ):
+                return True
+        except (OSError, ValueError):
+            continue
+    return False
 
 
 def read_payloads_kafka(

@@ -60,6 +60,24 @@ def write_events_stream(
     return writer.start(path)
 
 
+def delta_available(spark: SparkSession) -> bool:
+    """True when Delta Lake jars are on the session's classpath.
+
+    Gates the ``fmt="delta"`` branch (the reference's landing format,
+    .ipynb:119-135) the same way the Kafka probe gates broker tests:
+    the code path is identical for any DataSource V2 format string, so
+    on a Delta-enabled cluster the writers/readers work unchanged."""
+    try:
+        # Class.forName, not attribute access: py4j resolves a missing
+        # class path to a silent JavaPackage instead of raising.
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.delta.sources.DeltaDataSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def read_events_table(
     spark: SparkSession, path: str, fmt: str = "parquet"
 ) -> DataFrame:

@@ -81,6 +81,31 @@ def test_size_limit_reject(spark):
     assert res.payloads.count() == 1
 
 
+def test_ingest_failure_report(spark):
+    """C4 observability analog (server/app/server.go:59-65): a mixed
+    batch reports accepted + per-reason reject counts."""
+    rows = [
+        ("", "n", "t", {}, 1),                      # missing_id
+        ("i2", "n", "", {}, 1),                     # missing_topic
+        ("i3", "n", "", {}, 1),                     # missing_topic
+        ("i4", "n", "t", {}, 0),                    # missing_timestamp
+        ("big", "n", "t", {"p": "a" * 30_001}, 1),  # too_large
+        ("ok1", "n", "t", {}, 123),
+        ("ok2", "n", "t", {}, 124),
+    ]
+    df = spark.createDataFrame(rows, WIRE_EVENT_SCHEMA)
+    from eventsgateway_spark.gateway import ingest
+
+    res = ingest(spark, df, max_message_bytes=30_000)
+    assert res.report() == {
+        "accepted": 2,
+        "missing_id": 1,
+        "missing_topic": 2,
+        "missing_timestamp": 1,
+        "too_large": 1,
+    }
+
+
 def test_date_partition_derivation(spark):
     """P4 — .ipynb:103-106 semantics: partitions from client event time."""
     from eventsgateway_spark.operators.transforms import derive_date_partitions

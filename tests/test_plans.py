@@ -18,6 +18,13 @@ def _plan(spark, name: str) -> str:
     return QUERIES[name](spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
 
 
+def _logical(spark, name: str) -> str:
+    """Optimized logical plan — forced join hints survive here as
+    `leftHint=`/`rightHint=(strategy=broadcast)`, independent of what
+    AQE picks at fixture scale."""
+    return QUERIES[name](spark, SF_ORACLE)._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_q02_broadcasts_dimensions(spark):
     plan = _plan(spark, "q02_revenue_by_nation")
     assert "BroadcastHashJoin" in plan
@@ -50,6 +57,15 @@ def test_similarity_queries_avoid_cartesian(spark):
     assert "CartesianProduct" not in _plan(spark, "q38_embedding_near_dup")
 
 
+def test_q38_verify_join_is_not_forced_corpus_broadcast(spark):
+    """q38's verify join pulls the FULL embeddings table onto both
+    sides of a vec_id equi-join; a forced broadcast there ships the
+    whole corpus to every executor (OOM at scale). The logical plan
+    must carry no broadcast hint — AQE may still broadcast the
+    fixture-sized table at test scale, which is the desired behavior."""
+    assert "strategy=broadcast" not in _logical(spark, "q38_embedding_near_dup")
+
+
 def test_dedup_pair_join_is_equi(spark):
     plan = _plan(spark, "q30_jaccard_pairs")
     assert "CartesianProduct" not in plan
@@ -66,11 +82,14 @@ def test_simhash_hamming_banding_is_equi(spark):
 
 def test_skew_safe_windows_have_two_phase_shape(spark):
     """q61/q62: the skew-safe plans must show the intended physical
-    shape — bounded windows plus (q61) a broadcast of the per-bucket
-    offsets, and never a cartesian."""
+    shape — bounded per-bucket windows, a plain (hint-free) equi-join
+    of the offsets back, and never a cartesian. The offsets frame has
+    one row per (key, bucket) — globally |keys|x|buckets| — so a FORCED
+    broadcast would be an OOM at scale; AQE may still choose broadcast
+    at fixture scale, which is fine."""
     p61 = _plan(spark, "q61_skew_safe_running_sum")
     assert "CartesianProduct" not in p61
-    assert "BroadcastHashJoin" in p61  # offsets join back via broadcast
+    assert "strategy=broadcast" not in _logical(spark, "q61_skew_safe_running_sum")
     p62 = _plan(spark, "q62_salted_topk_orders")
     assert "CartesianProduct" not in p62
     # two window phases = exactly two hash-partitioning exchanges:
@@ -97,8 +116,8 @@ def test_no_cartesian_in_any_declared_query(spark):
 def test_query_paths_are_collect_free():
     """No driver-side .collect() in any query module — the operators
     must stay distributed. Allowed exceptions (driver-side scalars by
-    design): kmeans' objective diagnostic; q32's convergence count and
-    q47's audit total use .count(), not .collect()."""
+    design): kmeans' objective diagnostic and q32's convergence count
+    use .count(), not .collect()."""
     import pathlib
 
     root = pathlib.Path(__file__).parent.parent / "eventsgateway_spark"
@@ -226,6 +245,37 @@ def test_lakehouse_orc_roundtrip(spark, tmp_path):
     assert one_day.count() == 10
     plan = one_day._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "orc" in plan.lower()
+
+
+def test_lakehouse_delta_roundtrip(spark, tmp_path):
+    """The reference lands events as Delta (.ipynb:119-135). This
+    sandbox ships no Delta jars, so the test skips — on a Delta-enabled
+    cluster it exercises the identical write/read path as the parquet
+    and ORC roundtrips (fmt is a passthrough format string)."""
+    import pytest
+
+    from eventsgateway_spark.sources.lakehouse import (
+        delta_available,
+        read_events_table,
+        write_events_batch,
+    )
+
+    if not delta_available(spark):
+        pytest.skip("Delta jars not on the classpath (documented gap: "
+                    "MIGRATION.md — parquet + idempotent MERGE upsert is "
+                    "the functional analog)")
+
+    base = 1577836800000  # 2020-01-01 UTC, millis
+    rows = [
+        (f"id{d}-{i}", f"ev{i % 3}", base + d * 86_400_000 + i)
+        for d in range(2)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id string, name string, clientTimestamp long")
+    write_events_batch(df, str(tmp_path / "events_delta"), fmt="delta", mode="overwrite")
+    tbl = read_events_table(spark, str(tmp_path / "events_delta"), fmt="delta")
+    assert tbl.count() == 20
+    assert dict(tbl.dtypes)["year"] == "string"
 
 
 def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
