@@ -64,6 +64,7 @@ from eventsgateway_spark.queries import ext_text  # noqa: E402,F401
 from eventsgateway_spark.queries import ext_sampling  # noqa: E402,F401
 from eventsgateway_spark.queries import ext_similarity  # noqa: E402,F401
 from eventsgateway_spark.queries import advanced  # noqa: E402,F401
+from eventsgateway_spark.queries import ext_curation  # noqa: E402,F401
 from eventsgateway_spark.queries import events  # noqa: E402,F401
 from eventsgateway_spark.queries import relational  # noqa: E402,F401
 

@@ -1,0 +1,485 @@
+"""[EXT] Corpus-curation operators — PII redaction, heuristic quality
+rules, deterministic shard manifests, and BM25 retrieval over
+``documents``. These are the remaining standard stages of an LLM
+training-data pipeline not already covered by ext_text (stats/
+chunking/decontamination), ext_dedup (near-dup) and ext_sampling
+(splits): scrubbing, rule-based filtering, export planning, and
+keyword retrieval for corpus inspection.
+
+The reference hands everything downstream of ingestion to the
+warehouse (README.md:11-17); these queries define that downstream
+surface Spark-first.
+
+Scale posture (see SCALE.md):
+- q66/q67 are map-only scans + small hash aggregates (one shuffle to
+  a handful of groups) — embarrassingly parallel at any corpus size.
+  All regex/array work is JVM built-ins inside whole-stage codegen;
+  no Python in the row path.
+- q68 is one hash-partition shuffle on the shard key (exactly the
+  shuffle a sharded training-data export performs anyway) + per-shard
+  window; 32 shards of a 100 TB corpus are ~3 TB each, and the
+  per-shard ordering key is a content hash, so the window sort is the
+  export's required sort, not overhead.
+- q69 filters the token stream to the query's terms BEFORE any
+  shuffle (predicate on a literal array), so the aggregated state is
+  |terms| x |matching docs|, not the corpus; corpus-level scalars
+  (N, avgdl) ride 1-row broadcasts.
+
+Cross-engine determinism: randomness-free; hashes are md5-folds (same
+construction as ext_sampling); BM25 float work mirrors q25's contract
+(identically-written expression trees, ROUND(...,4) projection, and a
+fixed-order sum over per-term columns so no engine reorders a
+floating-point reduction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eventsgateway_spark.functions.text import EN_STOPWORDS, tokens
+from eventsgateway_spark.queries import query
+from eventsgateway_spark.queries._util import spread, table
+
+_DUCK_TOKS = "[x FOR x IN string_split(text, ' ') IF x <> '']"
+
+# ---------------------------------------------------------------------------
+# q66 — PII detection + redaction
+# ---------------------------------------------------------------------------
+# The fixture corpus is synthetic word-salad with no PII, so the query
+# first plants deterministic PII (a pure function of doc_id, identical
+# in both engines) into a subset of rows, then detects and redacts it.
+# The patterns use only RE2-and-Java-common syntax (char classes,
+# bounded repeats) so Spark (java.util.regex) and DuckDB (RE2) agree.
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,4}"
+_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_PHONE_RE = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+_DUCK_PLANT = """
+        text
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                     || CAST(doc_id % 100 AS VARCHAR)
+                ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                     || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+"""
+
+
+def _plant_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically append synthetic PII to a subset of docs."""
+    d = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com now")),
+            ).otherwise(""),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (d % 256).cast("string"),
+                    F.lit(".0."),
+                    (d % 100).cast("string"),
+                ),
+            ).otherwise(""),
+            F.when(
+                d % 11 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((d % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ),
+    )
+
+
+def redact_pii(text: F.Column) -> F.Column:
+    """Replace emails, IPv4s and phone numbers with typed placeholders.
+
+    Order matters: phones before IPs (a phone tail is digit-dotted
+    nowhere, but keep the specific-to-general habit), emails first so
+    the IP pattern cannot eat a numeric mail host.
+    """
+    c = F.regexp_replace(text, _EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, _PHONE_RE, "<PHONE>")
+    return F.regexp_replace(c, _IP_RE, "<IP>")
+
+
+_DUCK_REDACT = (
+    "regexp_replace(regexp_replace(regexp_replace(text,"
+    f" '{_EMAIL_RE}', '<EMAIL>', 'g'),"
+    f" '{_PHONE_RE}', '<PHONE>', 'g'),"
+    f" '{_IP_RE}', '<IP>', 'g')"
+)
+
+
+@query(
+    "q66_pii_redaction",
+    declared=False,
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id, source, ({_DUCK_PLANT}) AS text FROM documents
+    ),
+    per_doc AS (
+        SELECT source,
+               len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
+               len(regexp_extract_all(text, '{_IP_RE}')) AS n_ip,
+               len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phone,
+               length(text) - length({_DUCK_REDACT}) AS chars_removed
+        FROM planted
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_pii,
+           CAST(SUM(n_email) AS BIGINT) AS emails,
+           CAST(SUM(n_ip) AS BIGINT) AS ips,
+           CAST(SUM(n_phone) AS BIGINT) AS phones,
+           CAST(SUM(chars_removed) AS BIGINT) AS chars_removed
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q66_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: per source, how many docs carried PII, how
+    many matches of each class, and how many characters redaction
+    removed. Detection = ``regexp_extract_all`` counts; redaction =
+    chained ``regexp_replace`` (global in both engines). Map-only
+    scan + one aggregate to |sources| rows; everything JVM-side."""
+    docs = _plant_pii(
+        spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    )
+    per_doc = docs.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all("text", F.lit(_IP_RE), 0)).alias("n_ip"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias("n_phone"),
+        (F.length("text") - F.length(redact_pii(F.col("text")))).alias("chars_removed"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_email") + F.col("n_ip") + F.col("n_phone") > 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("docs_with_pii"),
+            F.sum("n_email").cast("bigint").alias("emails"),
+            F.sum("n_ip").cast("bigint").alias("ips"),
+            F.sum("n_phone").cast("bigint").alias("phones"),
+            F.sum("chars_removed").cast("bigint").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q67 — heuristic quality-rule filter (Gopher-style)
+# ---------------------------------------------------------------------------
+# Rule thresholds follow the published Gopher/C4 heuristics (Rae et
+# al. 2021 §A1.1; Raffel et al. 2020 §2.2), re-bounded for the
+# fixture's ~30-token documents. All comparisons are integer-scaled
+# (sum_len >= 3*n instead of sum_len/n >= 3.0) so the oracle check is
+# exact — no float division anywhere.
+
+_MIN_TOKENS, _MAX_TOKENS = 20, 10_000
+_EN_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+@query(
+    "q67_quality_rules",
+    declared=False,
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    m AS (
+        SELECT lang,
+               len(toks) AS n_tok,
+               len(list_distinct(toks)) AS n_uniq,
+               list_sum([length(x) FOR x IN toks]) AS sum_len,
+               len([x FOR x IN toks IF x IN ({_EN_SQL})]) AS stop_hits
+        FROM t
+    ),
+    flags AS (
+        SELECT lang,
+               CASE WHEN n_tok BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+                    THEN 0 ELSE 1 END AS f_len,
+               CASE WHEN sum_len >= 3 * n_tok AND sum_len <= 10 * n_tok
+                    THEN 0 ELSE 1 END AS f_word_len,
+               CASE WHEN 10 * n_uniq >= 3 * n_tok THEN 0 ELSE 1 END AS f_uniq,
+               CASE WHEN stop_hits >= 2 THEN 0 ELSE 1 END AS f_stop
+        FROM m
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(f_len) AS BIGINT) AS fail_len,
+           CAST(SUM(f_word_len) AS BIGINT) AS fail_word_len,
+           CAST(SUM(f_uniq) AS BIGINT) AS fail_uniq,
+           CAST(SUM(f_stop) AS BIGINT) AS fail_stop,
+           CAST(SUM(CASE WHEN f_len + f_word_len + f_uniq + f_stop = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM flags
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q67_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language pass/fail counts for four Gopher-style document
+    quality rules: token-count bounds, mean-word-length bounds,
+    unique-token ratio, and stopword presence. A doc is kept only if
+    every rule passes. Map-only array math (size / array_distinct /
+    aggregate / array filter) + one aggregate to |langs| rows."""
+    docs = spread(table(spark, sf_dir, "documents").select("lang", "text"))
+    toks = docs.select("lang", tokens("text").alias("toks"))
+    m = toks.select(
+        "lang",
+        F.size("toks").alias("n_tok"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        F.aggregate(
+            F.transform("toks", lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(F.filter("toks", lambda t: t.isin(EN_STOPWORDS))).alias("stop_hits"),
+    )
+    flags = m.select(
+        "lang",
+        F.when(F.col("n_tok").between(_MIN_TOKENS, _MAX_TOKENS), 0).otherwise(1).alias("f_len"),
+        F.when(
+            (F.col("sum_len") >= 3 * F.col("n_tok"))
+            & (F.col("sum_len") <= 10 * F.col("n_tok")),
+            0,
+        )
+        .otherwise(1)
+        .alias("f_word_len"),
+        F.when(10 * F.col("n_uniq") >= 3 * F.col("n_tok"), 0).otherwise(1).alias("f_uniq"),
+        F.when(F.col("stop_hits") >= 2, 0).otherwise(1).alias("f_stop"),
+    )
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("f_len").cast("bigint").alias("fail_len"),
+            F.sum("f_word_len").cast("bigint").alias("fail_word_len"),
+            F.sum("f_uniq").cast("bigint").alias("fail_uniq"),
+            F.sum("f_stop").cast("bigint").alias("fail_stop"),
+            F.sum(
+                F.when(
+                    F.col("f_len") + F.col("f_word_len") + F.col("f_uniq") + F.col("f_stop")
+                    == 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_keep"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q68 — deterministic shard manifest (training-data export plan)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 32
+_DUCK_SHARD = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32"
+_DUCK_ORD = "substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)"
+
+
+def shard_of(key: F.Column, n_shards: int = _N_SHARDS) -> F.Column:
+    """Stable shard id in [0, n_shards) from a key column (md5 fold,
+    same construction as ext_sampling.hash_pct)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % n_shards
+
+
+@query(
+    "q68_shard_manifest",
+    declared=False,
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               {_DUCK_SHARD} AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {_DUCK_SHARD}
+                   ORDER BY {_DUCK_ORD}, doc_id) AS pos
+        FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+           MIN(doc_id) AS min_doc_id,
+           arg_min(doc_id, pos) AS first_doc_id
+    FROM s
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def q68_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard plan: every doc is assigned to one
+    of 32 shards by content hash and given an interleave position by a
+    SECOND, independent hash fold (chars 9-16 of the same md5) — the
+    within-shard order is a reproducible global shuffle, uncorrelated
+    with doc_id or ingest order, which is exactly what a training-data
+    export needs (hash-bucketed files, shuffled within each). One
+    shuffle on the shard key + per-shard window sort = the exact work
+    the physical export would do; the manifest is 32 rows."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ordkey = F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8)
+    s = docs.select(
+        "doc_id",
+        "n_chars",
+        shard_of(F.col("doc_id")).alias("shard"),
+        ordkey.alias("ord"),
+    ).withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("shard").orderBy("ord", "doc_id")),
+    )
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_bytes"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.min_by("doc_id", "pos").alias("first_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q69 — BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+# Lucene-variant BM25 (Robertson/Sparck-Jones idf with +1 floor),
+# k1 = 1.2, b = 0.75. Per-term contributions are pivoted into fixed
+# columns and summed in a fixed written order, so the floating-point
+# result is bit-identical across engines (no reduction reordering);
+# the projection rounds to 4 decimals like q25.
+
+_QUERY_TERMS = ["dup", "spark", "window"]  # one rare, two common
+
+
+def _contrib_sql(term: str) -> str:
+    return (
+        f"MAX(CASE WHEN term = '{term}' THEN"
+        " ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)"
+        " * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+        " END)"
+    )
+
+
+@query(
+    "q69_bm25_topk",
+    declared=False,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, t AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+        WHERE t IN ('dup', 'spark', 'window')
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id,
+               {_contrib_sql('dup')} AS c_dup,
+               {_contrib_sql('spark')} AS c_spark,
+               {_contrib_sql('window')} AS c_window
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl USING (doc_id), stats
+        GROUP BY tf.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id,
+               ROUND(COALESCE(c_dup, 0.0) + COALESCE(c_spark, 0.0)
+                     + COALESCE(c_window, 0.0), 4) AS score
+        FROM scored
+    )
+    SELECT rank, doc_id, score
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM ranked)
+    WHERE rank <= 10
+    ORDER BY rank
+    """,
+)
+def q69_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 for a fixed 3-term query. The token
+    stream is filtered to the query terms BEFORE aggregation, so the
+    shuffled state is |terms| x |matching docs|; N and avgdl are 1-row
+    broadcast scalars. The per-term scores pivot into fixed columns
+    and sum left-to-right — identical fp rounding in both engines."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = spread(docs).select("doc_id", tokens("text").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    joined = (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log((F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0)
+            * (
+                (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+            ),
+        )
+    )
+    scored = joined.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("contrib"))).alias(f"c_{t}")
+            for t in _QUERY_TERMS
+        ]
+    )
+    ranked = scored.select(
+        "doc_id",
+        F.round(
+            F.coalesce("c_dup", F.lit(0.0))
+            + F.coalesce("c_spark", F.lit(0.0))
+            + F.coalesce("c_window", F.lit(0.0)),
+            4,
+        ).alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    )

@@ -1,0 +1,81 @@
+"""Semantic tests for the corpus-curation operators (ext_curation):
+properties the oracle equality check can't express — redaction
+completeness, rule monotonicity, shard coverage, retrieval sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def test_redaction_removes_all_pii(spark):
+    from eventsgateway_spark.queries.ext_curation import (
+        _EMAIL_RE,
+        _IP_RE,
+        _PHONE_RE,
+        _plant_pii,
+        redact_pii,
+    )
+    from eventsgateway_spark.queries._util import table
+
+    docs = _plant_pii(table(spark, SF_ORACLE, "documents").select("doc_id", "text"))
+    red = docs.select(redact_pii(F.col("text")).alias("text"))
+    leftovers = red.filter(
+        F.col("text").rlike(_EMAIL_RE)
+        | F.col("text").rlike(_IP_RE)
+        | F.col("text").rlike(_PHONE_RE)
+    ).count()
+    assert leftovers == 0
+    # and the redaction actually fired: placeholders present
+    assert red.filter(F.col("text").contains("<EMAIL>")).count() > 0
+    assert red.filter(F.col("text").contains("<IP>")).count() > 0
+    assert red.filter(F.col("text").contains("<PHONE>")).count() > 0
+
+
+def test_quality_rules_account_every_doc(spark):
+    from eventsgateway_spark.queries import QUERIES
+
+    rows = QUERIES["q67_quality_rules"](spark, SF_ORACLE).collect()
+    total = sum(r.n_docs for r in rows)
+    assert total == 500  # sf0.01 documents
+    for r in rows:
+        # keeps + any-failure partition the docs: n_keep <= n_docs and
+        # no failure count exceeds the group size
+        assert 0 <= r.n_keep <= r.n_docs
+        for f in ("fail_len", "fail_word_len", "fail_uniq", "fail_stop"):
+            assert 0 <= getattr(r, f) <= r.n_docs
+
+
+def test_shard_manifest_covers_corpus_and_is_stable(spark):
+    from eventsgateway_spark.queries import QUERIES
+
+    fn = QUERIES["q68_shard_manifest"]
+    a = fn(spark, SF_ORACLE).collect()
+    b = fn(spark, SF_ORACLE).collect()
+    assert a == b  # deterministic across runs
+    assert sum(r.n_docs for r in a) == 500
+    assert len(a) <= 32 and len({r.shard for r in a}) == len(a)
+    # hash sharding should be roughly balanced: no shard > 4x the mean
+    mean = 500 / len(a)
+    assert max(r.n_docs for r in a) < 4 * mean
+
+
+def test_bm25_prefers_rare_term_docs(spark):
+    """Docs containing the rare term 'dup' (df~25 of 500) must
+    dominate the top ranks over docs matching only common terms."""
+    from eventsgateway_spark.queries import QUERIES
+    from eventsgateway_spark.queries._util import table
+
+    top = QUERIES["q69_bm25_topk"](spark, SF_ORACLE).collect()
+    assert len(top) == 10
+    assert all(top[i].score >= top[i + 1].score for i in range(9))
+    dup_docs = {
+        r.doc_id
+        for r in table(spark, SF_ORACLE, "documents")
+        .filter(F.array_contains(F.split("text", " "), "dup"))
+        .select("doc_id")
+        .collect()
+    }
+    top3 = {r.doc_id for r in top[:3]}
+    assert top3 <= dup_docs
