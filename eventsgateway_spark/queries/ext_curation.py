@@ -50,12 +50,19 @@ _DUCK_TOKS = "[x FOR x IN string_split(text, ' ') IF x <> '']"
 # The fixture corpus is synthetic word-salad with no PII, so the query
 # first plants deterministic PII (a pure function of doc_id, identical
 # in both engines) into a subset of rows, then detects and redacts it.
-# The patterns use only RE2-and-Java-common syntax (char classes,
-# bounded repeats) so Spark (java.util.regex) and DuckDB (RE2) agree.
+# Patterns and redaction live in operators/curation.py (shared with
+# the streaming curation path); the oracle SQL mirrors them verbatim.
 
-_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,4}"
-_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-_PHONE_RE = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+from eventsgateway_spark.operators.curation import (  # noqa: E402
+    EMAIL_RE as _EMAIL_RE,
+    IP_RE as _IP_RE,
+    MAX_TOKENS as _MAX_TOKENS,
+    MIN_TOKENS as _MIN_TOKENS,
+    PHONE_RE as _PHONE_RE,
+    quality_flags,
+    quality_metrics,
+    redact_pii,
+)
 
 _DUCK_PLANT = """
         text
@@ -104,18 +111,6 @@ def _plant_pii(docs: DataFrame) -> DataFrame:
             ).otherwise(""),
         ),
     )
-
-
-def redact_pii(text: F.Column) -> F.Column:
-    """Replace emails, IPv4s and phone numbers with typed placeholders.
-
-    Order matters: phones before IPs (a phone tail is digit-dotted
-    nowhere, but keep the specific-to-general habit), emails first so
-    the IP pattern cannot eat a numeric mail host.
-    """
-    c = F.regexp_replace(text, _EMAIL_RE, "<EMAIL>")
-    c = F.regexp_replace(c, _PHONE_RE, "<PHONE>")
-    return F.regexp_replace(c, _IP_RE, "<IP>")
 
 
 _DUCK_REDACT = (
@@ -193,11 +188,10 @@ def q66_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Rule thresholds follow the published Gopher/C4 heuristics (Rae et
 # al. 2021 §A1.1; Raffel et al. 2020 §2.2), re-bounded for the
-# fixture's ~30-token documents. All comparisons are integer-scaled
-# (sum_len >= 3*n instead of sum_len/n >= 3.0) so the oracle check is
-# exact — no float division anywhere.
+# fixture's ~30-token documents, defined in operators/curation.py. All
+# comparisons are integer-scaled (sum_len >= 3*n instead of
+# sum_len/n >= 3.0) so the oracle check is exact — no float division.
 
-_MIN_TOKENS, _MAX_TOKENS = 20, 10_000
 _EN_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
 
@@ -246,31 +240,8 @@ def q67_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     every rule passes. Map-only array math (size / array_distinct /
     aggregate / array filter) + one aggregate to |langs| rows."""
     docs = spread(table(spark, sf_dir, "documents").select("lang", "text"))
-    toks = docs.select("lang", tokens("text").alias("toks"))
-    m = toks.select(
-        "lang",
-        F.size("toks").alias("n_tok"),
-        F.size(F.array_distinct("toks")).alias("n_uniq"),
-        F.aggregate(
-            F.transform("toks", lambda t: F.length(t)),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).alias("sum_len"),
-        F.size(F.filter("toks", lambda t: t.isin(EN_STOPWORDS))).alias("stop_hits"),
-    )
-    flags = m.select(
-        "lang",
-        F.when(F.col("n_tok").between(_MIN_TOKENS, _MAX_TOKENS), 0).otherwise(1).alias("f_len"),
-        F.when(
-            (F.col("sum_len") >= 3 * F.col("n_tok"))
-            & (F.col("sum_len") <= 10 * F.col("n_tok")),
-            0,
-        )
-        .otherwise(1)
-        .alias("f_word_len"),
-        F.when(10 * F.col("n_uniq") >= 3 * F.col("n_tok"), 0).otherwise(1).alias("f_uniq"),
-        F.when(F.col("stop_hits") >= 2, 0).otherwise(1).alias("f_stop"),
-    )
+    m = docs.select("lang", *quality_metrics(F.col("text")))
+    flags = m.select("lang", *quality_flags())
     return (
         flags.groupBy("lang")
         .agg(

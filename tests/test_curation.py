@@ -61,6 +61,46 @@ def test_shard_manifest_covers_corpus_and_is_stable(spark):
     assert max(r.n_docs for r in a) < 4 * mean
 
 
+def test_curate_split_accounts_every_doc(spark):
+    from eventsgateway_spark.operators.curation import curate
+    from eventsgateway_spark.queries._util import table
+
+    docs = table(spark, SF_ORACLE, "documents")
+    split = curate(docs)
+    kept, quar = split.kept.count(), split.quarantine.count()
+    assert kept + quar == docs.count()
+    assert kept > 0 and quar > 0  # fixture exercises both paths
+    reasons = {r.reject_reason for r in split.quarantine.select("reject_reason").distinct().collect()}
+    assert reasons <= {"bad_length", "bad_word_length", "low_unique_ratio", "no_stopwords"}
+
+
+def test_curate_streaming_matches_batch(spark, tmp_path):
+    """curate() is stateless, so the identical call must produce the
+    identical kept-set on a file stream as on the batch frame."""
+    from eventsgateway_spark.operators.curation import curate
+    from eventsgateway_spark.queries._util import table
+
+    docs = table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    batch_kept = {r.doc_id for r in curate(spark.read.parquet(src)).kept.collect()}
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        curate(stream)
+        .kept.writeStream.format("memory")
+        .queryName("curate_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_kept = {
+        r.doc_id for r in spark.sql("select doc_id from curate_stream_test").collect()
+    }
+    assert stream_kept == batch_kept and len(batch_kept) > 0
+
+
 def test_bm25_prefers_rare_term_docs(spark):
     """Docs containing the rare term 'dup' (df~25 of 500) must
     dominate the top ranks over docs matching only common terms."""
