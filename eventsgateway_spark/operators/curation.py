@@ -22,13 +22,18 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from eventsgateway_spark.functions.text import EN_STOPWORDS, tokens
+from eventsgateway_spark.functions.text import EN_STOPWORDS, count_in, tokens
 
 # PII patterns restricted to the RE2-and-Java-common regex subset
-# (char classes + bounded repeats; no lookaround/backrefs) so the same
-# patterns run under Spark (java.util.regex) and any RE2-based engine.
-EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,4}"
-IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+# (char classes + bounded repeats + (?i) + \b; no lookaround/backrefs)
+# so the same patterns run under Spark (java.util.regex) and any
+# RE2-based engine. Case-insensitive and open-ended TLD so real-world
+# addresses ('User@Example.COM', 'foo@bar.systems') are caught; the IP
+# pattern is \b-anchored so it cannot fire inside longer digit runs
+# ('v1.2.3.4567'). Octets are not range-checked (999.999.999.999 still
+# redacts) — over-redaction is the safe failure mode for a scrubber.
+EMAIL_RE = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+IP_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 PHONE_RE = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
 # Gopher-style rule bounds (Rae et al. 2021 §A1.1), re-bounded for the
@@ -65,7 +70,7 @@ def quality_metrics(text: Column) -> list[Column]:
         F.aggregate(
             F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
         ).alias("sum_len"),
-        F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS))).alias("stop_hits"),
+        count_in(toks, EN_STOPWORDS).alias("stop_hits"),
     ]
 
 
@@ -100,10 +105,17 @@ class CurationSplit:
 def curate(df: DataFrame, text_col: str = "text") -> CurationSplit:
     """Redact PII, apply the quality rules, and split into
     (kept, quarantine); quarantined rows carry ``reject_reason`` =
-    the first failing rule. Works unchanged on streaming frames."""
-    flagged = df.select(
-        *df.columns, *quality_metrics(F.col(text_col))
-    ).select(*df.columns, *quality_flags())
+    the first failing rule. Works unchanged on streaming frames.
+
+    Redaction happens BEFORE the split (flags are computed from the
+    pre-redaction metrics, which don't depend on PII placeholders), so
+    the quarantine side-output shipped to a review bucket is scrubbed
+    too — raw PII never leaves the curation stage."""
+    flagged = (
+        df.select(*df.columns, *quality_metrics(F.col(text_col)))
+        .select(*df.columns, *quality_flags())
+        .withColumn(text_col, redact_pii(F.col(text_col)))
+    )
     passes = (
         (F.col("f_len") + F.col("f_word_len") + F.col("f_uniq") + F.col("f_stop")) == 0
     )
@@ -113,11 +125,7 @@ def curate(df: DataFrame, text_col: str = "text") -> CurationSplit:
         .when(F.col("f_uniq") == 1, "low_unique_ratio")
         .otherwise("no_stopwords")
     )
-    kept = (
-        flagged.filter(passes)
-        .withColumn(text_col, redact_pii(F.col(text_col)))
-        .drop("f_len", "f_word_len", "f_uniq", "f_stop")
-    )
+    kept = flagged.filter(passes).drop("f_len", "f_word_len", "f_uniq", "f_stop")
     quarantine = (
         flagged.filter(~passes)
         .withColumn("reject_reason", reason)

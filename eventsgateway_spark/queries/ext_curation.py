@@ -40,7 +40,7 @@ from pyspark.sql.window import Window
 
 from eventsgateway_spark.functions.text import EN_STOPWORDS, tokens
 from eventsgateway_spark.queries import query
-from eventsgateway_spark.queries._util import spread, table
+from eventsgateway_spark.queries._util import input_bytes, spread, table
 
 _DUCK_TOKS = "[x FOR x IN string_split(text, ' ') IF x <> '']"
 
@@ -123,7 +123,6 @@ _DUCK_REDACT = (
 
 @query(
     "q66_pii_redaction",
-    declared=False,
     oracle=f"""
     WITH planted AS (
         SELECT doc_id, source, ({_DUCK_PLANT}) AS text FROM documents
@@ -197,7 +196,6 @@ _EN_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
 @query(
     "q67_quality_rules",
-    declared=False,
     oracle=f"""
     WITH t AS (
         SELECT lang, {_DUCK_TOKS} AS toks FROM documents
@@ -269,8 +267,26 @@ def q67_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _N_SHARDS = 32
-_DUCK_SHARD = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32"
+# Oracle modulus interpolated from the SAME constant as the Spark side
+# so the two can never silently desync (ADVICE r4).
+_DUCK_SHARD = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    f" % {_N_SHARDS}"
+)
 _DUCK_ORD = "substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)"
+
+# Scale rule: ~1 GiB of raw corpus per export shard. At fixture/bench
+# scale (<32 GiB input) this floors at _N_SHARDS=32 — matching the
+# oracle — while a 100 TB corpus gets ~100k shards, so the per-shard
+# window sort stays a ~1 GiB single-task sort instead of ~3 TB.
+_TARGET_SHARD_BYTES = 1 << 30
+
+
+def shard_count(df: DataFrame) -> int:
+    """Input-size-derived shard count: max(32, bytes/1GiB), capped so
+    an unknown-size input (reported as 'huge') cannot explode the
+    manifest."""
+    return int(min(max(_N_SHARDS, input_bytes(df) // _TARGET_SHARD_BYTES), 1 << 20))
 
 
 def shard_of(key: F.Column, n_shards: int = _N_SHARDS) -> F.Column:
@@ -283,7 +299,6 @@ def shard_of(key: F.Column, n_shards: int = _N_SHARDS) -> F.Column:
 
 @query(
     "q68_shard_manifest",
-    declared=False,
     oracle=f"""
     WITH s AS (
         SELECT doc_id, n_chars,
@@ -311,13 +326,16 @@ def q68_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     with doc_id or ingest order, which is exactly what a training-data
     export needs (hash-bucketed files, shuffled within each). One
     shuffle on the shard key + per-shard window sort = the exact work
-    the physical export would do; the manifest is 32 rows."""
+    the physical export would do; the manifest is 32 rows at fixture
+    scale, and the shard count grows with input size (``shard_count``:
+    ~1 GiB per shard) so each per-shard sort stays single-task-sized at
+    any corpus scale."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     ordkey = F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8)
     s = docs.select(
         "doc_id",
         "n_chars",
-        shard_of(F.col("doc_id")).alias("shard"),
+        shard_of(F.col("doc_id"), shard_count(docs)).alias("shard"),
         ordkey.alias("ord"),
     ).withColumn(
         "pos",
@@ -358,7 +376,6 @@ def _contrib_sql(term: str) -> str:
 
 @query(
     "q69_bm25_topk",
-    declared=False,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
@@ -447,10 +464,15 @@ def q69_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("score"),
     )
+    # Distributed top-k: orderBy+limit plans as TakeOrderedAndProject
+    # (per-partition partial top-10, then a 10-row merge on the driver)
+    # — never a corpus-wide single-partition sort. The rank window then
+    # runs over exactly 10 rows, so its SinglePartition exchange is a
+    # constant-size no-op at any scale (pinned by test_plans.py).
+    top10 = ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        ranked.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        top10.withColumn("rank", F.row_number().over(w))
         .select("rank", "doc_id", "score")
         .orderBy("rank")
     )

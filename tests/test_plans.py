@@ -309,6 +309,24 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
     assert j.count() == 20
 
 
+def test_q69_topk_is_take_ordered(spark):
+    """q69's final ranking must be a distributed partial top-k
+    (TakeOrderedAndProject), never a corpus-wide single-partition sort:
+    for common query terms the matching-doc set is corpus-scale, and a
+    global row_number window would funnel it into one task. The only
+    SinglePartition exchange allowed is the rank window over the
+    already-collected 10 rows."""
+    plan = _plan(spark, "q69_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    # everything ABOVE the top-k (printed first: Sort/Project/rank
+    # Window) operates on the 10 collected rows and must need no
+    # exchange at all; the global-scalar stats aggregate below may keep
+    # its 1-row Exchange SinglePartition.
+    above_topk = plan.split("TakeOrderedAndProject", 1)[0]
+    assert "Window" in above_topk  # rank computed after the top-k
+    assert "Exchange" not in above_topk
+
+
 def test_decontamination_broadcasts_eval_grams(spark):
     """q53's eval-side gram set must broadcast (it scales with benchmark
     size, not corpus size) — the training-gram scan never shuffles for
