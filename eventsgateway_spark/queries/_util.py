@@ -134,6 +134,18 @@ def pin(df: DataFrame) -> DataFrame:
     return df if is_fixture_scale(df) else df.localCheckpoint()
 
 
+def arrow_scorer() -> bool:
+    """Opt-in Arrow fast path (``SPARK_GRAFT_ARROW_SCORER=1``) for the
+    interpreted higher-order-function folds in the dedup/similarity
+    verify steps (shingle construction, pair dot products). Default
+    OFF: the JVM folds are bit-reproducible against the DuckDB oracle
+    and measured faster at fixture dims (Arrow transfer cancels the
+    numpy win — functions/vectors.py); the Arrow path pays off when
+    per-row compute outgrows transfer (long docs, high-dim vectors).
+    Both paths produce identical query results (tests/test_ext.py)."""
+    return os.environ.get("SPARK_GRAFT_ARROW_SCORER", "") == "1"
+
+
 def money(col_name: str) -> F.Column:
     """Exact decimal view of a 2-decimal double column."""
     return F.col(col_name).cast(DEC)

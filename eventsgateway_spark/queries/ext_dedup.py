@@ -30,9 +30,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from eventsgateway_spark.functions.text import ngrams, token_hash32, tokens
+from eventsgateway_spark.functions.text import (
+    ngrams,
+    shingles_arrow,
+    token_hash32,
+    tokens,
+)
+from eventsgateway_spark.operators.components import connected_components
 from eventsgateway_spark.queries import query
-from eventsgateway_spark.queries._util import pin, spread, table
+from eventsgateway_spark.queries._util import arrow_scorer, pin, spread, table
 
 _DUCK_TOKS = "[x FOR x IN string_split(text, ' ') IF x <> '']"
 
@@ -73,13 +79,25 @@ def doc_shingles(
     against the hot-shingle list: the list of shingles with df > cap
     is tiny by construction, so the prune costs no shuffle and no sort
     (a window count would sort every partition by s)."""
-    sh = pin(
-        spread(docs.select("doc_id", "text"))
-        # project toks first — inlined, the split+filter subtree is
-        # re-evaluated per n-gram lambda reference (5× slower)
-        .select("doc_id", tokens("text").alias("toks"))
-        .select("doc_id", F.explode(F.array_distinct(ngrams(F.col("toks"), n))).alias("s"))
-    )
+    base = spread(docs.select("doc_id", "text"))
+    if arrow_scorer():
+        # Arrow fast path: C-backed split/join per batch instead of the
+        # interpreted JVM HOF pipeline; identical shingle strings.
+        shingled = base.select(
+            "doc_id", F.explode(shingles_arrow(F.col("text"), n)).alias("s")
+        )
+    else:
+        shingled = (
+            base
+            # project toks first — inlined, the split+filter subtree is
+            # re-evaluated per n-gram lambda reference (5× slower)
+            .select("doc_id", tokens("text").alias("toks"))
+            .select(
+                "doc_id",
+                F.explode(F.array_distinct(ngrams(F.col("toks"), n))).alias("s"),
+            )
+        )
+    sh = pin(shingled)
     hot = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -351,49 +369,16 @@ def q32_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters = connected components over the Jaccard≥0.5
     pair graph; cluster id is the minimum member doc_id.
 
-    Hash-to-min label propagation: each iteration every node adopts the
-    minimum label among itself and its neighbors (one equi-join + one
-    hash-aggregate per iteration); converges in O(component diameter)
-    iterations — duplicate clusters are shallow, so typically 2-4. The
-    loop runs on DataFrames with ``localCheckpoint`` to cut lineage;
-    no driver-side graph materialization.
-    """
+    Components come from alternating large-star/small-star contraction
+    (operators/components.py): O(log n) full-graph rounds regardless of
+    component diameter, so a viral duplicate cluster — a long pairwise
+    chain, the failure mode of the previous hash-to-min loop — cannot
+    stall convergence at corpus scale. Iteration count on a synthetic
+    giant chain is pinned by tests/test_components.py."""
     edges = jaccard_pairs(doc_shingles(table(spark, sf_dir, "documents")), 0.5).select(
-        "d1", "d2"
+        F.col("d1").alias("u"), F.col("d2").alias("v")
     )
-    und = edges.select(F.col("d1").alias("u"), F.col("d2").alias("v")).unionAll(
-        edges.select(F.col("d2").alias("u"), F.col("d1").alias("v"))
-    )
-    und = und.localCheckpoint()
-    labels = und.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    while True:
-        nbr = (
-            und.join(labels, und.v == labels.node)
-            .groupBy(und.u)
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        # The convergence check rides the SAME job as the label update:
-        # keep the pre-update label through the lazy checkpoint, so the
-        # changed-row count is a filter over the just-materialized
-        # checkpoint partitions — each iteration is exactly one real job
-        # (join + label update), not a second join pass over the labels.
-        updated = (
-            labels.join(nbr, labels.node == nbr.u, "left")
-            .select(
-                "node",
-                F.col("label").alias("_old"),
-                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint(eager=False)
-        )
-        changed = updated.filter(F.col("label") < F.col("_old")).count()
-        labels = updated.select("node", "label")
-        if changed == 0:
-            break
+    labels = connected_components(edges).labels
     return (
         labels.select(
             F.col("node").alias("doc_id"),
@@ -506,6 +491,7 @@ _HAM_BANDS_SQL = "\n        UNION ALL ".join(
 
 @query(
     "q63_simhash_hamming_pairs",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle=f"""
     WITH {_sig_ctes(HAM_SIG_BITS)},
     bands AS ({_HAM_BANDS_SQL}),

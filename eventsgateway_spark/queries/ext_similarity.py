@@ -37,7 +37,7 @@ from eventsgateway_spark.functions.vectors import (
     norm,
 )
 from eventsgateway_spark.queries import query
-from eventsgateway_spark.queries._util import pin, spread, table
+from eventsgateway_spark.queries._util import arrow_scorer, pin, spread, table
 
 # DuckDB-side mirrors of the sequential folds in functions.vectors.
 _DUCK_NORM = "sqrt(list_sum(list_transform(e, x -> x*x)))"
@@ -237,6 +237,7 @@ def ann_topk_bucketed(
 
 @query(
     "q35_embedding_stats",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle=f"""
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings),
@@ -393,13 +394,18 @@ def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table, which at corpus scale cannot ship to every executor. These
     # are plain equi-joins on vec_id; AQE still picks broadcast when the
     # table is genuinely small (fixtures), and shuffles when it isn't.
+    # verify-step scorer: JVM fold by default (bit-reproducible vs the
+    # oracle); SPARK_GRAFT_ARROW_SCORER=1 swaps in the einsum batch
+    # scorer for high-dim corpora (identical at the 1e-6 output
+    # quantization — tests/test_ext.py pins flag-on/off equality).
+    pair_dot = dot_arrow if arrow_scorer() else dot
     return (
         cand.join(a, "id1")
         .join(z, "id2")
         .select(
             "id1",
             "id2",
-            F.round(dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")) * 1e6)
+            F.round(pair_dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")) * 1e6)
             .cast("bigint")
             .alias("cos_sim_u"),
         )

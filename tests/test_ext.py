@@ -464,3 +464,34 @@ def test_ann_arrow_scorer_agrees_with_fold(spark):
         for r in ann_topk_bucketed(emb, queries, k=3, scorer="arrow").collect()
     }
     assert fold == arrow and len(fold) > 0
+
+
+def test_arrow_scorer_flag_parity(spark, monkeypatch):
+    """SPARK_GRAFT_ARROW_SCORER=1 must leave q30 (Arrow shingles) and
+    q38 (Arrow pair-dot) results byte-identical to the default JVM
+    folds — the flag is a physical fast path, never a semantic knob."""
+    from eventsgateway_spark.queries import QUERIES
+
+    def rows(name):
+        return [tuple(r) for r in QUERIES[name](spark, SF_ORACLE).collect()]
+
+    monkeypatch.delenv("SPARK_GRAFT_ARROW_SCORER", raising=False)
+    base30, base38 = rows("q30_jaccard_pairs"), rows("q38_embedding_near_dup")
+    monkeypatch.setenv("SPARK_GRAFT_ARROW_SCORER", "1")
+    assert rows("q30_jaccard_pairs") == base30 and len(base30) > 0
+    assert rows("q38_embedding_near_dup") == base38 and len(base38) > 0
+
+
+def test_shingles_arrow_matches_jvm(spark):
+    """shingles_arrow must emit exactly array_distinct(ngrams(tokens))."""
+    from eventsgateway_spark.functions.text import ngrams, shingles_arrow, tokens
+
+    df = spark.createDataFrame(
+        [("a b c d e",), ("x x x",), ("one two",), ("",), ("  padded   toks  a b c",)],
+        "text string",
+    )
+    jvm = df.select(
+        F.array_distinct(ngrams(tokens("text"), 3)).alias("s")
+    ).collect()
+    arw = df.select(shingles_arrow(F.col("text"), 3).alias("s")).collect()
+    assert [r["s"] for r in jvm] == [r["s"] for r in arw]
