@@ -33,10 +33,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Exactly the declared subset (<= the driver's 50-query evaluation
-    window, so every declared query gets a correctness row each round);
-    the full registry — including local-only representatives of already
-    covered families — is oracle-tested by pytest and timed by bench.py.
+    Exactly 50 queries (the driver's evaluation window): a static tier
+    of family representatives plus this round's members of the
+    rotation groups (SURVEY §2.5) — redundant same-family examples
+    share a slot and alternate by round, so every query in the full
+    registry gets a driver correctness row at least every 2 rounds.
+    The full registry is oracle-tested by pytest and timed by bench.py
+    every round.
     """
     return dict(DECLARED_QUERIES)
 

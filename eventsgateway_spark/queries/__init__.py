@@ -18,10 +18,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 # Driver-facing subset. The driver evaluates at most 50 queries per
-# round in registration order; the full registry is larger, so each
-# operator family nominates representatives here (exactly <= 50) and
-# the rest stay local-only (still oracle-tested by pytest and timed by
-# bench.py). ``declared=False`` marks a query as local-only.
+# round; the full registry is larger, so the declared set is built in
+# two tiers (SURVEY §2.5):
+#   * STATIC — ``declared=True`` at registration: the sole/strongest
+#     representative of each operator family, declared every round.
+#   * ROTATION — pairs of mutually-redundant queries registered
+#     ``declared=False``; each pair owns ONE declared slot and the
+#     member alternates by round parity, so every pool query gets a
+#     driver correctness row at least every 2 rounds.
+# Everything not declared in a given round is still DuckDB-oracle-
+# tested by pytest and timed by bench.py.
 DECLARED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 DECLARED_ORACLE_SQL: dict[str, str] = {}
 
@@ -68,10 +74,114 @@ from eventsgateway_spark.queries import ext_curation  # noqa: E402,F401
 from eventsgateway_spark.queries import events  # noqa: E402,F401
 from eventsgateway_spark.queries import relational  # noqa: E402,F401
 
+# ---------------------------------------------------------------------------
+# Rotation (SURVEY §2.5): groups of mutually-redundant queries sharing
+# one declared slot; member ``group[round % len(group)]`` is declared,
+# so every pool query gets a driver correctness row with a gap of at
+# most ``len(group) - 1`` rounds (1 for pairs, 2 for triples — never
+# more than the 2-round ceiling). Groups are chosen so that in EVERY
+# rotation phase each §2 operator family keeps >=1 declared
+# representative via the static tier or an in-rotation sibling (the
+# only family with no static representative is Q12 array/map, whose
+# two reps q13/q21 therefore share a group; audited by
+# tests/test_registry.py).
+# ---------------------------------------------------------------------------
+ROTATION: list[tuple[str, ...]] = [
+    ("q13_props_json_extract", "q21_token_explode"),  # Q12: must stay a pair
+    ("q05_priority_with_bulk_lineitems", "q12_late_shipments"),
+    ("q45_gap_fill_daily", "q14_user_running_stats"),
+    ("q35_embedding_stats", "q20_grouping_sets_lineitem"),
+    ("q19_fullouter_daily_activity", "q42_above_avg_spenders"),
+    ("q55_cohort_retention", "q56_repetition_ratio"),
+    ("q44_pivot_daily_matrix", "q49_salted_hot_key_agg"),
+    ("q46_moving_7day_revenue", "q57_spend_deciles"),
+    ("q41_grouped_pandas_rank", "q58_exact_moments"),
+    # triples hold the most-redundant examples (2-round max gap)
+    ("q25_tfidf_topk", "q26_language_id", "q27_quality_score"),
+    ("q63_simhash_hamming_pairs", "q39_simhash", "q28_fingerprint"),
+    ("q64_active_users", "q18_sessionize", "q59_clean_conversion"),
+    ("q62_salted_topk_orders", "q54_funnel", "q48_balanced_sample"),
+]
+
+# Approximate by nature (approx_count_distinct / HLL) — can never
+# hash-match a DuckDB oracle, so they never burn a driver slot; their
+# correctness lives in pytest tolerance tests (tests/test_approx.py).
+ALWAYS_LOCAL = {"q23_approx_distinct_users", "q50_hll_sketch_rollup"}
+
+# Used when no CORRECTNESS_r*.json is present to infer the round from
+# (fresh checkout without driver artifacts).
+_FALLBACK_ROUND = 5
+
+
+def current_round() -> int:
+    """Build-round number: 1 + the highest driver correctness artifact
+    committed at the repo root (the driver writes CORRECTNESS_r{N}.json
+    AFTER evaluating round N, so during round N the max on disk is
+    N-1). ``SPARK_GRAFT_ROUND`` overrides for tests."""
+    import os
+    import re
+
+    override = os.environ.get("SPARK_GRAFT_ROUND")
+    if override:
+        return int(override)
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    rounds = []
+    try:
+        for fname in os.listdir(root):
+            m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+            if m:
+                rounds.append(int(m.group(1)))
+    except OSError:
+        pass
+    return max(rounds) + 1 if rounds else _FALLBACK_ROUND
+
+
+def rotated_declared(
+    round_no: int | None = None,
+) -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
+    """The full declared set for ``round_no``: this round's rotation
+    members FIRST (they have the thinnest driver-verification history,
+    and the driver's evaluation budget runs in registration order —
+    r2 starved the tail), then the static tier in registration order."""
+    rn = current_round() if round_no is None else round_no
+    rotated = [group[rn % len(group)] for group in ROTATION]
+    missing = [n for n in rotated if n not in QUERIES]
+    assert not missing, f"ROTATION names unknown queries: {missing}"
+    overlap = [n for pair in ROTATION for n in pair if n in STATIC_QUERIES]
+    assert not overlap, (
+        f"rotation-pool members must register declared=False: {overlap}"
+    )
+    qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    osql: dict[str, str] = {}
+    for n in rotated:
+        qs[n] = QUERIES[n]
+        if n in ORACLE_SQL:
+            osql[n] = ORACLE_SQL[n]
+    for n, fn in STATIC_QUERIES.items():
+        qs[n] = fn
+        if n in STATIC_ORACLE_SQL:
+            osql[n] = STATIC_ORACLE_SQL[n]
+    assert len(qs) <= _DRIVER_QUERY_CAP, (
+        f"declared set ({len(qs)}) exceeds the driver's "
+        f"{_DRIVER_QUERY_CAP}-query evaluation window"
+    )
+    return qs, osql
+
+
+# Snapshot the static tier, then replace the exported declared view
+# with this round's rotated full set; __spark_entry__ re-exports it.
+STATIC_QUERIES = dict(DECLARED_QUERIES)
+STATIC_ORACLE_SQL = dict(DECLARED_ORACLE_SQL)
+DECLARED_QUERIES, DECLARED_ORACLE_SQL = rotated_declared()
+
 __all__ = [
     "QUERIES",
     "ORACLE_SQL",
     "DECLARED_QUERIES",
     "DECLARED_ORACLE_SQL",
+    "ROTATION",
+    "ALWAYS_LOCAL",
+    "current_round",
+    "rotated_declared",
     "query",
 ]

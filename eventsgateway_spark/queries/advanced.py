@@ -20,6 +20,7 @@ from eventsgateway_spark.queries._util import as_double, table
 
 @query(
     "q19_fullouter_daily_activity",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle="""
     WITH s AS (
         SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_signups
@@ -208,7 +209,7 @@ def q23_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q50_hll_sketch_rollup")
+@query("q50_hll_sketch_rollup", declared=False)  # no-oracle by nature; pytest tolerance-tested (test_approx.py)
 def q50_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (Apache DataSketches HLL via
     ``hll_sketch_agg`` / ``hll_union_agg``): per-(event_type, day) user
@@ -243,6 +244,7 @@ def q50_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q41_grouped_pandas_rank",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle="""
     SELECT user_id, event_id,
            CAST(ROW_NUMBER() OVER (PARTITION BY user_id

@@ -61,6 +61,7 @@ def q01_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q13_props_json_extract",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle="""
     SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS BIGINT) AS k_bucket,
            COUNT(*) AS n_events,
@@ -255,6 +256,7 @@ def q17_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q18_sessionize",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle="""
     WITH lagged AS (
         SELECT user_id, event_id, ts,
@@ -379,6 +381,7 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 @query(
     "q44_pivot_daily_matrix",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle="""
     SELECT CAST(ts AS DATE) AS event_date,
            -- CAST: DuckDB SUM(int) is HUGEINT, which pandas renders as
@@ -438,6 +441,7 @@ def q44_pivot_daily_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q45_gap_fill_daily",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle="""
     WITH spine AS (
         SELECT CAST(unnest(generate_series(DATE '2023-12-25',
@@ -557,6 +561,7 @@ def q49_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q54_funnel",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle="""
     WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events
                WHERE event_type = 'signup' GROUP BY 1),
@@ -630,6 +635,7 @@ def q54_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q55_cohort_retention",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle="""
     WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_d
                FROM events GROUP BY 1),
@@ -820,6 +826,7 @@ def q61_skew_safe_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q64_active_users",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle="""
     WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
     contrib AS (SELECT CAST(unnest(generate_series(d, d + 6, INTERVAL 1 DAY))

@@ -111,6 +111,7 @@ def q47_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q48_balanced_sample",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle="""
     WITH r AS (
         SELECT lang, doc_id,

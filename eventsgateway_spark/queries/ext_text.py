@@ -83,6 +83,7 @@ def q24_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q25_tfidf_topk",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle=f"""
     WITH tf AS (
         SELECT doc_id, t AS term, COUNT(*) AS tf

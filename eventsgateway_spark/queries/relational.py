@@ -102,6 +102,7 @@ def q03_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFr
 
 @query(
     "q05_priority_with_bulk_lineitems",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle="""
     SELECT o.o_orderpriority AS o_orderpriority, COUNT(*) AS n_orders
     FROM orders o
@@ -530,6 +531,7 @@ def q42_above_avg_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q46_moving_7day_revenue",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle="""
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS order_date,
@@ -733,6 +735,7 @@ def q58_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q62_salted_topk_orders",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle="""
     WITH o AS (SELECT o_custkey, o_orderkey,
                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

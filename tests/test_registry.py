@@ -1,0 +1,114 @@
+"""Registry-rotation invariants (SURVEY §2.5).
+
+The driver evaluates at most 50 queries per round; the rotation must
+guarantee (a) the cap is met every round, (b) every query gets a
+driver correctness row with a gap of at most 2 rounds (except the
+by-nature-approximate ALWAYS_LOCAL pair), and (c) every §2 operator
+family keeps >=1 declared representative in every rotation phase.
+These are pure-registry tests — no Spark session needed.
+"""
+
+from __future__ import annotations
+
+import eventsgateway_spark.queries as Q
+
+# Family -> member queries (from SURVEY §2.5 / VERDICT coverage table).
+# A family passes a round if ANY member is declared that round.
+FAMILIES: dict[str, list[str]] = {
+    "Q1_projection_filter": ["q01_daily_event_counts", "q11_scalar_gallery"],
+    "Q2_equi_join": ["q02_revenue_by_nation", "q05_priority_with_bulk_lineitems"],
+    "Q3_semi_anti": ["q03_customers_without_big_orders"],
+    "Q4_theta_range": ["q04_price_band_join"],
+    "Q5_asof": ["q37_asof_purchase_view"],
+    "Q6_agg_rollup_cube_pivot": [
+        "q06_pricing_summary",
+        "q07_rollup_revenue",
+        "q17_cube_event_stats",
+        "q44_pivot_daily_matrix",
+        "q20_grouping_sets_lineitem",
+    ],
+    "Q8_window": [
+        "q08_top3_orders_per_customer",
+        "q46_moving_7day_revenue",
+        "q61_skew_safe_running_sum",
+    ],
+    "Q9_topk": ["q09_top10_customers_by_spend"],
+    "Q10_setops": ["q10_segment_set_ops"],
+    "Q11_scalar": ["q11_scalar_gallery"],
+    "Q12_array_map": ["q13_props_json_extract", "q21_token_explode"],
+    "Q15_dedup": ["q16_dedup_latest_per_user_type"],
+    "Q16_udf": ["q22_pandas_udf_scoring", "q41_grouped_pandas_rank"],
+    "Q17_text": ["q24_bigram_counts", "q40_token_budget", "q65_text_profile"],
+    "Q18_similarity": ["q33_cosine_top3", "q34_lsh_buckets", "q43_ivf_ann"],
+    "Q19_fuzzy_dedup": [
+        "q29_exact_dedup_groups",
+        "q30_jaccard_pairs",
+        "q31_minhash_lsh_pairs",
+        "q32_dedup_clusters",
+    ],
+    "Q20_multimodal": ["q36_binary_payloads", "q52_embedding_quantize"],
+    "Q21_curation": [
+        "q66_pii_redaction",
+        "q67_quality_rules",
+        "q68_shard_manifest",
+        "q69_bm25_topk",
+    ],
+    "sampling": ["q47_hash_split", "q48_balanced_sample"],
+    "pipeline": ["q60_corpus_prep"],
+    "skew": ["q61_skew_safe_running_sum", "q62_salted_topk_orders"],
+}
+
+
+def test_registry_partition():
+    """static + rotation pool + always-local partitions the registry."""
+    pool = {n for g in Q.ROTATION for n in g}
+    static = set(Q.STATIC_QUERIES)
+    assert not pool & static
+    assert not pool & Q.ALWAYS_LOCAL
+    assert not static & Q.ALWAYS_LOCAL
+    assert pool | static | Q.ALWAYS_LOCAL == set(Q.QUERIES)
+    # no query sits in two rotation groups
+    assert len(pool) == sum(len(g) for g in Q.ROTATION)
+
+
+def test_declared_is_exactly_cap_every_phase():
+    for rn in range(1, 13):
+        qs, osql = Q.rotated_declared(rn)
+        assert len(qs) == 50, rn
+        # every declared query carries an oracle — the driver can
+        # hash-check 100% of the declared surface
+        assert set(osql) == set(qs), rn
+
+
+def test_max_gap_without_driver_row_is_two_rounds():
+    tracked = set(Q.QUERIES) - Q.ALWAYS_LOCAL
+    gap = dict.fromkeys(tracked, 0)
+    for rn in range(1, 16):
+        dec = set(Q.rotated_declared(rn)[0])
+        for n in tracked:
+            gap[n] = 0 if n in dec else gap[n] + 1
+            if rn > 3:  # after one full cycle of the longest group
+                assert gap[n] <= 2, (n, rn)
+
+
+def test_family_coverage_every_phase():
+    for rn in range(1, 13):
+        dec = set(Q.rotated_declared(rn)[0])
+        for fam, members in FAMILIES.items():
+            assert dec & set(members), (fam, rn)
+
+
+def test_always_local_is_only_the_unhashable():
+    """Only by-nature-approximate queries may be exempt from rotation,
+    and they must still be registered (pytest-tested)."""
+    assert Q.ALWAYS_LOCAL <= set(Q.QUERIES)
+    for n in Q.ALWAYS_LOCAL:
+        assert n not in Q.ORACLE_SQL, n  # no oracle = can't hash-match
+
+
+def test_current_round_reads_driver_artifacts(monkeypatch, tmp_path):
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
+    assert Q.current_round() == 7
+    monkeypatch.delenv("SPARK_GRAFT_ROUND")
+    # with the real repo root present this is >= 5 (r1-r4 committed)
+    assert Q.current_round() >= 5
