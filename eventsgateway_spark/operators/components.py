@@ -16,18 +16,21 @@ giant-chain component.
 
 Execution shape per round: two grouped aggregations + two equi-joins
 on the (current) edge set — all hash-shuffles on node ids, no
-driver-side graph state, lineage cut by ``localCheckpoint``.
-Convergence is detected by an order-insensitive edge-set signature
-(count + sum of xxhash64(u,v)) — one scalar aggregate per round,
-compared driver-side; a signature collision would surface as an
-oracle mismatch in q32's hash-checked output, not silent corruption.
+driver-side graph state, lineage cut by ``localCheckpoint``. Exactly
+ONE job per round: the convergence signature (count + order-
+insensitive hash sum of the edge set) rides the checkpoint
+materialization as an ``observe()`` metric instead of a second pass;
+only the SMALL-star output is deduplicated (the large-star output
+feeds straight into small-star's aggregates, which absorb duplicate
+edges for free). A signature collision would surface as an oracle
+mismatch in q32's hash-checked output, not silent corruption.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -38,20 +41,22 @@ class CCResult:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
+    Output may carry duplicate edges — the consumer (small-star) is
+    duplicate-insensitive, so no dedup shuffle is spent here."""
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     return (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.least("u", "mn").alias("v"))
-        .distinct()
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Orient edges large→small, then connect every smaller neighbor
-    (and u itself) to the neighborhood minimum."""
+    (and u itself) to the neighborhood minimum. Output is distinct —
+    this is the round boundary the convergence signature hashes."""
     oriented = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v"))
@@ -65,13 +70,20 @@ def _small_star(e: DataFrame) -> DataFrame:
     return rewired.union(self_edges).distinct()
 
 
-def _signature(e: DataFrame):
-    """Order-insensitive edge-set signature: (row count, hash sum)."""
-    return e.agg(
+def _checkpoint_with_signature(e: DataFrame) -> tuple[DataFrame, tuple]:
+    """Materialize ``e`` (localCheckpoint) and return its convergence
+    signature (row count, order-insensitive hash sum) computed BY the
+    same job via observe() — no second pass over the edge set. The
+    hash sum is a decimal so ANSI bigint math can't overflow."""
+    obs = Observation()
+    observed = e.observe(
+        obs,
         F.count(F.lit(1)).alias("n"),
-        # decimal sum: 2^63-scale terms can't overflow ANSI bigint math
         F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-    ).first()
+    )
+    ckpt = observed.localCheckpoint()
+    got = obs.get
+    return ckpt, (got["n"], got["h"])
 
 
 def connected_components(edges: DataFrame, max_iter: int = 50) -> CCResult:
@@ -81,22 +93,19 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> CCResult:
     Nodes are whatever orderable type the edge columns carry; self
     loops are ignored; isolated nodes don't appear (callers union
     singleton nodes themselves if they need them labelled)."""
-    e = (
-        edges.select("u", "v")
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+    e, sig = _checkpoint_with_signature(
+        edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
     )
-    if not e.take(1):
-        return CCResult(labels=e.select(F.col("u").alias("node"), F.col("v").alias("label")), iterations=0)
-    sig = _signature(e)
+    if sig[0] == 0:
+        return CCResult(
+            labels=e.select(F.col("u").alias("node"), F.col("v").alias("label")),
+            iterations=0,
+        )
     iterations = 0
     while iterations < max_iter:
-        e_next = _small_star(_large_star(e)).localCheckpoint()
+        e, sig_next = _checkpoint_with_signature(_small_star(_large_star(e)))
         iterations += 1
-        sig_next = _signature(e_next)
-        e = e_next
-        if (sig_next["n"], sig_next["h"]) == (sig["n"], sig["h"]):
+        if sig_next == sig:
             break
         sig = sig_next
     else:
