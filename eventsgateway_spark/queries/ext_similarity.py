@@ -656,3 +656,108 @@ def q52_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("err_u"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q70 — SemDeDup: semantic (embedding-cluster) deduplication
+# ---------------------------------------------------------------------------
+# Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication"): cluster the embedding space, then
+# compare pairs only WITHIN a cluster and drop all but one
+# representative of each near-duplicate group. The clustering is what
+# makes semantic dedup tractable — pairwise work is bounded by cell
+# occupancy, never corpus².  Keep-rule here: lowest vec_id in a
+# near-dup pair survives (deterministic; the paper's keep-choice is a
+# free parameter).
+
+SEMD_TAU_U = 400_000  # cosine >= 0.40, micro-unit scaled (q38's bound)
+
+
+@query(
+    "q70_semantic_dedup",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {IVF_K}),
+    d AS (SELECT v.vec_id, c.cid, {_DUCK_L2SQ} AS dist
+          FROM v CROSS JOIN c),
+    assign AS (SELECT vec_id, cid AS cell_id FROM
+               (SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM d)
+               WHERE rn = 1),
+    n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm
+          FROM v),
+    pairs AS (
+        SELECT a.vec_id AS id1, a.cell_id,
+               CAST(ROUND(list_sum(list_transform(range(1, len(x.e)+1),
+                                                  i -> x.e[i] * y.e[i]))
+                          / (x.nrm * y.nrm) * 1e6) AS BIGINT) AS cos_u
+        FROM assign a
+        JOIN assign b ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+        JOIN n x ON x.vec_id = a.vec_id
+        JOIN n y ON y.vec_id = b.vec_id
+    ),
+    prior AS (SELECT id1 AS vec_id, MAX(cos_u) AS max_prior_sim_u
+              FROM pairs GROUP BY 1)
+    SELECT a.vec_id, a.cell_id,
+           CASE WHEN COALESCE(p.max_prior_sim_u, -2000000) >= {SEMD_TAU_U}
+                THEN 1 ELSE 0 END AS dropped,
+           COALESCE(p.max_prior_sim_u, -2000000) AS max_prior_sim_u
+    FROM assign a LEFT JOIN prior p ON p.vec_id = a.vec_id
+    ORDER BY a.vec_id
+    """,
+)
+def q70_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over ``embeddings``: IVF-assign every vector to its
+    nearest deterministic centroid (map-only, centroids broadcast —
+    ivf_assign), then mark a vector dropped iff some SMALLER-id vector
+    in the same cell has cosine >= 0.40 (keep-first within each
+    near-dup group). Physical shape at 100 TB: one shuffle keyed by
+    cell_id for the within-cell pair join — pairwise work is bounded
+    by cell occupancy (k-means cells at scale; the cell count grows
+    with the corpus, holding occupancy roughly constant), never
+    corpus². Output: per-vector decision (vec_id, cell_id, dropped,
+    max_prior_sim_u), totally ordered."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    assign = pin(ivf_assign(emb))
+    a = assign.select(
+        F.col("vec_id").alias("id1"), F.col("e").alias("e1"),
+        F.col("nrm").alias("n1"), "cell_id",
+    )
+    b = assign.select(
+        F.col("vec_id").alias("id2"), F.col("e").alias("e2"),
+        F.col("nrm").alias("n2"), "cell_id",
+    )
+    pair_dot = dot_arrow if arrow_scorer() else dot
+    prior = (
+        a.join(b, "cell_id")
+        .filter(F.col("id2") < F.col("id1"))
+        .select(
+            F.col("id1").alias("vec_id"),
+            F.round(
+                pair_dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")) * 1e6
+            )
+            .cast("bigint")
+            .alias("cos_u"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cos_u").alias("max_prior_sim_u"))
+    )
+    sentinel = F.lit(-2_000_000).cast("bigint")
+    return (
+        assign.select("vec_id", "cell_id")
+        .join(prior, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.when(
+                F.coalesce("max_prior_sim_u", sentinel) >= SEMD_TAU_U, 1
+            )
+            .otherwise(0)
+            .alias("dropped"),
+            F.coalesce("max_prior_sim_u", sentinel).alias("max_prior_sim_u"),
+        )
+        .orderBy("vec_id")
+    )

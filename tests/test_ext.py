@@ -495,3 +495,29 @@ def test_shingles_arrow_matches_jvm(spark):
     ).collect()
     arw = df.select(shingles_arrow(F.col("text"), 3).alias("s")).collect()
     assert [r["s"] for r in jvm] == [r["s"] for r in arw]
+
+
+def test_semantic_dedup_keep_first_invariants(spark):
+    """q70 SemDeDup semantics: decisions partition the corpus; every
+    dropped vector has a SURVIVING smaller-id witness at >= tau in its
+    cell (keep-first is well-founded: the minimum id of any near-dup
+    group always survives)."""
+    from eventsgateway_spark.queries import QUERIES
+    from eventsgateway_spark.queries.ext_similarity import SEMD_TAU_U
+
+    rows = QUERIES["q70_semantic_dedup"](spark, SF_ORACLE).collect()
+    assert len(rows) == 500  # every vector gets a decision
+    dropped = [r for r in rows if r.dropped == 1]
+    kept = [r for r in rows if r.dropped == 0]
+    assert len(dropped) > 0 and len(kept) > 0
+    for r in dropped:
+        assert r.max_prior_sim_u >= SEMD_TAU_U
+    for r in kept:
+        assert r.max_prior_sim_u < SEMD_TAU_U
+    # the minimum vec_id in every cell can have no smaller-id neighbor
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r.cell_id, []).append(r)
+    for cell_rows in by_cell.values():
+        first = min(cell_rows, key=lambda r: r.vec_id)
+        assert first.dropped == 0

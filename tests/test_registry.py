@@ -39,7 +39,12 @@ FAMILIES: dict[str, list[str]] = {
     "Q15_dedup": ["q16_dedup_latest_per_user_type"],
     "Q16_udf": ["q22_pandas_udf_scoring", "q41_grouped_pandas_rank"],
     "Q17_text": ["q24_bigram_counts", "q40_token_budget", "q65_text_profile"],
-    "Q18_similarity": ["q33_cosine_top3", "q34_lsh_buckets", "q43_ivf_ann"],
+    "Q18_similarity": [
+        "q33_cosine_top3",
+        "q34_lsh_buckets",
+        "q43_ivf_ann",
+        "q70_semantic_dedup",
+    ],
     "Q19_fuzzy_dedup": [
         "q29_exact_dedup_groups",
         "q30_jaccard_pairs",
