@@ -119,3 +119,38 @@ def test_bm25_prefers_rare_term_docs(spark):
     }
     top3 = {r.doc_id for r in top[:3]}
     assert top3 <= dup_docs
+
+
+def test_pii_regexes_cover_real_world_shapes(spark):
+    """ADVICE r4: the production-facing scrubber must catch mixed-case
+    emails and long TLDs, and must NOT fire inside longer digit runs."""
+    from eventsgateway_spark.operators.curation import pii_count, redact_pii
+
+    rows = [
+        ("User@Example.COM wrote",),          # mixed case
+        ("ping foo@bar.systems ok",),         # >4-char TLD
+        ("version 1.2.3.4567 shipped",),      # NOT an IP (digit run)
+        ("from 10.0.0.7 at 999.999.999.999",),  # two IPs (octets unbounded)
+        ("call +1-555-123-4567 now",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(
+        redact_pii(F.col("text")).alias("red"), pii_count(F.col("text")).alias("n")
+    ).collect()
+    assert got[0].red == "<EMAIL> wrote" and got[0].n == 1
+    assert got[1].red == "ping <EMAIL> ok" and got[1].n == 1
+    assert got[2].red == "version 1.2.3.4567 shipped" and got[2].n == 0
+    assert got[3].red == "from <IP> at <IP>" and got[3].n == 2
+    assert got[4].red == "call <PHONE> now" and got[4].n == 1
+
+
+def test_curate_quarantine_is_redacted(spark):
+    """ADVICE r4: quarantined rows must not ship raw PII."""
+    from eventsgateway_spark.operators.curation import curate
+
+    df = spark.createDataFrame(
+        [("only threewords here mail Bob@Corp.IO",)], "text string"
+    )  # fails the min-token rule -> quarantined
+    split = curate(df)
+    q = split.quarantine.collect()
+    assert len(q) == 1 and "<EMAIL>" in q[0].text and "Bob@Corp.IO" not in q[0].text
