@@ -117,3 +117,12 @@ def test_current_round_reads_driver_artifacts(monkeypatch, tmp_path):
     monkeypatch.delenv("SPARK_GRAFT_ROUND")
     # with the real repo root present this is >= 5 (r1-r4 committed)
     assert Q.current_round() >= 5
+
+
+def test_rotated_members_run_first():
+    """Evaluation order: this round's rotation members (thinnest driver
+    history) must precede the static tier in queries() ordering, so a
+    driver time budget starves the well-verified tail, not them."""
+    order = list(Q.DECLARED_QUERIES)
+    rotated = {g[Q.current_round() % len(g)] for g in Q.ROTATION}
+    assert set(order[: len(rotated)]) == rotated
