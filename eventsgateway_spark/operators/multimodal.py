@@ -6,12 +6,14 @@ resize, feature-extract, frame-sample) runs as Arrow-batched
 ``mapInPandas`` so payload bytes never round-trip through Python
 row-by-row.
 
-This container has no image/audio libraries, so the decode step is a
-clearly-marked STUB: ``decode_media(..., stub=True)`` produces
-deterministic fake features derived from the payload bytes (stable
-for tests), and ``stub=False`` raises ``NotImplementedError`` where a
-real decoder (PIL/libav) would plug in. Everything Spark-side —
-schema, batching, partitioning — is real and tested.
+This container has no image/audio libraries, so decode is two-tier:
+``stub=False`` REALLY decodes the dependency-free formats — binary
+PPM (P6) images are parsed and resized with numpy alone — and raises
+``NotImplementedError`` for formats that need PIL/libav (the plug-in
+seam); ``stub=True`` produces deterministic fake features derived
+from the payload bytes (stable for tests of the Spark-side plumbing).
+Everything Spark-side — schema, batching, partitioning — is real and
+tested either way.
 
 Scale notes (100 TB of media): payloads are the wide column; plans
 must project them away before any shuffle (decode → drop payload →
@@ -89,21 +91,95 @@ def _stub_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+# ---------------------------------------------------------------------------
+# Real PPM (P6) decode — numpy-only, no external media libraries
+# ---------------------------------------------------------------------------
+
+
+def parse_ppm(b: bytes):
+    """Parse a binary PPM (P6): returns (width, height, HxWx3 uint8
+    array). Full spec support for whitespace + '#' comments in the
+    header; raises ValueError on malformed input."""
+    import numpy as np
+
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        # skip whitespace and comments
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(b[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
+    raw = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
+    if raw.size != w * h * 3:
+        raise ValueError("PPM payload shorter than header promises")
+    return w, h, raw.reshape(h, w, 3)
+
+
+def encode_ppm(img) -> bytes:
+    """HxWx3 uint8 array → binary PPM (P6) bytes."""
+    h, w = img.shape[0], img.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def _ppm_features(b: bytes):
+    """8-dim feature from a decoded PPM: normalized dims + per-channel
+    means and stdevs — the real-decode analog of the stub's histogram."""
+    w, h, img = parse_ppm(b)
+    f = img.reshape(-1, 3).astype("float64")
+    means = f.mean(axis=0) / 255.0
+    stds = f.std(axis=0) / 255.0
+    return w, h, [w / 2048.0, h / 2048.0, *means.tolist(), *stds.tolist()]
+
+
+def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = {
+        "asset_id": pdf["asset_id"],
+        "media_type": pdf["media_type"],
+        "width": [],
+        "height": [],
+        "n_frames": [],
+        "feature": [],
+    }
+    for mt, raw in zip(pdf["media_type"], pdf["payload"]):
+        if mt != "image/ppm":
+            raise NotImplementedError(
+                f"real decode for {mt!r} needs PIL/libav — not available in "
+                "this environment; image/ppm decodes natively (numpy)"
+            )
+        w, h, feat = _ppm_features(bytes(raw))
+        out["width"].append(w)
+        out["height"].append(h)
+        out["n_frames"].append(1)
+        out["feature"].append([float(x) for x in feat])
+    return pd.DataFrame(out)
+
+
 def decode_media(assets: DataFrame, stub: bool = True) -> DataFrame:
     """Decode/feature-extract assets via Arrow-batched ``mapInPandas``.
 
-    ``stub=False`` is the seam for a real decoder and raises
-    ``NotImplementedError`` here (no media libraries in this
-    environment).
-    """
-    if not stub:
-        raise NotImplementedError(
-            "real media decode needs PIL/libav — not available; use stub=True"
-        )
+    ``stub=False`` REALLY decodes ``image/ppm`` payloads (numpy-only
+    P6 parser — dimensions + per-channel mean/std features) and raises
+    ``NotImplementedError`` for formats that need PIL/libav — the
+    plug-in seam for a real cluster image."""
+    batch = _stub_decode_batch if stub else _real_decode_batch
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _stub_decode_batch(pdf)
+            yield batch(pdf)
 
     return assets.mapInPandas(run, FEATURES_SCHEMA)
 
@@ -130,15 +206,25 @@ FRAMES_SCHEMA = T.StructType(
 )
 
 
-def resize_media(assets: DataFrame, width: int = 32, height: int = 32, stub: bool = True) -> DataFrame:
-    """Thumbnail stub: emits a deterministic fixed-size byte block per
-    asset (a real implementation decodes + PIL-resizes inside the same
-    batch loop). One output row per input row; payload column dropped
-    before any downstream shuffle."""
-    if not stub:
-        raise NotImplementedError("real resize needs PIL — not available; use stub=True")
+def _nn_resize(img, width: int, height: int):
+    """Nearest-neighbor resize of an HxWx3 uint8 array via numpy
+    index gather — a real resize, no interpolation libraries."""
+    import numpy as np
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    h, w = img.shape[0], img.shape[1]
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return img[yi][:, xi]
+
+
+def resize_media(assets: DataFrame, width: int = 32, height: int = 32, stub: bool = True) -> DataFrame:
+    """Thumbnail step. ``stub=False`` REALLY resizes ``image/ppm``
+    payloads (numpy nearest-neighbor; thumb re-encoded as PPM) and
+    raises for PIL-needing formats; ``stub=True`` emits a
+    deterministic byte block (plumbing tests). One output row per
+    input row; payload column dropped before any downstream shuffle."""
+
+    def run_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             thumbs = [
                 bytes((b[i % max(len(b), 1)] if len(b) else 0) for i in range(width * height // 256 + 1))
@@ -153,7 +239,27 @@ def resize_media(assets: DataFrame, width: int = 32, height: int = 32, stub: boo
                 }
             )
 
-    return assets.mapInPandas(run, RESIZED_SCHEMA)
+    def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for mt, raw in zip(pdf["media_type"], pdf["payload"]):
+                if mt != "image/ppm":
+                    raise NotImplementedError(
+                        f"real resize for {mt!r} needs PIL — image/ppm "
+                        "resizes natively (numpy nearest-neighbor)"
+                    )
+                _, _, img = parse_ppm(bytes(raw))
+                thumbs.append(encode_ppm(_nn_resize(img, width, height)))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": width,
+                    "height": height,
+                    "thumb": thumbs,
+                }
+            )
+
+    return assets.mapInPandas(run_stub if stub else run_real, RESIZED_SCHEMA)
 
 
 def sample_frames(assets: DataFrame, every_n: int = 10, max_frames: int = 3, stub: bool = True) -> DataFrame:

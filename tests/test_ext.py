@@ -521,3 +521,53 @@ def test_semantic_dedup_keep_first_invariants(spark):
     for cell_rows in by_cell.values():
         first = min(cell_rows, key=lambda r: r.vec_id)
         assert first.dropped == 0
+
+
+def test_ppm_decode_and_resize_are_real(spark):
+    """stub=False genuinely decodes binary PPM (P6) with numpy: parsed
+    dimensions, per-channel stats, and a nearest-neighbor thumbnail
+    that round-trips through the PPM encoder — no media libraries."""
+    import numpy as np
+
+    from eventsgateway_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        encode_ppm,
+        parse_ppm,
+        resize_media,
+    )
+
+    grad = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)  # 4x2
+    solid = np.full((4, 4, 3), [10, 200, 30], dtype=np.uint8)  # 4x4
+    # header with a comment line — spec-legal, must parse
+    commented = b"P6\n# a comment\n4 4\n255\n" + solid.tobytes()
+    rows = [
+        (1, "image/ppm", bytearray(encode_ppm(grad)), len(encode_ppm(grad))),
+        (2, "image/ppm", bytearray(commented), len(commented)),
+    ]
+    assets = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r.asset_id: r for r in decode_media(assets, stub=False).collect()}
+    assert (feats[1].width, feats[1].height) == (4, 2)
+    assert (feats[2].width, feats[2].height) == (4, 4)
+    exp_means = solid.reshape(-1, 3).mean(axis=0) / 255.0
+    got = feats[2].feature
+    assert abs(got[2] - exp_means[0]) < 1e-6
+    assert abs(got[3] - exp_means[1]) < 1e-6
+    assert abs(got[4] - exp_means[2]) < 1e-6
+    assert got[5] == got[6] == got[7] == 0.0  # solid color: zero stddev
+
+    thumbs = {r.asset_id: r for r in resize_media(assets, 2, 2, stub=False).collect()}
+    w, h, timg = parse_ppm(bytes(thumbs[1].thumb))
+    assert (w, h) == (2, 2)
+    # nearest-neighbor gather: rows 0,1 -> 0,1 ; cols 0,2
+    exp = grad[[0, 1]][:, [0, 2]]
+    assert np.array_equal(timg, exp)
+    # non-PPM media through the real path must hit the PIL seam
+    import pytest as _pytest
+
+    other = spark.createDataFrame(
+        [(3, "image/png", bytearray(b"fake"), 4)], MEDIA_SCHEMA
+    )
+    with _pytest.raises(Exception, match="PIL|NotImplemented"):
+        decode_media(other, stub=False).collect()
