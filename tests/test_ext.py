@@ -209,10 +209,14 @@ def test_multimodal_decode_stub(spark):
     assert all(again[r["asset_id"]] == r["feature"] for r in rows)
 
 
-def test_multimodal_real_decode_is_explicit_stub(spark):
+def test_multimodal_real_decode_gates_pil_formats(spark):
+    """The real-decode path handles image/ppm natively; every other
+    media type must hit the explicit PIL/libav seam at execution (the
+    stub contract from r2, narrowed to the formats that truly need
+    external libraries)."""
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(1)
-    with pytest.raises(NotImplementedError):
-        decode_media(documents_as_media(docs), stub=False)
+    with pytest.raises(Exception, match="PIL|libav|NotImplemented"):
+        decode_media(documents_as_media(docs), stub=False).collect()
 
 
 # ---------------------------------------------------------------------------
