@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from eventsgateway_spark.functions.text import CHUNK_STRIDE, CHUNK_TOKENS, tokens
 from eventsgateway_spark.queries import query
-from eventsgateway_spark.queries._util import table
+from eventsgateway_spark.queries._util import pin, table
 from eventsgateway_spark.queries.ext_dedup import (
     MAX_SHINGLE_DF,
     doc_shingles,
@@ -114,7 +114,10 @@ def q60_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", F.array_join(F.sort_array(F.array_distinct("toks")), " ")
     )
     keep1 = canon.groupBy("k").agg(F.min("doc_id").alias("keep_id"))
-    s1 = (
+    # pin: s1 fans out to the shingle path AND the survivor join — the
+    # exact-dedup lineage (scan → tokenize → groupBy → join) would
+    # otherwise re-execute per consumer (identity at fixture scale)
+    s1 = pin(
         canon.join(keep1, "k")
         .filter(F.col("doc_id") == F.col("keep_id"))
         .select("doc_id", "source", "text")
@@ -126,7 +129,8 @@ def q60_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d2").alias("doc_id"))
         .distinct()
     )
-    s2 = s1.join(losers, "doc_id", "left_anti")
+    # pin: s2 fans out to the contamination-gram path and s3
+    s2 = pin(s1.join(losers, "doc_id", "left_anti"))
 
     # decontamination: drop the eval corpus itself + anything sharing a
     # 5-gram with it (eval grams from the ORIGINAL corpus, broadcast)
