@@ -146,3 +146,91 @@ def ann_lookup_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic dedup (the q70 SemDeDup serving shape)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_batch(
+    batch: DataFrame, assign: DataFrame, cents: DataFrame, tau_u: int | None = None
+) -> DataFrame:
+    """(vec_id, cell_id, dropped, max_sim_u) — mark each incoming
+    vector a semantic duplicate iff some CORPUS vector in its IVF cell
+    has cosine >= tau (micro-unit scaled; default = q70's 0.40 bound).
+    Same physical shape as the batch q70: map-only cell assignment
+    (broadcast centroids), then an equi-join on cell_id with the small
+    batch side broadcast — the corpus index is never reshuffled."""
+    from eventsgateway_spark.queries.ext_similarity import SEMD_TAU_U
+
+    tau = SEMD_TAU_U if tau_u is None else tau_u
+    q = ivf_assign_with(norm_view(batch), cents).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "cell_id",
+    )
+    best = (
+        assign.join(F.broadcast(q), "cell_id")
+        .select(
+            "qid",
+            F.round(
+                dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm")) * 1e6
+            )
+            .cast("bigint")
+            .alias("cos_u"),
+        )
+        .groupBy("qid")
+        .agg(F.max("cos_u").alias("max_sim_u"))
+    )
+    sentinel = F.lit(-2_000_000).cast("bigint")
+    return (
+        q.select(F.col("qid").alias("vec_id"), "cell_id")
+        .join(best.withColumnRenamed("qid", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.when(F.coalesce("max_sim_u", sentinel) >= tau, 1)
+            .otherwise(0)
+            .alias("dropped"),
+            F.coalesce("max_sim_u", sentinel).alias("max_sim_u"),
+        )
+    )
+
+
+def semantic_dedup_stream(
+    vec_stream: DataFrame,
+    corpus_emb: DataFrame | None,
+    out_path: str,
+    checkpoint: str,
+    tau_u: int | None = None,
+    trigger_once: bool = False,
+    index: IvfIndex | None = None,
+) -> StreamingQuery:
+    """Streaming SemDeDup: decide per incoming (vec_id, embedding)
+    whether the static corpus already contains a semantic duplicate;
+    decisions append to ``out_path``. Zero streaming state — the index
+    carries everything, exactly like :func:`ann_lookup_stream`."""
+    if index is None:
+        if corpus_emb is None:
+            raise ValueError("need corpus_emb or a prebuilt index")
+        index = build_ivf_index(corpus_emb)
+    assign, cents = index.assign, index.cents
+
+    def _decide(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            semantic_dedup_batch(batch_df, assign, cents, tau_u)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    writer = vec_stream.writeStream.foreachBatch(_decide).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -799,3 +799,57 @@ def test_trained_ivf_index_end_to_end(spark, tmp_path):
     finally:
         for t in ("t_trained_ivf_assign", "t_trained_ivf_centroids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_semantic_dedup_against_corpus(spark, tmp_path):
+    """Streaming SemDeDup: an exact copy of a corpus vector must come
+    back dropped (max_sim_u = 1e6 — its twin lives in its own cell); a
+    batch/stream parity check pins the foreachBatch path to the batch
+    operator, and the stream decision set must match running
+    semantic_dedup_batch directly."""
+    from eventsgateway_spark.streaming.ann_lookup import (
+        build_ivf_index,
+        semantic_dedup_batch,
+        semantic_dedup_stream,
+    )
+
+    corpus = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    index = build_ivf_index(corpus)
+    # stream: one exact corpus copy (must drop) + one corpus vector
+    # negated (cosine -1 to its twin; very unlikely to clear 0.40)
+    incoming = corpus.filter(F.col("vec_id").isin(30, 31)).select(
+        (F.col("vec_id") + 2000).alias("vec_id"),
+        F.when(
+            F.col("vec_id") == 31,
+            F.transform("embedding", lambda x: -x),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    src = str(tmp_path / "vin")
+    incoming.coalesce(1).write.parquet(src)
+
+    q = semantic_dedup_stream(
+        spark.readStream.schema(incoming.schema).parquet(src),
+        None,
+        out_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_once=True,
+        index=index,
+    )
+    q.awaitTermination(120)
+
+    out = {r["vec_id"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert out[2030]["dropped"] == 1 and out[2030]["max_sim_u"] == 1_000_000
+    assert out[2031]["dropped"] == 0
+
+    batch = {
+        r["vec_id"]: (r["cell_id"], r["dropped"], r["max_sim_u"])
+        for r in semantic_dedup_batch(incoming, index.assign, index.cents).collect()
+    }
+    stream = {
+        v: (r["cell_id"], r["dropped"], r["max_sim_u"]) for v, r in out.items()
+    }
+    assert batch == stream
