@@ -43,11 +43,19 @@ class CCResult:
 def _large_star(e: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
     Output may carry duplicate edges — the consumer (small-star) is
-    duplicate-insensitive, so no dedup shuffle is spent here."""
+    duplicate-insensitive, so no dedup shuffle is spent here.
+
+    The aggregated side's join key is RENAMED (mu) before joining back
+    onto its own source: a same-name self-referential join resolves
+    through Spark's attribute disambiguation, which breaks with an
+    internal 'key not found' on some checkpointed-union inputs under
+    AQE — explicit renames sidestep the resolver entirely."""
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+        F.col("u").alias("mu"), "mn"
+    )
     return (
-        sym.join(mins, "u")
+        sym.join(mins, F.col("u") == F.col("mu"))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.least("u", "mn").alias("v"))
     )
@@ -60,13 +68,15 @@ def _small_star(e: DataFrame) -> DataFrame:
     oriented = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    mins = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("mn")).select(
+        F.col("u").alias("mu"), "mn"
+    )
     rewired = (
-        oriented.join(mins, "u")
+        oriented.join(mins, F.col("u") == F.col("mu"))
         .filter(F.col("v") != F.col("mn"))
         .select(F.col("v").alias("u"), F.col("mn").alias("v"))
     )
-    self_edges = mins.select("u", F.col("mn").alias("v"))
+    self_edges = mins.select(F.col("mu").alias("u"), F.col("mn").alias("v"))
     return rewired.union(self_edges).distinct()
 
 
@@ -92,26 +102,44 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> CCResult:
 
     Nodes are whatever orderable type the edge columns carry; self
     loops are ignored; isolated nodes don't appear (callers union
-    singleton nodes themselves if they need them labelled)."""
-    e, sig = _checkpoint_with_signature(
-        edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
-    )
-    if sig[0] == 0:
-        return CCResult(
-            labels=e.select(F.col("u").alias("node"), F.col("v").alias("label")),
-            iterations=0,
+    singleton nodes themselves if they need them labelled).
+
+    Constraint propagation is disabled for the duration of the loop:
+    ``localCheckpoint`` rewrites the source plan's constraints into the
+    checkpointed relation's attributes, and on star-contraction round
+    plans (union + self-derived aggregate joins) that rewrite hits a
+    Catalyst internal 'key not found' on large inputs (reproduced on a
+    550k-edge union-of-ranges graph; fixture inputs pass by luck of
+    attribute layout). The per-round plans gain nothing from
+    constraints, so off-for-the-loop is free."""
+    spark = edges.sparkSession
+    _CP = "spark.sql.constraintPropagation.enabled"
+    prev_cp = spark.conf.get(_CP, "true")
+    spark.conf.set(_CP, "false")
+    try:
+        e, sig = _checkpoint_with_signature(
+            edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
         )
-    iterations = 0
-    while iterations < max_iter:
-        e, sig_next = _checkpoint_with_signature(_small_star(_large_star(e)))
-        iterations += 1
-        if sig_next == sig:
-            break
-        sig = sig_next
-    else:
-        raise RuntimeError(
-            f"star contraction did not converge in {max_iter} rounds"
-        )
+        if sig[0] == 0:
+            return CCResult(
+                labels=e.select(
+                    F.col("u").alias("node"), F.col("v").alias("label")
+                ),
+                iterations=0,
+            )
+        iterations = 0
+        while iterations < max_iter:
+            e, sig_next = _checkpoint_with_signature(_small_star(_large_star(e)))
+            iterations += 1
+            if sig_next == sig:
+                break
+            sig = sig_next
+        else:
+            raise RuntimeError(
+                f"star contraction did not converge in {max_iter} rounds"
+            )
+    finally:
+        spark.conf.set(_CP, prev_cp)
     # Converged edge set is a forest of stars (child → component-min
     # root). Roots label themselves via the v-side union.
     labels = (

@@ -78,3 +78,26 @@ def test_random_graph_matches_bruteforce(spark):
 
     lab, _ = _labels(spark, rnd_edges)
     assert lab == expected
+
+
+def test_union_of_ranges_graph_shape(spark):
+    """Regression: star-contraction rounds over a checkpointed
+    union-of-ranges edge frame hit a Catalyst-internal 'key not found'
+    (LogicalRDD constraint rewrite) before the operator disabled
+    constraint propagation for the loop. This pins the exact input
+    shape that failed, at a size small enough for the suite."""
+    from pyspark.sql import functions as F
+
+    chain = spark.range(2_000).select(F.col("id").alias("u"), (F.col("id") + 1).alias("v"))
+    rand = spark.range(3_000).select(
+        (F.abs(F.xxhash64("id")) % 10_000 + 10_000).alias("u"),
+        (F.abs(F.xxhash64(F.col("id") + 7)) % 10_000 + 10_000).alias("v"),
+    )
+    res = connected_components(chain.union(rand))
+    assert res.iterations <= 2 * 11  # O(log n) bound with 2x cushion
+    # the 2001-node chain is one component labelled 0
+    lab = res.labels.filter(F.col("node") <= 2_000)
+    assert lab.filter(F.col("label") != 0).count() == 0
+    assert lab.count() == 2_001
+    # conf restored after the loop
+    assert spark.conf.get("spark.sql.constraintPropagation.enabled") == "true"
