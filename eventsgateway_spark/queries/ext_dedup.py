@@ -146,15 +146,22 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
 
 def verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard for a GIVEN candidate pair set only — the LSH
-    companion: intersection counts come from joining the (small,
-    broadcastable) candidate list against the shingle table twice,
-    never from the full inverted-index self-join."""
+    companion: intersection counts come from equi-joining the
+    candidate list against the shingle table twice, never from the
+    full inverted-index self-join.
+
+    NO forced broadcast of the candidate list (round-5 change): LSH
+    candidates grow ~linearly with corpus size, so at 100 TB they are
+    NOT broadcastable — the same hazard class as q38's removed hint.
+    These are plain equi-joins on doc ids; AQE still broadcasts the
+    list while it is genuinely small (fixtures) and falls back to a
+    shuffle join when it isn't (absence of the forced hint is pinned
+    by tests/test_plans.py)."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     s1 = sh.select(F.col("doc_id").alias("d1"), "s")
     s2 = sh.select(F.col("doc_id").alias("d2"), "s")
     inter = (
-        F.broadcast(cand)
-        .join(s1, "d1")
+        cand.join(s1, "d1")
         .join(s2, ["d2", "s"])
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -72,6 +72,28 @@ def test_dedup_pair_join_is_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan  # inverted index = hash/SMJ
 
 
+def test_lsh_verify_join_is_not_forced_candidate_broadcast(spark):
+    """verify_pairs joins the LSH candidate list against the shingle
+    table; candidates grow ~linearly with the corpus, so a FORCED
+    broadcast is an OOM at scale — verify_pairs' own plan must carry
+    no broadcast hint (AQE still broadcasts fixture-sized lists).
+    Tested in isolation: q31's full plan legitimately holds the tiny
+    hot-shingle-list hints from doc_shingles."""
+    cand = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
+    sh = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (2, "b c d")], "doc_id long, s string"
+    )
+    from eventsgateway_spark.queries.ext_dedup import verify_pairs
+
+    plan = (
+        verify_pairs(cand, sh, 0.1)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "strategy=broadcast" not in plan
+
+
 def test_simhash_hamming_banding_is_equi(spark):
     """q63's candidate generation must be the banded equi-join — never
     an all-pairs scan with a popcount filter."""
