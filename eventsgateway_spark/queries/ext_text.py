@@ -676,3 +676,76 @@ def q65_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q71 — unigram LM quality score (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+# CCNet (Wenzek et al. 2020) ranks documents by language-model
+# perplexity to split a crawl into quality buckets; the distributed
+# shape is: train the LM on the corpus itself (here: unigram MLE —
+# one hash aggregate), then score every document against it. Exactness
+# trick: per-TERM negative log-likelihood is rounded to integer
+# micro-nats BEFORE the per-document sum, so the cross-row reduction
+# is exact integer math (no float summation order), and the per-token
+# average uses positive integer division (identical truncation in
+# both engines).
+
+
+@query(
+    "q71_lm_quality_score",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
+    cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS total FROM tok),
+    lp AS (SELECT term,
+                  CAST(ROUND(-ln(CAST(c AS DOUBLE) / total) * 1e6) AS BIGINT)
+                      AS nll_u
+           FROM cnt, tot),
+    doc AS (SELECT doc_id, COUNT(*) AS n_tok,
+                   CAST(SUM(nll_u) AS BIGINT) AS sum_nll_u
+            FROM tok JOIN lp USING (term)
+            GROUP BY 1)
+    SELECT doc_id, n_tok, sum_nll_u, sum_nll_u // n_tok AS avg_nll_u
+    FROM doc
+    ORDER BY doc_id
+    """,
+)
+def q71_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM surprise (negative log-likelihood in
+    integer micro-nats): train the MLE unigram model over the whole
+    corpus, score each doc, emit (doc_id, n_tok, sum_nll_u, avg_nll_u)
+    — low avg = stereotypical text, high avg = rare-token-heavy, the
+    CCNet quality-bucketing signal.
+
+    Scale shape: one (term) hash aggregate for counts (map-side
+    combine absorbs hot-term skew), the corpus total rides a 1-row
+    broadcast, and the scoring join keys on term — row volume is
+    unchanged by the join and AQE's skew split covers 'the'-class
+    fan-in. Per-doc reduce is one (doc_id) hash aggregate. Everything
+    JVM built-ins; linear in corpus tokens."""
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = pin(docs.select("doc_id", F.explode(tokens("text")).alias("term")))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("total"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(-F.log(F.col("c").cast("double") / F.col("total")) * 1e6)
+        .cast("bigint")
+        .alias("nll_u"),
+    )
+    doc = (
+        tok.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("nll_u").cast("bigint").alias("sum_nll_u"),
+        )
+    )
+    return doc.select(
+        "doc_id",
+        "n_tok",
+        "sum_nll_u",
+        F.expr("sum_nll_u div n_tok").alias("avg_nll_u"),
+    ).orderBy("doc_id")
