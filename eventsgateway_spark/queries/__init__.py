@@ -22,10 +22,10 @@ ORACLE_SQL: dict[str, str] = {}
 # two tiers (SURVEY §2.5):
 #   * STATIC — ``declared=True`` at registration: the sole/strongest
 #     representative of each operator family, declared every round.
-#   * ROTATION — pairs of mutually-redundant queries registered
-#     ``declared=False``; each pair owns ONE declared slot and the
-#     member alternates by round parity, so every pool query gets a
-#     driver correctness row at least every 2 rounds.
+#   * ROTATION — groups (pairs/triples) of mutually-redundant queries
+#     registered ``declared=False``; each group owns ONE declared slot
+#     filled by ``group[round % len(group)]``, so every pool query
+#     gets a driver correctness row at least every 2 rounds.
 # Everything not declared in a given round is still DuckDB-oracle-
 # tested by pytest and timed by bench.py.
 DECLARED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
