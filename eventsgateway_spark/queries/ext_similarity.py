@@ -473,10 +473,52 @@ def ivf_assign_with(v: DataFrame, cents: DataFrame) -> DataFrame:
     prebuilt centroid row. The centroids broadcast, so assignment is a
     per-row ``array_min`` over k fold distances inside the scan — a
     map-only stage, NO shuffle of the corpus, which is the property
-    that makes IVF viable at 100 TB."""
+    that makes IVF viable at 100 TB.
+
+    CPU note: the fold distances are interpreted higher-order
+    functions, O(k·dim) lambda evaluations per row — fine at the
+    fixture's k=8, CPU-infeasible at the k≈corpus/occupancy a real
+    SemDeDup/IVF deployment needs (measured: k=250 × 50k vectors did
+    not finish in 120 s; the Arrow path below does it in seconds).
+    ``SPARK_GRAFT_ARROW_SCORER=1`` routes through
+    :func:`ivf_assign_arrow` (same assignments — pinned by tests)."""
+    if arrow_scorer():
+        return ivf_assign_arrow(v, cents)
     return v.crossJoin(F.broadcast(cents)).select(
         "vec_id", "e", "nrm", F.array_min(_dist_structs())["cid"].alias("cell_id")
     )
+
+
+def ivf_assign_arrow(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Arrow-vectorized IVF assignment: the K×dim centroid matrix is
+    collected once (KBs — the same 'centroid row is KB-sized' contract
+    the JVM path's broadcast relies on) and captured in a pandas_udf
+    closure; each Arrow batch computes all K distances with one numpy
+    matmul. Distance semantics replicate the JVM fold exactly:
+    squared-L2 rounded HALF_UP to 6 decimals (``floor(x*1e6+0.5)`` on
+    the non-negative distances), argmin with cid tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    rows = cents.first()["cents"]
+    order = sorted(range(len(rows)), key=lambda i: rows[i]["cid"])
+    cids = np.array([rows[i]["cid"] for i in order], dtype=np.int64)
+    C = np.stack(
+        [np.asarray(rows[i]["ce"], dtype=np.float64) for i in order]
+    )  # K x dim, cid-ascending so np.argmin's first-match = smallest cid
+    c_sq = (C * C).sum(axis=1)
+
+    # no type annotations: pandas_udf's hint inference can't resolve
+    # the lazily-imported pd module (same pattern as shingles_arrow)
+    def _cell_of(es):
+        X = np.stack(es.values).astype(np.float64, copy=False)  # B x dim
+        d2 = (X * X).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (X @ C.T)
+        d2 = np.floor(np.maximum(d2, 0.0) * 1e6 + 0.5)  # HALF_UP at 6dp
+        return pd.Series(cids[np.argmin(d2, axis=1)])
+
+    cell_of = F.pandas_udf(_cell_of, "bigint")
+
+    return v.select("vec_id", "e", "nrm", cell_of(F.col("e")).alias("cell_id"))
 
 
 def ivf_assign(emb: DataFrame, k: int = IVF_K) -> DataFrame:

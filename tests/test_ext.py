@@ -480,10 +480,18 @@ def test_arrow_scorer_flag_parity(spark, monkeypatch):
         return [tuple(r) for r in QUERIES[name](spark, SF_ORACLE).collect()]
 
     monkeypatch.delenv("SPARK_GRAFT_ARROW_SCORER", raising=False)
-    base30, base38 = rows("q30_jaccard_pairs"), rows("q38_embedding_near_dup")
+    base = {
+        n: rows(n)
+        for n in (
+            "q30_jaccard_pairs",
+            "q38_embedding_near_dup",
+            "q43_ivf_ann",  # Arrow IVF assignment path
+            "q70_semantic_dedup",  # Arrow assignment + pair dot
+        )
+    }
     monkeypatch.setenv("SPARK_GRAFT_ARROW_SCORER", "1")
-    assert rows("q30_jaccard_pairs") == base30 and len(base30) > 0
-    assert rows("q38_embedding_near_dup") == base38 and len(base38) > 0
+    for n, expected in base.items():
+        assert rows(n) == expected and len(expected) > 0, n
 
 
 def test_shingles_arrow_matches_jvm(spark):
