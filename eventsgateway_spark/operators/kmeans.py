@@ -12,6 +12,10 @@ arrays), with ``localCheckpoint`` cutting lineage between rounds.
 Scale posture (100 TB of vectors): per iteration the corpus is scanned
 once and shuffled once on (cell_id, dim) — k·d groups, tiny; the
 centroid row stays KB-sized and broadcasts. Iterations are O(5-20).
+At realistic k (corpus/occupancy) set SPARK_GRAFT_ARROW_SCORER=1: the
+assignment step routes through the Arrow matmul path
+(ext_similarity.ivf_assign_arrow — the interpreted fold is measured
+infeasible at k=250; see SCALE.md similarity section).
 Means accumulate doubles, so results are deterministic for a FIXED
 partitioning but not bit-stable across different partitionings — fine
 for a trainer (IVF recall is insensitive to last-ulp centroid drift);
