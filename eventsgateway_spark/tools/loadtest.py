@@ -1,0 +1,97 @@
+"""Ingest load-test harness — the engine analog of the reference's
+only benchmark tool (`tools/loadtest.go`, `tools/runner.go`,
+`config/local.yaml:29-33`).
+
+Workload parity with the reference defaults: ``threads`` logical
+producers over ``duration_s`` wall-seconds, each event carrying
+``props_size`` uuid→uuid pairs (small=11 / medium=17 / large=29 /
+jumbo=37, `runner.go:118-136`), a 50/50 split between ``send`` and
+``send_to_topic`` over the reference's 7 random topics
+(`runner.go:92-96,106-116`), and the same closing report line
+"Sent N events in D" (`loadtest.go:194-198`).
+
+Spark-first difference, documented rather than hidden: the reference
+paces each producer with sleep U(0, ceiling) between client calls;
+pacing measures the Go client's RPC path, not the pipeline. Here the
+same EXPECTED event volume (threads × duration / mean-sleep) is built
+through the real `Gateway.send*` API without wall-clock sleeping, and
+the measured phase is what Spark actually executes: the full ingest
+plan (validate → enrich → route → Avro-encode → size-limit) plus the
+bus produce. Reported throughput is therefore pipeline events/sec —
+the number that scales with executors."""
+
+from __future__ import annotations
+
+import random
+import time
+import uuid
+
+from pyspark.sql import SparkSession
+
+from eventsgateway_spark.gateway import Gateway
+from eventsgateway_spark.sources.kafka import FileBus
+
+# runner.go:106-116
+RANDOM_TOPICS = ["clemente", "sussie", "fay", "mallie", "vern", "kramer", "costanza"]
+# runner.go:119-124
+PROPS_SIZES = {"small": 11, "medium": 17, "large": 29, "jumbo": 37}
+
+
+def run_loadtest(
+    spark: SparkSession,
+    threads: int = 15,  # config/local.yaml:30
+    duration_s: float = 60.0,  # config/local.yaml:31
+    sleep_ceiling_ms: int = 500,  # config/local.yaml:32
+    props_size: str = "small",  # config/local.yaml:33
+    bus_root: str | None = None,
+    seed: int = 0,
+) -> dict:
+    """Generate the reference load-test workload through the Gateway
+    API, run the ingest pipeline + bus produce, and return the report
+    (also printed in the reference's format)."""
+    rng = random.Random(seed)
+    n_pairs = PROPS_SIZES[props_size]
+    # events per producer = duration / mean sleep (U(0, ceiling)/2)
+    per_thread = max(1, int(duration_s * 1000 / (sleep_ceiling_ms / 2)))
+    gw = Gateway(spark, default_topic="loadtest")
+    n_sent = 0
+    for _ in range(threads):
+        for _ in range(per_thread):
+            props = {str(uuid.UUID(int=rng.getrandbits(128), version=4)):
+                     str(uuid.UUID(int=rng.getrandbits(128), version=4))
+                     for _ in range(n_pairs)}
+            if rng.random() < 0.5:
+                gw.send("load test event", props)
+            else:
+                gw.send_to_topic(
+                    "load test event", rng.choice(RANDOM_TOPICS), props
+                )
+            n_sent += 1
+    t0 = time.perf_counter()
+    result = gw.ingest()
+    if bus_root is not None:
+        FileBus(spark, bus_root).produce(result.payloads)
+        n_ok = result.report()["accepted"]
+    else:
+        n_ok = result.payloads.count()
+    wall = time.perf_counter() - t0
+    report = {
+        "sent": n_sent,
+        "ingested_ok": n_ok,
+        "rejected": n_sent - n_ok,
+        "duration_s": round(wall, 3),
+        "events_per_sec": round(n_ok / wall, 1) if wall > 0 else float("inf"),
+        "threads": threads,
+        "props_pairs": n_pairs,
+    }
+    # loadtest.go:194-198 report format
+    print(f"Sent {n_sent} events in {wall:.2f}s")
+    return report
+
+
+if __name__ == "__main__":
+    from eventsgateway_spark.session import get_spark
+
+    s = get_spark("loadtest")
+    print(run_loadtest(s, duration_s=5.0))
+    s.stop()
