@@ -714,6 +714,22 @@ def q52_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMD_TAU_U = 400_000  # cosine >= 0.40, micro-unit scaled (q38's bound)
 
+# Scale rule for the cell count: within-cell pair volume is K·occ²/2,
+# so occupancy must stay ~constant as the corpus grows — target ~100 KiB
+# of embedding bytes per cell (~250 fixture-sized vectors). Floor IVF_K
+# (fixture/oracle constant), cap 2^16: the collected centroid matrix
+# stays ≤ ~16 MB; beyond that a deployment shards the centroid table
+# (SCALE.md similarity section).
+_SEMD_TARGET_CELL_BYTES = 100 << 10
+
+
+def semd_cell_count(emb: DataFrame) -> int:
+    """Input-size-derived SemDeDup cell count (fixture floors at
+    IVF_K, matching the oracle's deterministic first-K centroids)."""
+    from eventsgateway_spark.queries._util import input_bytes
+
+    return int(min(max(IVF_K, input_bytes(emb) // _SEMD_TARGET_CELL_BYTES), 1 << 16))
+
 
 @query(
     "q70_semantic_dedup",
@@ -763,7 +779,7 @@ def q70_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus². Output: per-vector decision (vec_id, cell_id, dropped,
     max_prior_sim_u), totally ordered."""
     emb = spread(table(spark, sf_dir, "embeddings"))
-    assign = pin(ivf_assign(emb))
+    assign = pin(ivf_assign(emb, semd_cell_count(emb)))
     a = assign.select(
         F.col("vec_id").alias("id1"), F.col("e").alias("e1"),
         F.col("nrm").alias("n1"), "cell_id",
