@@ -145,3 +145,30 @@ def test_chunker_spark_python_parity_random(spark):
     )
     got = [tuple(r) for r in chunk_documents(df).collect()]
     assert got == sorted(expected)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31),
+    ws=st.sampled_from([b"\n", b" ", b"\t", b"\r\n"]),
+    comment=st.booleans(),
+)
+def test_ppm_parse_encode_roundtrip(w, h, seed, ws, comment):
+    """parse_ppm ∘ encode_ppm is identity on pixels, and the parser
+    accepts spec-legal header variants (any whitespace separators,
+    comment lines)."""
+    import numpy as np
+
+    from eventsgateway_spark.operators.multimodal import encode_ppm, parse_ppm
+
+    rng = np.random.RandomState(seed % (2**31))
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    pw, ph, out = parse_ppm(encode_ppm(img))
+    assert (pw, ph) == (w, h) and np.array_equal(out, img)
+    # hand-built header with alternative whitespace + optional comment
+    hdr = b"P6" + ws + (b"# c\n" if comment else b"") + str(w).encode()
+    hdr += ws + str(h).encode() + ws + b"255\n"
+    pw2, ph2, out2 = parse_ppm(hdr + img.tobytes())
+    assert (pw2, ph2) == (w, h) and np.array_equal(out2, img)
