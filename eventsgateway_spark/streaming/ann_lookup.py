@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
 
-from eventsgateway_spark.functions.vectors import dot
+from eventsgateway_spark.functions.vectors import dot, dot_arrow
+from eventsgateway_spark.queries._util import arrow_scorer
 from eventsgateway_spark.queries.ext_similarity import (
     IVF_NPROBE,
     ivf_assign_with,
@@ -97,7 +98,9 @@ def ann_lookup_batch(
             "qid",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm")), 6
+                (dot_arrow if arrow_scorer() else dot)(F.col("qe"), F.col("e"))
+                / (F.col("qn") * F.col("nrm")),
+                6,
             ).alias("cos_sim"),
         )
     )
@@ -176,7 +179,9 @@ def semantic_dedup_batch(
         .select(
             "qid",
             F.round(
-                dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm")) * 1e6
+                (dot_arrow if arrow_scorer() else dot)(F.col("qe"), F.col("e"))
+                / (F.col("qn") * F.col("nrm"))
+                * 1e6
             )
             .cast("bigint")
             .alias("cos_u"),
