@@ -853,3 +853,50 @@ def test_streaming_semantic_dedup_against_corpus(spark, tmp_path):
         v: (r["cell_id"], r["dropped"], r["max_sim_u"]) for v, r in out.items()
     }
     assert batch == stream
+
+
+def test_streaming_corpus_prep_routes_three_ways(spark, tmp_path):
+    """Streaming corpus-prep (curate → corpus-dedup screen): a good
+    novel doc lands in kept/, a too-short doc in quarantine/ (redacted),
+    and an exact copy of a corpus doc in dups/ with match evidence.
+    The three outputs must partition the input batch."""
+    from eventsgateway_spark.streaming.corpus_prep import corpus_prep_stream
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again "
+                "while a second clause keeps the token count over the rule floor "
+                "of twenty for this corpus document"),
+        ],
+        "doc_id long, text string",
+    )
+    good = ("the engine routes a perfectly reasonable document of more than "
+            "twenty tokens and it contains the a of and to is in it stopwords "
+            "plus plenty of distinct words overall")
+    incoming = spark.createDataFrame(
+        [
+            (100, good),
+            (101, "too short mail x@y.io"),          # fails min-token rule
+            (102, corpus.first()["text"]),            # exact corpus copy
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "in")
+    incoming.coalesce(1).write.parquet(src)
+    q = corpus_prep_stream(
+        spark.readStream.schema(incoming.schema).parquet(src),
+        corpus,
+        out_root=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    kept = spark.read.parquet(str(tmp_path / "out/kept")).collect()
+    quar = spark.read.parquet(str(tmp_path / "out/quarantine")).collect()
+    dups = spark.read.parquet(str(tmp_path / "out/dups")).collect()
+    assert {r.doc_id for r in kept} == {100}
+    assert {r.doc_id for r in quar} == {101}
+    assert "<EMAIL>" in quar[0].text and "x@y.io" not in quar[0].text
+    assert {r.doc_id for r in dups} == {102}
+    assert dups[0].matched_corpus_id == 0 and dups[0].jaccard == 1.0
