@@ -92,7 +92,7 @@ ROTATION: list[tuple[str, ...]] = [
     ("q45_gap_fill_daily", "q14_user_running_stats"),
     ("q35_embedding_stats", "q20_grouping_sets_lineitem"),
     ("q19_fullouter_daily_activity", "q42_above_avg_spenders"),
-    ("q55_cohort_retention", "q56_repetition_ratio"),
+    ("q72_substring_dedup", "q55_cohort_retention", "q56_repetition_ratio"),
     ("q44_pivot_daily_matrix", "q49_salted_hot_key_agg"),
     ("q71_lm_quality_score", "q46_moving_7day_revenue", "q57_spend_deciles"),
     ("q70_semantic_dedup", "q41_grouped_pandas_rank", "q58_exact_moments"),

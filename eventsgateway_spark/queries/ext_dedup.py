@@ -572,3 +572,101 @@ def q63_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAM_MAX)
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# q72 — exact substring (token-window) dedup
+# ---------------------------------------------------------------------------
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") deduplicates EXACT repeated substrings, which whole-doc
+# (q29) and shingle-Jaccard (q30) both miss: a long quote pasted into
+# otherwise-distinct documents. The suffix-array formulation is
+# sequential; the distributed shape is windowed hashing — every
+# W-token window is hashed, repeated hashes are found with one
+# hash-aggregate, and ownership is keep-first (the smallest doc_id
+# carrying the window). Per-doc output: how much of the doc is covered
+# by windows some smaller doc also contains.
+
+SUBSTR_W = 8  # window width in tokens (fixture docs are ~30 tokens)
+
+
+@query(
+    "q72_substring_dedup",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    w AS (SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, len(toks) - {SUBSTR_W - 2}),
+                     i -> md5(array_to_string(list_slice(toks, i, i + {SUBSTR_W - 1}), ' ')))) AS h
+          FROM t WHERE len(toks) >= {SUBSTR_W}),
+    dw AS (SELECT DISTINCT doc_id, h FROM w),
+    owner AS (SELECT h, MIN(doc_id) AS owner_id FROM dw GROUP BY 1),
+    per_doc AS (
+        SELECT dw.doc_id,
+               COUNT(*) AS n_windows,
+               CAST(SUM(CASE WHEN o.owner_id < dw.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_borrowed,
+               MIN(CASE WHEN o.owner_id < dw.doc_id THEN o.owner_id END)
+                   AS min_source_id
+        FROM dw JOIN owner o USING (h)
+        GROUP BY 1
+    )
+    SELECT doc_id, n_windows, n_borrowed,
+           COALESCE(min_source_id, -1) AS min_source_id,
+           CASE WHEN 2 * n_borrowed >= n_windows THEN 1 ELSE 0 END AS dropped
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def q72_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring audit: for every doc, how many of its
+    distinct 8-token windows already occur in a smaller-id document
+    (keep-first ownership), and a drop verdict when >=50% of the doc's
+    windows are borrowed — the distributed analog of suffix-array
+    substring dedup. Shape: window explode (md5 of the joined slice) →
+    one (hash) aggregate for ownership → one equi-join back → one
+    (doc) aggregate. All equi-keyed; window hashes are near-unique so
+    the ownership groupBy has no hot keys; linear in corpus tokens."""
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= SUBSTR_W
+    )
+    w = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (SUBSTR_W - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ", F.slice("toks", i, SUBSTR_W)
+                        )
+                    ),
+                )
+            )
+        ).alias("h"),
+    )
+    owner = w.groupBy("h").agg(F.min("doc_id").alias("owner_id"))
+    per_doc = (
+        w.join(owner, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("owner_id") < F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_borrowed"),
+            F.min(
+                F.when(F.col("owner_id") < F.col("doc_id"), F.col("owner_id"))
+            ).alias("min_source_id"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        "n_borrowed",
+        F.coalesce("min_source_id", F.lit(-1)).alias("min_source_id"),
+        F.when(2 * F.col("n_borrowed") >= F.col("n_windows"), 1)
+        .otherwise(0)
+        .alias("dropped"),
+    ).orderBy("doc_id")
