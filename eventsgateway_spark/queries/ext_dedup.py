@@ -7,17 +7,19 @@ adds the LLM-training-pipeline near-duplicate family:
 - q29 exact bag-of-words dedup (hash-groupBy on a canonical token key)
 - q30 shingle-Jaccard near-dup pairs via inverted-index join
 - q31 MinHash + LSH banding candidate generation, Jaccard-verified
-- q32 duplicate clustering (connected components, iterative label
-  propagation)
+- q32 duplicate clustering (connected components via large-star/
+  small-star contraction, operators/components.py)
+- q39/q63 SimHash signatures + bounded-Hamming banded pairs
+- q72 exact substring-window dedup (keep-first window ownership)
 
 Scale posture (100 TB): candidate generation is always an equi-join on
-a derived key (token, shingle, band signature) — shuffle-partitioned,
-never all-pairs. Ultra-frequent shingles are pruned by a document-
-frequency cap before the pair join (the prefix-filter analog), which
-bounds the per-key fan-out; banding keeps MinHash candidates
-near-linear in corpus size. Connected components is hash-to-min label
-propagation — one shuffle per iteration, O(cluster diameter)
-iterations, the standard large-graph formulation.
+a derived key (token, shingle, band signature, window hash) —
+shuffle-partitioned, never all-pairs. Ultra-frequent shingles are
+pruned by a document-frequency cap before the pair join (the
+prefix-filter analog), which bounds the per-key fan-out; banding keeps
+MinHash candidates near-linear in corpus size. Connected components is
+alternating star contraction — O(log n) rounds regardless of component
+diameter (SCALE.md has the measured giant-chain probe).
 
 All hashes are md5-derived (identical in Spark and DuckDB), so every
 query here is value-hash-checked against the oracle, including the
