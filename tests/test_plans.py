@@ -135,6 +135,36 @@ def test_no_cartesian_in_any_declared_query(spark):
     assert not bad, f"cartesian products in: {bad}"
 
 
+# Queries ALLOWED to plan a BroadcastNestedLoopJoin — each is a
+# deliberate broadcast of a side that is tiny BY CONSTRUCTION (1-row
+# scalar frames from crossJoin(broadcast(agg)), the fixed band table,
+# or q33's bounded query set). Anything else planning a BNLJ is a
+# latent all-pairs scan and must fail this sweep.
+_BNLJ_ALLOWED = {
+    "q04_price_band_join",  # broadcast fixed band table (non-equi by design)
+    "q25_tfidf_topk",  # 1-row n_docs scalar
+    "q33_cosine_top3",  # broadcast bounded query set (brute-force baseline)
+    "q42_above_avg_spenders",  # 1-row threshold scalar
+    "q43_ivf_ann",  # 1-row centroid array
+    "q69_bm25_topk",  # 1-row corpus stats
+    "q70_semantic_dedup",  # 1-row centroid array
+    "q71_lm_quality_score",  # 1-row corpus total
+}
+
+
+def test_bnlj_only_on_intentional_tiny_sides(spark):
+    """Sweep: a BroadcastNestedLoopJoin outside the audited allowlist
+    means some query degenerated into an all-pairs scan."""
+    from eventsgateway_spark.queries import QUERIES
+
+    bad = []
+    for name, fn in QUERIES.items():
+        plan = fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            bad.append(name)
+    assert not bad, f"unexpected BroadcastNestedLoopJoin in: {bad}"
+
+
 def test_query_paths_are_collect_free():
     """No driver-side .collect() in any query module — the operators
     must stay distributed. Allowed exceptions (driver-side scalars by
