@@ -4,9 +4,11 @@ micro-batch through curation (PII redaction + quality rules) and
 near-dup screening against the static corpus index, landing three
 idempotent outputs:
 
-    kept/        curated, novel documents (training-candidate stream)
-    quarantine/  failed a quality rule (redacted; reject_reason tagged)
-    dups/        near-duplicates of the corpus, with match evidence
+    kept/         curated, novel, clean documents (training candidates)
+    quarantine/   failed a quality rule (redacted; reject_reason tagged)
+    dups/         near-duplicates of the corpus, with match evidence
+    contaminated/ share a 5-gram with the held-out eval corpus (only
+                  when ``eval_grams`` is supplied — q53/q60 semantics)
 
 All stages are the VERIFIED batch operators (operators/curation.curate,
 streaming/near_dup.flag_near_dups) composed inside one ``foreachBatch``
@@ -32,6 +34,24 @@ from eventsgateway_spark.streaming.near_dup import (
 )
 
 
+def eval_gram_set(eval_docs: DataFrame) -> DataFrame:
+    """Distinct decontamination n-grams of a held-out eval corpus —
+    benchmark-sized, so it broadcasts into every batch screen (q53's
+    posture). Build once, pass to :func:`corpus_prep_stream`."""
+    from eventsgateway_spark.functions.text import ngrams, tokens
+    from eventsgateway_spark.queries.ext_text import DECON_N
+
+    return (
+        eval_docs.select(
+            F.explode(
+                F.array_distinct(ngrams(tokens("text"), DECON_N))
+            ).alias("g")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
 def corpus_prep_stream(
     doc_stream: DataFrame,
     corpus_docs: DataFrame | None,
@@ -40,10 +60,12 @@ def corpus_prep_stream(
     threshold: float = 0.5,
     trigger_once: bool = False,
     index: CorpusIndex | None = None,
+    eval_grams: DataFrame | None = None,
 ) -> StreamingQuery:
-    """Run the curate → dedup-screen pipeline on a document stream
-    (columns ``doc_id``, ``text``); outputs land under
-    ``{out_root}/{kept,quarantine,dups}`` partitioned by batch_id."""
+    """Run the curate → dedup-screen [→ decontaminate] pipeline on a
+    document stream (columns ``doc_id``, ``text``); outputs land under
+    ``{out_root}/{kept,quarantine,dups[,contaminated]}`` partitioned
+    by batch_id."""
     if index is None:
         if corpus_docs is None:
             raise ValueError("need corpus_docs or a prebuilt index")
@@ -67,6 +89,27 @@ def corpus_prep_stream(
             F.col("m.jaccard").alias("jaccard"),
         )
         kept = kept_all.join(best.select("doc_id"), "doc_id", "left_anti")
+        if eval_grams is not None:
+            from eventsgateway_spark.functions.text import ngrams, tokens
+            from eventsgateway_spark.queries.ext_text import DECON_N
+
+            doc_grams = kept.select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(ngrams(tokens("text"), DECON_N))
+                ).alias("g"),
+            )
+            dirty_ids = (
+                doc_grams.join(F.broadcast(eval_grams), "g")
+                .select("doc_id")
+                .distinct()
+                .localCheckpoint()
+            )
+            contaminated = kept.join(dirty_ids, "doc_id")
+            kept = kept.join(dirty_ids, "doc_id", "left_anti")
+            _idempotent_append(
+                contaminated, batch_id, f"{out_root}/contaminated"
+            )
         _idempotent_append(kept, batch_id, f"{out_root}/kept")
         _idempotent_append(split.quarantine, batch_id, f"{out_root}/quarantine")
         _idempotent_append(dups, batch_id, f"{out_root}/dups")

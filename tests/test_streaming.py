@@ -900,3 +900,46 @@ def test_streaming_corpus_prep_routes_three_ways(spark, tmp_path):
     assert "<EMAIL>" in quar[0].text and "x@y.io" not in quar[0].text
     assert {r.doc_id for r in dups} == {102}
     assert dups[0].matched_corpus_id == 0 and dups[0].jaccard == 1.0
+
+
+def test_streaming_corpus_prep_decontaminates(spark, tmp_path):
+    """With eval_grams supplied, a kept doc sharing a 5-gram with the
+    eval corpus routes to contaminated/ instead of kept/."""
+    from eventsgateway_spark.streaming.corpus_prep import (
+        corpus_prep_stream,
+        eval_gram_set,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "an unrelated corpus document that has a sufficient number of "
+             "tokens the a of and to is in it with many extra distinct words "
+             "for the quality floor")],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(900, "the secret benchmark question about spark shuffles appears here")],
+        "doc_id long, text string",
+    )
+    dirty = ("this training doc quotes the secret benchmark question about "
+             "spark shuffles appears here verbatim and the a of and to is in "
+             "it plus more filler words to pass quality")
+    clean = ("a perfectly ordinary clean document of more than twenty tokens "
+             "containing the a of and to is in it stopwords plus plenty of "
+             "distinct other words")
+    incoming = spark.createDataFrame(
+        [(200, dirty), (201, clean)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "in")
+    incoming.coalesce(1).write.parquet(src)
+    q = corpus_prep_stream(
+        spark.readStream.schema(incoming.schema).parquet(src),
+        corpus,
+        out_root=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_once=True,
+        eval_grams=eval_gram_set(eval_docs),
+    )
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out/kept")).collect()}
+    cont = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out/contaminated")).collect()}
+    assert kept == {201} and cont == {200}
