@@ -120,18 +120,40 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(n)
 
 
-def pin(df: DataFrame) -> DataFrame:
+def pin(df: DataFrame, mode: str = "checkpoint") -> DataFrame:
     """Materialize a frame that several downstream jobs will consume.
 
-    At real scale a ``localCheckpoint`` stops every consumer from
-    re-running the (explode-heavy) lineage back to the scan; measured
-    at sf0.1 it also beats a lazy ``persist``, whose cache concurrent
-    consumers race (the same partitions get computed several times
-    before the cache fills). At fixture scale the materialization job
-    costs more than the recompute it saves, so the frame is returned
-    untouched. 100 TB posture: a long-lived pinned frame should
-    graduate to a persisted/bucketed table (SCALE.md)."""
-    return df if is_fixture_scale(df) else df.localCheckpoint()
+    ``mode`` is the per-call-site strategy, picked by measurement
+    (BASELINE.md round-6 A/B at sf0.1):
+
+    - ``checkpoint`` — ``localCheckpoint()``: hard lineage cut. Right
+      when downstream runs MULTIPLE actions over an expensive lineage
+      (iterative algorithms, streaming batches).
+    - ``persist`` — eager MEMORY_AND_DISK persist: dedups recompute
+      across consumers without the block-file write + job-per-pin of a
+      checkpoint. Right for one-action DAGs whose pinned frame feeds
+      several downstream joins (measured 2.3× faster than checkpoint
+      on q60 at sf0.1).
+    - ``off`` — identity: rely on Catalyst ReusedExchange within the
+      single action. Right when every consumer sits under ONE action
+      and the consumers' exchanges are canonically identical (measured
+      3.7× faster than checkpoint on q31's band self-join at sf0.1).
+
+    ``SPARK_GRAFT_PIN_MODE`` overrides every call site for A/B runs.
+    At fixture scale any materialization job costs more than the
+    recompute it saves, so the frame is returned untouched. 100 TB
+    posture: a long-lived pinned frame should graduate to a
+    persisted/bucketed table (SCALE.md)."""
+    if is_fixture_scale(df):
+        return df
+    mode = os.environ.get("SPARK_GRAFT_PIN_MODE", mode)
+    if mode == "off":
+        return df
+    if mode == "persist":
+        df = df.persist()
+        df.count()  # eager fill so concurrent consumers don't race the cache
+        return df
+    return df.localCheckpoint()
 
 
 def arrow_scorer() -> bool:

@@ -80,7 +80,14 @@ def doc_shingles(
     the checkpoint job). The df-cap is then a broadcast ANTI join
     against the hot-shingle list: the list of shingles with df > cap
     is tiny by construction, so the prune costs no shuffle and no sort
-    (a window count would sort every partition by s)."""
+    (a window count would sort every partition by s).
+
+    A frame carrying a ``toks`` column is treated as PRE-TOKENIZED:
+    the split is skipped entirely (composers like q60 tokenize once
+    and thread the array through every stage — the round-6 fix for
+    the pipeline re-tokenizing its surviving corpus 4x)."""
+    if "toks" in docs.columns:
+        return _shingles_from_toks(docs, n, max_df)
     base = spread(docs.select("doc_id", "text"))
     if arrow_scorer():
         # Arrow fast path: C-backed split/join per batch instead of the
@@ -99,7 +106,31 @@ def doc_shingles(
                 F.explode(F.array_distinct(ngrams(F.col("toks"), n))).alias("s"),
             )
         )
-    sh = pin(shingled)
+    return _df_capped(shingled, max_df)
+
+
+def _shingles_from_toks(docs: DataFrame, n: int, max_df: int) -> DataFrame:
+    shingled = spread(docs.select("doc_id", "toks")).select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams(F.col("toks"), n))).alias("s"),
+    )
+    return _df_capped(shingled, max_df)
+
+
+def _df_capped(shingled: DataFrame, max_df: int) -> DataFrame:
+    """Df-cap the shingle table via a broadcast anti join against the
+    (tiny-by-construction) hot-shingle list.
+
+    Pin mode ``off`` (round-6 A/B, BASELINE.md): every consumer of the
+    shingle table in q30/q31/q60 sits under ONE action, where the
+    self-join sides canonicalize to the same exchange (ReusedExchange
+    runs it once) and the residual recompute (tokenize+explode for the
+    hot list / sizes branches) is cheaper than any materialization —
+    checkpoint measured 3.7x slower on q31, eager persist 1.5-2.6x
+    slower on q30/q31 at sf0.1. Multi-action composers that reuse the
+    shingle table across actions should pin the RESULT frame they
+    build from it, not this one."""
+    sh = pin(shingled, mode="off")
     hot = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -314,8 +345,11 @@ def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     # one explode instead of a 4-way union (which would recompute the
-    # signature aggregation once per band); pinned because BOTH sides
-    # of the self-join read it
+    # signature aggregation once per band). Pin mode "off" (round-6
+    # A/B, BASELINE.md): both self-join sides canonicalize to the SAME
+    # aggregation exchange, so Catalyst's ReusedExchange already runs
+    # the signature shuffle once within the single action — a
+    # localCheckpoint here cost 3.7x at sf0.1.
     bands = pin(mins.select(
         "doc_id",
         F.explode(
@@ -333,7 +367,7 @@ def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bkey"))
+    ).select("doc_id", "bk.band", "bk.bkey"), mode="off")
     a = bands.alias("a")
     bb = bands.alias("b")
     cand = (

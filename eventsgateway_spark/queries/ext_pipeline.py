@@ -102,9 +102,16 @@ _FIVEGRAM = " || ' ' || ".join(f"toks[i+{j}]" for j in range(DECON_N))
     """,
 )
 def q60_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """See module docstring — the composed pipeline, one Catalyst plan."""
+    """See module docstring — the composed pipeline, one Catalyst plan.
+
+    Tokenization happens EXACTLY ONCE (round-6 change): ``toks`` is
+    computed at the scan and threaded through every stage — the
+    shingle builder, the 5-gram decontaminator, and the chunker all
+    detect the pre-tokenized column and skip their own split. At
+    100 TB tokenization is a material fraction of pipeline CPU; the
+    previous shape paid it 4x (once per stage)."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    with_toks = docs.withColumn("toks", tokens("text"))
+    with_toks = docs.select("doc_id", "source", tokens("text").alias("toks"))
 
     # quality floor
     q = with_toks.filter(F.size("toks") >= MIN_TOKENS)
@@ -116,11 +123,14 @@ def q60_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep1 = canon.groupBy("k").agg(F.min("doc_id").alias("keep_id"))
     # pin: s1 fans out to the shingle path AND the survivor join — the
     # exact-dedup lineage (scan → tokenize → groupBy → join) would
-    # otherwise re-execute per consumer (identity at fixture scale)
+    # otherwise re-execute per consumer (identity at fixture scale).
+    # Eager persist, not checkpoint: one action consumes everything
+    # downstream (round-6 A/B, BASELINE.md).
     s1 = pin(
         canon.join(keep1, "k")
         .filter(F.col("doc_id") == F.col("keep_id"))
-        .select("doc_id", "source", "text")
+        .select("doc_id", "source", "toks"),
+        mode="persist",
     )
 
     # near-dup keep-first: drop the larger doc of every Jaccard≥0.5 pair
@@ -130,7 +140,7 @@ def q60_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # pin: s2 fans out to the contamination-gram path and s3
-    s2 = pin(s1.join(losers, "doc_id", "left_anti"))
+    s2 = pin(s1.join(losers, "doc_id", "left_anti"), mode="persist")
 
     # decontamination: drop the eval corpus itself + anything sharing a
     # 5-gram with it (eval grams from the ORIGINAL corpus, broadcast)
@@ -140,12 +150,12 @@ def q60_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.select(
             "doc_id",
             F.explode(
-                F.array_distinct(ngrams(tokens("text"), DECON_N))
+                F.array_distinct(ngrams(F.col("toks"), DECON_N))
             ).alias("g"),
         )
 
     eval_grams = (
-        five_grams(docs.filter(F.col("source") == EVAL_SOURCE))
+        five_grams(with_toks.filter(F.col("source") == EVAL_SOURCE))
         .select("g")
         .distinct()
     )
@@ -157,9 +167,9 @@ def q60_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s3 = s2.filter(F.col("source") != EVAL_SOURCE).join(cont, "doc_id", "left_anti")
 
-    # chunk + split
+    # chunk + split (chunk_documents consumes the threaded toks)
     return (
-        chunk_documents(s3.select("doc_id", "text"))
+        chunk_documents(s3.select("doc_id", "toks"))
         .withColumn("split", split_col(F.col("doc_id")))
         .select("doc_id", "chunk_id", "split", "n_tokens", "chunk_text")
         .orderBy("doc_id", "chunk_id")

@@ -374,10 +374,15 @@ def chunk_documents(docs: DataFrame) -> DataFrame:
     Spark side of the UDTF/property parity tests. Unordered: the total
     sort is q51's presentation contract, not the operator's — composers
     (e.g. a hash-partitioned chunk-table write) must not pay a global
-    range shuffle."""
-    with_toks = docs.select("doc_id", tokens("text").alias("toks")).filter(
-        F.size("toks") > 0
-    )
+    range shuffle. A frame carrying a ``toks`` column is treated as
+    pre-tokenized and the split is skipped (q60 threads one
+    tokenization through all stages)."""
+    if "toks" in docs.columns:
+        with_toks = docs.select("doc_id", "toks").filter(F.size("toks") > 0)
+    else:
+        with_toks = docs.select("doc_id", tokens("text").alias("toks")).filter(
+            F.size("toks") > 0
+        )
     starts = with_toks.select(
         "doc_id",
         "toks",
