@@ -80,6 +80,13 @@ def shingles_arrow(text: Column, n: int) -> Column:
         def batch(texts):
             out = []
             for t in texts:
+                if t is None:
+                    # match the JVM path's null semantics: ngrams() on a
+                    # null token array yields an empty array → explode
+                    # emits no rows (ADVICE r5 — a null text row must
+                    # not crash the Arrow path)
+                    out.append([])
+                    continue
                 toks = [x for x in t.split(" ") if x]
                 out.append(
                     list(

@@ -108,16 +108,23 @@ ROTATION: list[tuple[str, ...]] = [
 # correctness lives in pytest tolerance tests (tests/test_approx.py).
 ALWAYS_LOCAL = {"q23_approx_distinct_users", "q50_hll_sketch_rollup"}
 
-# Used when no CORRECTNESS_r*.json is present to infer the round from
-# (fresh checkout without driver artifacts).
-_FALLBACK_ROUND = 5
+# Used when neither the ROUND file nor any CORRECTNESS_r*.json is
+# present (should not happen on a committed checkout — ROUND is in git).
+_FALLBACK_ROUND = 6
 
 
 def current_round() -> int:
-    """Build-round number: 1 + the highest driver correctness artifact
-    committed at the repo root (the driver writes CORRECTNESS_r{N}.json
-    AFTER evaluating round N, so during round N the max on disk is
-    N-1). ``SPARK_GRAFT_ROUND`` overrides for tests."""
+    """Build-round number. Resolution order (ADVICE r5 — the declared
+    set must not depend on untracked driver artifacts alone):
+
+    1. ``SPARK_GRAFT_ROUND`` env override (tests / phase probes).
+    2. max(committed ``ROUND`` file, highest CORRECTNESS_r{N}.json + 1)
+       — the ROUND file pins a fresh artifact-less checkout to the
+       intended phase, while the artifact inference keeps a stale
+       ROUND file from freezing later rounds (the driver writes
+       CORRECTNESS_r{N}.json AFTER evaluating round N, so during
+       round N the max on disk is N-1).
+    """
     import os
     import re
 
@@ -125,6 +132,12 @@ def current_round() -> int:
     if override:
         return int(override)
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    candidates = []
+    try:
+        with open(os.path.join(root, "ROUND")) as f:
+            candidates.append(int(f.read().strip()))
+    except (OSError, ValueError):
+        pass
     rounds = []
     try:
         for fname in os.listdir(root):
@@ -133,7 +146,9 @@ def current_round() -> int:
                 rounds.append(int(m.group(1)))
     except OSError:
         pass
-    return max(rounds) + 1 if rounds else _FALLBACK_ROUND
+    if rounds:
+        candidates.append(max(rounds) + 1)
+    return max(candidates) if candidates else _FALLBACK_ROUND
 
 
 def rotated_declared(

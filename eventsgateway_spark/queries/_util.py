@@ -76,6 +76,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 FIXTURE_INPUT_BYTES = 256 << 10
 
 
+def known_input_bytes(df: DataFrame) -> int | None:
+    """Like ``input_bytes`` but honest about ignorance: ``None`` when
+    the frame has no measurable leaf files (createDataFrame, JDBC,
+    temp view). Use for RESULT-SHAPING counts (q68 shard ids, q70 cell
+    count), where the huge-sentinel fallback would silently change
+    query OUTPUT — those sites fall back to their fixed oracle
+    constant instead (ADVICE r5). Pure performance knobs (spread/pin)
+    keep using ``input_bytes``, where unknown-counts-as-huge is the
+    safe direction."""
+    b = input_bytes(df)
+    return None if b == 1 << 60 else b
+
+
 def input_bytes(df: DataFrame) -> int:
     """Total on-disk bytes of the frame's leaf input files.
 

@@ -40,7 +40,7 @@ from pyspark.sql.window import Window
 
 from eventsgateway_spark.functions.text import EN_STOPWORDS, tokens
 from eventsgateway_spark.queries import query
-from eventsgateway_spark.queries._util import input_bytes, spread, table
+from eventsgateway_spark.queries._util import spread, table
 
 _DUCK_TOKS = "[x FOR x IN string_split(text, ' ') IF x <> '']"
 
@@ -283,10 +283,18 @@ _TARGET_SHARD_BYTES = 1 << 30
 
 
 def shard_count(df: DataFrame) -> int:
-    """Input-size-derived shard count: max(32, bytes/1GiB), capped so
-    an unknown-size input (reported as 'huge') cannot explode the
-    manifest."""
-    return int(min(max(_N_SHARDS, input_bytes(df) // _TARGET_SHARD_BYTES), 1 << 20))
+    """Input-size-derived shard count: max(32, bytes/1GiB), capped at
+    2^20. Shard ids are part of the RESULT, so an input of UNKNOWN
+    size (createDataFrame, temp view — no measurable leaf files) falls
+    back to the fixed oracle constant _N_SHARDS instead of the huge
+    sentinel, which would silently diverge from the oracle's 32-shard
+    layout (ADVICE r5)."""
+    from eventsgateway_spark.queries._util import known_input_bytes
+
+    b = known_input_bytes(df)
+    if b is None:
+        return _N_SHARDS
+    return int(min(max(_N_SHARDS, b // _TARGET_SHARD_BYTES), 1 << 20))
 
 
 def shard_of(key: F.Column, n_shards: int = _N_SHARDS) -> F.Column:

@@ -725,10 +725,19 @@ _SEMD_TARGET_CELL_BYTES = 100 << 10
 
 def semd_cell_count(emb: DataFrame) -> int:
     """Input-size-derived SemDeDup cell count (fixture floors at
-    IVF_K, matching the oracle's deterministic first-K centroids)."""
-    from eventsgateway_spark.queries._util import input_bytes
+    IVF_K, matching the oracle's deterministic first-K centroids).
 
-    return int(min(max(IVF_K, input_bytes(emb) // _SEMD_TARGET_CELL_BYTES), 1 << 16))
+    The cell count shapes the RESULT (which pairs are compared), so an
+    input of UNKNOWN size falls back to the fixed oracle constant
+    IVF_K — the huge-sentinel fallback would quietly give a
+    createDataFrame/temp-view input 2^16 single-member cells and
+    degenerate semantic dedup into exact-dup detection (ADVICE r5)."""
+    from eventsgateway_spark.queries._util import known_input_bytes
+
+    b = known_input_bytes(emb)
+    if b is None:
+        return IVF_K
+    return int(min(max(IVF_K, b // _SEMD_TARGET_CELL_BYTES), 1 << 16))
 
 
 @query(

@@ -12,8 +12,9 @@ Executed via ``foreachBatch`` (top-k needs a window over candidates,
 not expressible in append-mode streaming). Scale posture: the index is
 the only large object and it is never reshuffled per batch — at real
 scale store the assignment table bucketed by cell_id so the per-batch
-candidate join co-locates; query batches are small, so their side of
-every join broadcasts. Zero streaming state.
+candidate join co-locates. The query side carries NO forced broadcast
+hint (an availableNow first batch can be a full backlog replay) — AQE
+broadcasts a genuinely small batch at runtime. Zero streaming state.
 """
 
 from __future__ import annotations
@@ -90,10 +91,13 @@ def ann_lookup_batch(
     nprobe: int = IVF_NPROBE, topk: int = 3,
 ) -> DataFrame:
     """(qid, rn, neighbor_id, cos_sim) — top-k corpus neighbors for a
-    (vec_id, embedding) query frame, searching only the probed cells."""
+    (vec_id, embedding) query frame, searching only the probed cells.
+    No forced broadcast of the (micro-batch-derived) probe side — an
+    availableNow backlog replay can be arbitrarily large; AQE
+    broadcasts it while it is genuinely small (ADVICE r5)."""
     probes = ivf_probe_with(norm_view(queries), cents, nprobe)
     scored = (
-        assign.join(F.broadcast(probes), "cell_id")
+        assign.join(probes, "cell_id")
         .select(
             "qid",
             F.col("vec_id").alias("neighbor_id"),
@@ -163,8 +167,13 @@ def semantic_dedup_batch(
     vector a semantic duplicate iff some CORPUS vector in its IVF cell
     has cosine >= tau (micro-unit scaled; default = q70's 0.40 bound).
     Same physical shape as the batch q70: map-only cell assignment
-    (broadcast centroids), then an equi-join on cell_id with the small
-    batch side broadcast — the corpus index is never reshuffled."""
+    (broadcast centroids), then an equi-join on cell_id — no forced
+    broadcast of the batch side (ADVICE r5: under
+    ``trigger(availableNow=True)`` the first micro-batch can be an
+    arbitrarily large backlog replay, the exact hazard class the
+    round-5 batch-side joins dropped their hints for). AQE still
+    broadcasts a genuinely small micro-batch; the corpus index is
+    never reshuffled either way."""
     from eventsgateway_spark.queries.ext_similarity import SEMD_TAU_U
 
     tau = SEMD_TAU_U if tau_u is None else tau_u
@@ -175,7 +184,7 @@ def semantic_dedup_batch(
         "cell_id",
     )
     best = (
-        assign.join(F.broadcast(q), "cell_id")
+        assign.join(q, "cell_id")
         .select(
             "qid",
             F.round(

@@ -183,10 +183,12 @@ def test_scale_derived_counts_floor_at_fixture(spark):
             self._n = n
         def inputFiles(self):
             raise RuntimeError("force unknown-size fallback")
-    # unknown-size inputs count as huge -> cap, never explode
-    from eventsgateway_spark.queries import _util
-    assert shard_count(Fake(0)) == 1 << 20
-    assert semd_cell_count(Fake(0)) == 1 << 16
+    # UNKNOWN-size inputs (createDataFrame, temp view) fall back to the
+    # fixed ORACLE constant, not the huge sentinel: these counts shape
+    # query RESULTS, and the sentinel would silently degenerate q70
+    # into per-vector cells / q68 into 2^20 shards (ADVICE r5)
+    assert shard_count(Fake(0)) == _N_SHARDS
+    assert semd_cell_count(Fake(0)) == IVF_K
     # arithmetic of the rule itself
     assert max(_N_SHARDS, (100 << 40) // _TARGET_SHARD_BYTES) == 100 << 10  # 100 TB -> ~100k shards
     assert max(IVF_K, (1 << 30) // _SEMD_TARGET_CELL_BYTES) == (1 << 30) // (100 << 10)

@@ -509,6 +509,23 @@ def test_shingles_arrow_matches_jvm(spark):
     assert [r["s"] for r in jvm] == [r["s"] for r in arw]
 
 
+def test_shingles_arrow_null_text(spark):
+    """A NULL text row must not crash the Arrow path and must emit the
+    same downstream rows as the JVM path after explode: none (the JVM
+    path's ngrams(null-toks) is the empty array). ADVICE r5 — the
+    fixtures carry no null text, so the parity test above can't see
+    this divergence."""
+    from eventsgateway_spark.functions.text import ngrams, shingles_arrow, tokens
+
+    df = spark.createDataFrame([("a b c d",), (None,)], "text string")
+    jvm = df.select(
+        F.explode(F.array_distinct(ngrams(tokens("text"), 3))).alias("s")
+    ).collect()
+    arw = df.select(F.explode(shingles_arrow(F.col("text"), 3)).alias("s")).collect()
+    assert sorted(r["s"] for r in jvm) == sorted(r["s"] for r in arw)
+    assert len(arw) == 2  # only the non-null doc's two shingles
+
+
 def test_semantic_dedup_keep_first_invariants(spark):
     """q70 SemDeDup semantics: decisions partition the corpus; every
     dropped vector has a SURVIVING smaller-id witness at >= tau in its

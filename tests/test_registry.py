@@ -115,8 +115,11 @@ def test_current_round_reads_driver_artifacts(monkeypatch, tmp_path):
     monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
     assert Q.current_round() == 7
     monkeypatch.delenv("SPARK_GRAFT_ROUND")
-    # with the real repo root present this is >= 5 (r1-r4 committed)
-    assert Q.current_round() >= 5
+    # the committed ROUND file pins a fresh artifact-less checkout to
+    # the intended phase (ADVICE r5); driver artifacts can only move
+    # the round FORWARD past a stale ROUND file, so on any checkout of
+    # this commit the round is deterministic and >= 6
+    assert Q.current_round() >= 6
 
 
 def test_rotated_members_run_first():
