@@ -1,12 +1,15 @@
 """Streaming corpus-prep pipeline — the serving form of q60's batch
-composition: continuously ingest raw documents and route every
-micro-batch through curation (PII redaction + quality rules) and
-near-dup screening against the static corpus index, landing three
-idempotent outputs:
+composition, stage for stage: continuously ingest raw documents and
+route every micro-batch through curation (PII redaction + quality
+rules), WITHIN-BATCH exact dedup (q60 s1: keep the min doc_id per
+canonical token bag), WITHIN-BATCH near-dup keep-first (q60 s2: drop
+the larger doc of every Jaccard>=threshold pair), and near-dup
+screening against the static corpus index, landing idempotent outputs:
 
     kept/         curated, novel, clean documents (training candidates)
     quarantine/   failed a quality rule (redacted; reject_reason tagged)
-    dups/         near-duplicates of the corpus, with match evidence
+    dups/         duplicates with match evidence — matched id, jaccard,
+                  and match_kind in {exact_batch, near_batch, corpus}
     contaminated/ share a 5-gram with the held-out eval corpus (only
                   when ``eval_grams`` is supplied — q53/q60 semantics)
 
@@ -73,13 +76,56 @@ def corpus_prep_stream(
     idx = index
 
     def _route(batch_df: DataFrame, batch_id: int) -> None:
+        from eventsgateway_spark.functions.text import tokens
+        from eventsgateway_spark.queries.ext_dedup import jaccard_pairs
+        from eventsgateway_spark.streaming.near_dup import batch_shingles
+
         batch = batch_df.localCheckpoint()  # consumed by several sinks
         split = curate(batch)
         kept_all = split.kept.localCheckpoint()
+
+        # WITHIN-BATCH exact dedup (q60's s1 stage, batch-scoped): keep
+        # the minimum doc_id per canonical token bag; the other members
+        # become dups with jaccard=1.0 evidence against the survivor.
+        canon = kept_all.withColumn(
+            "k", F.array_join(F.sort_array(F.array_distinct(tokens("text"))), " ")
+        )
+        keep1 = canon.groupBy("k").agg(F.min("doc_id").alias("keep_id"))
+        resolved = canon.join(keep1, "k").localCheckpoint()  # 2 consumers
+        exact_evid = resolved.filter(F.col("doc_id") != F.col("keep_id")).select(
+            "doc_id",
+            F.col("keep_id").alias("corpus_id"),
+            F.lit(1.0).alias("jaccard"),
+            F.lit("exact_batch").alias("match_kind"),
+        )
+        survivors = resolved.filter(F.col("doc_id") == F.col("keep_id")).drop(
+            "k", "keep_id"
+        )
+
+        # WITHIN-BATCH near-dup keep-first (q60's s2 stage): drop the
+        # larger doc_id of every Jaccard>=threshold pair inside the
+        # batch. Shingles are pruned with the INDEX's hot list so the
+        # within-batch and vs-corpus Jaccards count the same universe.
+        sh_b = batch_shingles(survivors).join(
+            F.broadcast(idx.hot), "s", "left_anti"
+        )
+        within_evid = jaccard_pairs(sh_b, threshold).select(
+            F.col("d2").alias("doc_id"),
+            F.col("d1").alias("corpus_id"),
+            "jaccard",
+            F.lit("near_batch").alias("match_kind"),
+        )
+
+        # VS-CORPUS near-dup (subsumes exact corpus matches at j=1.0)
+        corpus_evid = flag_near_dups(survivors, idx, threshold).select(
+            "doc_id", "corpus_id", "jaccard", F.lit("corpus").alias("match_kind")
+        )
+
         best = (
-            flag_near_dups(kept_all, idx, threshold)
+            exact_evid.unionByName(within_evid)
+            .unionByName(corpus_evid)
             .groupBy("doc_id")
-            .agg(F.max(F.struct("jaccard", "corpus_id")).alias("m"))
+            .agg(F.max(F.struct("jaccard", "corpus_id", "match_kind")).alias("m"))
             .localCheckpoint()
         )
         dups = kept_all.join(best, "doc_id").select(
@@ -87,6 +133,7 @@ def corpus_prep_stream(
             "text",
             F.col("m.corpus_id").alias("matched_corpus_id"),
             F.col("m.jaccard").alias("jaccard"),
+            F.col("m.match_kind").alias("match_kind"),
         )
         kept = kept_all.join(best.select("doc_id"), "doc_id", "left_anti")
         if eval_grams is not None:

@@ -1,0 +1,150 @@
+"""Scale-growth probes for the dedup/pipeline family (VERDICT r5 #4).
+
+Generates synthetic document corpora at 1x / 10x / 100x the sf0.1
+fixture volume and measures wall-time for the bucketed dedup operators
+(q30 inverted-index Jaccard, q31 MinHash-LSH, q60 corpus-prep, q72
+substring-window dedup), converting the "linear in corpus size" claims
+of SCALE.md from prose to data (the observed growth exponent between
+consecutive decades).
+
+Corpus realism knobs (what makes the probe honest):
+- **Heaps' law vocabulary**: distinct-token count grows ~sqrt(corpus),
+  so distinct-shingle space grows with scale and per-shingle document
+  frequency stays bounded — exactly like real text. A fixed tiny vocab
+  would let the MAX_SHINGLE_DF prune delete the whole workload at
+  scale and fake sub-linear growth.
+- **Zipf token draw** (s=0.8): hot tokens exist (the df-cap has real
+  work), but accidental trigram collisions stay rare — like the
+  fixture, where shared shingles mean near-dups, not chance.
+- **Controlled duplicate rate**: ~2% exact dups + ~3% near-dups
+  (single-token mutation), scale-invariant, so true-pair volume —
+  and therefore LSH candidate volume — grows linearly by
+  construction, matching the dedup-workload model.
+
+Writes parquet to /tmp (never the read-only fixture tree). Run:
+    python -m eventsgateway_spark.tools.scaleprobe [--mults 1,10] [--runs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import random
+import time
+
+BASE_DOCS = 5_000  # sf0.1 documents row count
+MEAN_TOKENS = 54  # sf0.1 mean tokens/doc
+EXACT_DUP_PCT = 0.02
+NEAR_DUP_PCT = 0.03
+SOURCES = [f"src{i}" for i in range(5)]  # includes q60's eval source src0
+LANGS = ["en", "es", "zh"]
+
+PROBE_QUERIES = (
+    "q30_jaccard_pairs",
+    "q31_minhash_lsh_pairs",
+    "q60_corpus_prep",
+    "q72_substring_dedup",
+)
+
+
+def _vocab(n_docs: int) -> list[str]:
+    # Heaps' law: V = K * N^beta, beta ~ 0.5, K chosen so 5000 docs
+    # (~270k tokens) get ~4k distinct tokens
+    v = int(60 * math.sqrt(n_docs))
+    return [f"w{i}" for i in range(v)]
+
+
+def gen_corpus(out_dir: str, mult: int, seed: int = 7) -> str:
+    """Write documents.parquet with mult * BASE_DOCS rows; returns the
+    directory (layout-compatible with an sf_dir for document queries)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(path):
+        return out_dir
+    rng = random.Random(seed)
+    n = BASE_DOCS * mult
+    vocab = _vocab(n)
+    # Zipf weights once; random.choices does cumulative-weight sampling
+    weights = [1.0 / (i + 1) ** 0.8 for i in range(len(vocab))]
+    docs: list[str] = []
+    for i in range(n):
+        r = rng.random()
+        if i > 0 and r < EXACT_DUP_PCT:
+            docs.append(docs[rng.randrange(i)])
+            continue
+        if i > 0 and r < EXACT_DUP_PCT + NEAR_DUP_PCT:
+            toks = docs[rng.randrange(i)].split(" ")
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            docs.append(" ".join(toks))
+            continue
+        ln = max(6, int(rng.gauss(MEAN_TOKENS, 18)))
+        docs.append(" ".join(rng.choices(vocab, weights=weights, k=ln)))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+            "lang": pa.array([LANGS[i % len(LANGS)] for i in range(n)], pa.string()),
+            "source": pa.array(
+                [SOURCES[i % len(SOURCES)] for i in range(n)], pa.string()
+            ),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path)
+    return out_dir
+
+
+def run_probe(mults: tuple[int, ...] = (1, 10, 100), runs: int = 2,
+              root: str = "/tmp/scaleprobe") -> dict:
+    from eventsgateway_spark.queries import QUERIES
+    from eventsgateway_spark.session import get_spark
+
+    spark = get_spark("scaleprobe")
+    # one unmeasured pass at the smallest scale: JIT + codegen + file
+    # listing warmup otherwise lands entirely on the first timed query
+    warm_dir = gen_corpus(os.path.join(root, f"x{mults[0]}"), mults[0])
+    for name in PROBE_QUERIES:
+        QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+    results: dict[str, dict[int, float]] = {q: {} for q in PROBE_QUERIES}
+    for mult in mults:
+        sf_dir = gen_corpus(os.path.join(root, f"x{mult}"), mult)
+        for name in PROBE_QUERIES:
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(time.perf_counter() - t0)
+            results[name][mult] = round(min(samples), 2)
+            print(f"x{mult} {name}: {results[name][mult]}s", flush=True)
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+    report = {}
+    for name, times in results.items():
+        row: dict = {f"x{m}": t for m, t in times.items()}
+        ms = sorted(times)
+        if len(ms) >= 2:
+            m0, m1 = ms[-2], ms[-1]
+            row["exponent"] = round(
+                math.log(times[m1] / times[m0]) / math.log(m1 / m0), 2
+            )
+        report[name] = row
+    print(json.dumps(report))
+    spark.stop()
+    return report
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,10,100")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+    run_probe(tuple(int(m) for m in args.mults.split(",")), args.runs)

@@ -943,3 +943,44 @@ def test_streaming_corpus_prep_decontaminates(spark, tmp_path):
     kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out/kept")).collect()}
     cont = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out/contaminated")).collect()}
     assert kept == {201} and cont == {200}
+
+
+def test_streaming_corpus_prep_within_batch_dedup(spark, tmp_path):
+    """Stage-for-stage q60 parity (VERDICT r5 #6): near-dups and exact
+    dups arriving INSIDE one micro-batch are deduped keep-first, not
+    just screened against the corpus — the batch's min-id survivor
+    lands in kept/, its copies/mutations in dups/ with batch-scoped
+    match evidence."""
+    from eventsgateway_spark.streaming.corpus_prep import corpus_prep_stream
+
+    corpus = spark.createDataFrame(
+        [(0, "an unrelated corpus document that has a sufficient number of "
+             "tokens the a of and to is in it with many extra distinct words "
+             "for the quality floor")],
+        "doc_id long, text string",
+    )
+    base = ("a brand new training document with more than twenty tokens "
+            "containing the a of and to is in it stopwords plus plenty of "
+            "distinct other words nothing like the corpus")
+    near = base.replace("nothing", "almost-nothing")  # 1-token mutation
+    incoming = spark.createDataFrame(
+        [(300, base), (301, base), (302, near)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "in")
+    incoming.coalesce(1).write.parquet(src)
+    q = corpus_prep_stream(
+        spark.readStream.schema(incoming.schema).parquet(src),
+        corpus,
+        out_root=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out/kept")).collect()}
+    dups = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "out/dups")).collect()}
+    assert kept == {300}  # min-id survivor only
+    assert set(dups) == {301, 302}
+    assert dups[301].match_kind == "exact_batch" and dups[301].jaccard == 1.0
+    assert dups[301].matched_corpus_id == 300
+    assert dups[302].match_kind == "near_batch" and dups[302].matched_corpus_id == 300
+    assert 0.5 <= dups[302].jaccard < 1.0
