@@ -145,6 +145,149 @@ def _ppm_features(b: bytes):
     return w, h, [w / 2048.0, h / 2048.0, *means.tolist(), *stds.tolist()]
 
 
+# ---------------------------------------------------------------------------
+# Real PNG decode — stdlib zlib/struct + numpy, no PIL
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png(b: bytes):
+    """Parse a PNG: returns (width, height, HxWxC uint8 array),
+    C=3 (RGB, color type 2) or 4 (RGBA, color type 6).
+
+    Real-format support from the stdlib alone: critical-chunk walk
+    with CRC verification, zlib inflate, and ALL FIVE scanline filters
+    (None/Sub/Up/Average/Paeth — wild PNGs use every one). Limits,
+    enforced with ValueError: 8-bit depth, truecolor ±alpha, no
+    interlace, no palette — the PIL seam covers the rest."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload (bad magic)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are skipped, per spec
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in (2, 6):
+        raise ValueError(
+            f"only 8-bit RGB/RGBA supported (depth={depth}, color_type={ctype})"
+        )
+    if comp or filt or interlace:
+        raise ValueError("unsupported compression/filter/interlace method")
+    ch = 3 if ctype == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data shorter than IHDR promises")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint16)
+    for y in range(h):
+        fb = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.uint16)
+        if fb == 0:  # None
+            rec = line
+        elif fb == 1:  # Sub — per-channel cumulative sum mod 256
+            rec = (
+                line.reshape(w, ch).cumsum(axis=0, dtype=np.uint32) % 256
+            ).reshape(stride).astype(np.uint16)
+        elif fb == 2:  # Up
+            rec = (line + prev) % 256
+        elif fb == 3:  # Average — sequential in the left neighbor
+            rec = np.empty(stride, np.uint16)
+            for i in range(stride):
+                left = int(rec[i - ch]) if i >= ch else 0
+                rec[i] = (int(line[i]) + (left + int(prev[i])) // 2) % 256
+        elif fb == 4:  # Paeth — sequential predictor
+            rec = np.empty(stride, np.uint16)
+            for i in range(stride):
+                a = int(rec[i - ch]) if i >= ch else 0
+                up = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[i] = (int(line[i]) + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {fb}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return w, h, out.reshape(h, w, ch)
+
+
+def encode_png(img) -> bytes:
+    """HxWxC uint8 array (C=3 RGB / C=4 RGBA) → PNG bytes (8-bit,
+    filter 0 scanlines, one zlib IDAT)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = img.shape
+    if ch not in (3, 4):
+        raise ValueError("encode_png takes HxWx3 (RGB) or HxWx4 (RGBA)")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+    lines = np.concatenate(
+        [np.zeros((h, 1), np.uint8), img.reshape(h, w * ch)], axis=1
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(lines.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_features(b: bytes):
+    """Same 8-dim feature contract as _ppm_features; RGBA alpha is
+    excluded from the color statistics so RGB and RGBA images of the
+    same scene land in the same feature space."""
+    w, h, img = parse_png(b)
+    f = img.reshape(-1, img.shape[2])[:, :3].astype("float64")
+    means = f.mean(axis=0) / 255.0
+    stds = f.std(axis=0) / 255.0
+    return w, h, [w / 2048.0, h / 2048.0, *means.tolist(), *stds.tolist()]
+
+
+#: media_type → real decoder, the dependency-free tier. Formats outside
+#: this table raise NotImplementedError (the PIL/libav plug-in seam).
+_REAL_DECODERS = {
+    "image/ppm": _ppm_features,
+    "image/png": _png_features,
+}
+
+
 def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     out = {
         "asset_id": pdf["asset_id"],
@@ -155,12 +298,14 @@ def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         "feature": [],
     }
     for mt, raw in zip(pdf["media_type"], pdf["payload"]):
-        if mt != "image/ppm":
+        dec = _REAL_DECODERS.get(mt)
+        if dec is None:
             raise NotImplementedError(
                 f"real decode for {mt!r} needs PIL/libav — not available in "
-                "this environment; image/ppm decodes natively (numpy)"
+                "this environment; image/ppm and image/png decode natively "
+                "(numpy + stdlib zlib)"
             )
-        w, h, feat = _ppm_features(bytes(raw))
+        w, h, feat = dec(bytes(raw))
         out["width"].append(w)
         out["height"].append(h)
         out["n_frames"].append(1)
@@ -243,13 +388,17 @@ def resize_media(assets: DataFrame, width: int = 32, height: int = 32, stub: boo
         for pdf in batches:
             thumbs = []
             for mt, raw in zip(pdf["media_type"], pdf["payload"]):
-                if mt != "image/ppm":
+                if mt == "image/ppm":
+                    _, _, img = parse_ppm(bytes(raw))
+                    thumbs.append(encode_ppm(_nn_resize(img, width, height)))
+                elif mt == "image/png":
+                    _, _, img = parse_png(bytes(raw))
+                    thumbs.append(encode_png(_nn_resize(img, width, height)))
+                else:
                     raise NotImplementedError(
-                        f"real resize for {mt!r} needs PIL — image/ppm "
-                        "resizes natively (numpy nearest-neighbor)"
+                        f"real resize for {mt!r} needs PIL — image/ppm and "
+                        "image/png resize natively (numpy nearest-neighbor)"
                     )
-                _, _, img = parse_ppm(bytes(raw))
-                thumbs.append(encode_ppm(_nn_resize(img, width, height)))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

@@ -592,11 +592,60 @@ def test_ppm_decode_and_resize_are_real(spark):
     # nearest-neighbor gather: rows 0,1 -> 0,1 ; cols 0,2
     exp = grad[[0, 1]][:, [0, 2]]
     assert np.array_equal(timg, exp)
-    # non-PPM media through the real path must hit the PIL seam
+    # media outside the native tier (ppm/png) must hit the PIL seam
     import pytest as _pytest
 
     other = spark.createDataFrame(
-        [(3, "image/png", bytearray(b"fake"), 4)], MEDIA_SCHEMA
+        [(3, "image/jpeg", bytearray(b"fake"), 4)], MEDIA_SCHEMA
     )
     with _pytest.raises(Exception, match="PIL|NotImplemented"):
         decode_media(other, stub=False).collect()
+
+
+def test_png_decode_and_resize_are_real(spark):
+    """stub=False genuinely decodes PNG with stdlib zlib + numpy
+    (VERDICT r5 #5 — the format wild fixtures actually use): parsed
+    dimensions, RGB stats excluding alpha, and a nearest-neighbor
+    thumbnail that round-trips through the PNG encoder. Mixed
+    ppm+png batches decode side by side (per-row dispatch)."""
+    import numpy as np
+
+    from eventsgateway_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        encode_png,
+        encode_ppm,
+        parse_png,
+        resize_media,
+    )
+
+    grad = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)  # 4x2 RGB
+    solid_rgba = np.zeros((4, 4, 4), dtype=np.uint8)
+    solid_rgba[:, :, :3] = [10, 200, 30]
+    solid_rgba[:, :, 3] = 7  # alpha must not leak into color stats
+    rows = [
+        (1, "image/png", bytearray(encode_png(grad)), len(encode_png(grad))),
+        (2, "image/png", bytearray(encode_png(solid_rgba)), len(encode_png(solid_rgba))),
+        (3, "image/ppm", bytearray(encode_ppm(grad)), len(encode_ppm(grad))),
+    ]
+    assets = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r.asset_id: r for r in decode_media(assets, stub=False).collect()}
+    assert (feats[1].width, feats[1].height) == (4, 2)
+    assert (feats[2].width, feats[2].height) == (4, 4)
+    exp_means = np.array([10, 200, 30]) / 255.0
+    got = feats[2].feature
+    assert abs(got[2] - exp_means[0]) < 1e-6
+    assert abs(got[3] - exp_means[1]) < 1e-6
+    assert abs(got[4] - exp_means[2]) < 1e-6
+    assert got[5] == got[6] == got[7] == 0.0  # solid color: zero stddev
+    # ppm and png of the same image land on identical features
+    assert feats[1].feature == feats[3].feature
+
+    thumbs = {r.asset_id: r for r in resize_media(assets, 2, 2, stub=False).collect()}
+    w, h, timg = parse_png(bytes(thumbs[1].thumb))
+    assert (w, h) == (2, 2)
+    assert np.array_equal(timg, grad[[0, 1]][:, [0, 2]])
+    # RGBA thumb keeps its alpha channel
+    _, _, timg2 = parse_png(bytes(thumbs[2].thumb))
+    assert timg2.shape == (2, 2, 4) and (timg2[:, :, 3] == 7).all()

@@ -172,3 +172,139 @@ def test_ppm_parse_encode_roundtrip(w, h, seed, ws, comment):
     hdr += ws + str(h).encode() + ws + b"255\n"
     pw2, ph2, out2 = parse_ppm(hdr + img.tobytes())
     assert (pw2, ph2) == (w, h) and np.array_equal(out2, img)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31),
+    alpha=st.booleans(),
+)
+def test_png_parse_encode_roundtrip(w, h, seed, alpha):
+    """parse_png ∘ encode_png is identity on pixels for RGB and RGBA."""
+    import numpy as np
+
+    from eventsgateway_spark.operators.multimodal import encode_png, parse_png
+
+    rng = np.random.RandomState(seed % (2**31))
+    img = rng.randint(0, 256, size=(h, w, 4 if alpha else 3), dtype=np.uint8)
+    pw, ph, out = parse_png(encode_png(img))
+    assert (pw, ph) == (w, h) and np.array_equal(out, img)
+
+
+def _png_with_filters(img, filters):
+    """Reference encoder applying a GIVEN filter type per scanline
+    (forward-filters the image so parse_png must invert every type)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = img.shape
+    px = img.astype(np.int16).reshape(h, w * ch)
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = px[y]
+        up = px[y - 1] if y > 0 else np.zeros(w * ch, np.int16)
+        out = np.empty(w * ch, np.int16)
+        for i in range(w * ch):
+            a = int(line[i - ch]) if i >= ch else 0
+            b = int(up[i])
+            c = int(up[i - ch]) if i >= ch and y > 0 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (int(line[i]) - pred) % 256
+        raw.append(f)
+        raw.extend(out.astype(np.uint8).tobytes())
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"tEXt", b"k\x00ancillary-skipped")
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=10),
+    h=st.integers(min_value=5, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31),
+    alpha=st.booleans(),
+)
+def test_png_all_filter_types_decode(w, h, seed, alpha):
+    """parse_png inverts ALL FIVE scanline filters (wild PNGs mix them
+    per line) and skips ancillary chunks."""
+    import numpy as np
+
+    from eventsgateway_spark.operators.multimodal import parse_png
+
+    rng = np.random.RandomState(seed % (2**31))
+    img = rng.randint(0, 256, size=(h, w, 4 if alpha else 3), dtype=np.uint8)
+    b = _png_with_filters(img, filters=[0, 1, 2, 3, 4])
+    pw, ph, out = parse_png(b)
+    assert (pw, ph) == (w, h) and np.array_equal(out, img)
+
+
+def test_png_malformed_inputs_rejected():
+    """Header/CRC/shape defects raise ValueError (never a silent wrong
+    image); palette/16-bit/interlaced land on the PIL seam."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from eventsgateway_spark.operators.multimodal import encode_png, parse_png
+
+    img = np.zeros((2, 2, 3), np.uint8)
+    good = encode_png(img)
+    with pytest.raises(ValueError, match="magic"):
+        parse_png(b"NOPE" + good[4:])
+    # flip one IDAT payload bit -> CRC mismatch
+    bad = bytearray(good)
+    bad[len(good) - 20] ^= 0xFF
+    with pytest.raises(ValueError):
+        parse_png(bytes(bad))
+    # palette color type (3) -> unsupported
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+    pal_ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+    with pytest.raises(ValueError, match="color_type"):
+        parse_png(b"\x89PNG\r\n\x1a\n" + pal_ihdr + chunk(b"IDAT", b"x") + chunk(b"IEND", b""))
+    # truncated pixel data
+    short = zlib.compress(b"\x00" * 3)  # one filter byte + 2 bytes, needs 2*(6+1)
+    with pytest.raises(ValueError, match="shorter"):
+        parse_png(
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", short)
+            + chunk(b"IEND", b"")
+        )
