@@ -69,8 +69,14 @@ def gen_corpus(out_dir: str, mult: int, seed: int = 7) -> str:
     rng = random.Random(seed)
     n = BASE_DOCS * mult
     vocab = _vocab(n)
-    # Zipf weights once; random.choices does cumulative-weight sampling
-    weights = [1.0 / (i + 1) ** 0.8 for i in range(len(vocab))]
+    # Zipf CUMULATIVE weights precomputed once — random.choices with
+    # `weights=` recomputes the cumsum per call (O(V) each), which is
+    # quadratic over the corpus; cum_weights= keeps each draw O(log V)
+    import itertools
+
+    cum_weights = list(
+        itertools.accumulate(1.0 / (i + 1) ** 0.8 for i in range(len(vocab)))
+    )
     docs: list[str] = []
     for i in range(n):
         r = rng.random()
@@ -83,7 +89,7 @@ def gen_corpus(out_dir: str, mult: int, seed: int = 7) -> str:
             docs.append(" ".join(toks))
             continue
         ln = max(6, int(rng.gauss(MEAN_TOKENS, 18)))
-        docs.append(" ".join(rng.choices(vocab, weights=weights, k=ln)))
+        docs.append(" ".join(rng.choices(vocab, cum_weights=cum_weights, k=ln)))
     tbl = pa.table(
         {
             "doc_id": pa.array(range(n), pa.int64()),
