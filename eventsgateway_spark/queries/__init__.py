@@ -101,6 +101,14 @@ ROTATION: list[tuple[str, ...]] = [
     ("q63_simhash_hamming_pairs", "q39_simhash", "q28_fingerprint"),
     ("q64_active_users", "q18_sessionize", "q59_clean_conversion"),
     ("q62_salted_topk_orders", "q54_funnel", "q48_balanced_sample"),
+    # round-6 additions: the new corpus-prep selectors debut in the even
+    # phase (index 0 = round 6) so they get a driver row immediately;
+    # their long-green siblings take the odd phase. Family coverage
+    # holds because q73 is itself a skew-family member (distributed
+    # prefix sum) and q74 a sampling-family member (tests/test_registry
+    # FAMILIES).
+    ("q73_sequence_packing", "q61_skew_safe_running_sum"),
+    ("q74_token_budget_sample", "q47_hash_split"),
 ]
 
 # Approximate by nature (approx_count_distinct / HLL) — can never

@@ -776,6 +776,7 @@ def q59_clean_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q61_skew_safe_running_sum",
+    declared=False,  # rotation-pool member (round 6: shares a slot with q73)
     oracle="""
     SELECT user_id,
            event_id,

@@ -174,3 +174,96 @@ def q60_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "chunk_id", "split", "n_tokens", "chunk_text")
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q73 — sequence packing (concat-and-cut over the chunk stream)
+# ---------------------------------------------------------------------------
+# The last transform before a causal-LM trainer sees the data:
+# concatenate the ordered token stream and cut it into fixed-length
+# training sequences. Every chunk's placement is a pure function of
+# the GLOBAL token offset before it — an exact prefix sum over the
+# (doc_id, chunk_id) order. A naive single window (ORDER BY over the
+# whole corpus) serializes onto one task; the implementation reuses
+# the q61-class distributed prefix sum (operators/skew.py): phase 1
+# windows within order-aligned doc_id buckets, phase 2 offsets the
+# buckets with a window over one tiny row per bucket.
+
+SEQ_LEN = 128  # packed training-sequence length in tokens
+PACK_BUCKET_DOCS = 500  # docs per prefix-sum bucket (order-aligned)
+
+
+@query(
+    "q73_sequence_packing",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+          FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id,
+                 CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+                 len(list_slice(toks, start + 1, start + {CHUNK_TOKENS})) AS n_tokens
+          FROM s),
+    o AS (SELECT doc_id, chunk_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                     ORDER BY doc_id, chunk_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS off
+          FROM c)
+    SELECT doc_id, chunk_id, n_tokens,
+           CAST(off // {SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(off % {SEQ_LEN} AS BIGINT) AS seq_pos,
+           CAST(CASE WHEN (off + n_tokens - 1) // {SEQ_LEN} <> off // {SEQ_LEN}
+                THEN 1 ELSE 0 END AS BIGINT) AS crosses_boundary
+    FROM o
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q73_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every context chunk (q51's table) its packed training
+    sequence: ``seq_id``/``seq_pos`` from the exact global token
+    offset, plus a ``crosses_boundary`` flag for chunks straddling a
+    cut (the trainer's split-or-pad decision). All-integer output.
+
+    Scale shape: chunk metadata only (chunk_text projected away before
+    any shuffle); the global prefix sum is the two-phase bucketed form
+    — no single-task ORDER BY over the corpus. Bucket key is
+    ``doc_id div 500``: contiguous doc ranges, order-aligned by
+    construction, ~500x fewer phase-2 rows than chunks."""
+    from eventsgateway_spark.operators.skew import skew_safe_running_sum
+    from eventsgateway_spark.queries.ext_text import chunk_documents
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs).select(
+        "doc_id", "chunk_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    packed = skew_safe_running_sum(
+        chunks.withColumn("_g", F.lit(0)),
+        keys=["_g"],
+        order_by=["doc_id", "chunk_id"],
+        value=F.col("n_tokens"),
+        bucket=F.expr(f"doc_id div {PACK_BUCKET_DOCS}"),
+        sum_col="_cum",
+    )
+    # integer `div` throughout: off can exceed 2^53 on a real corpus
+    # (>9e15 tokens), where double-division floor would drift; both
+    # engines truncate positive integer division identically
+    return (
+        packed.withColumn("_off", (F.col("_cum") - F.col("n_tokens")).cast("bigint"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            "n_tokens",
+            F.expr(f"_off div {SEQ_LEN}").alias("seq_id"),
+            (F.col("_off") % SEQ_LEN).cast("bigint").alias("seq_pos"),
+            F.when(
+                F.expr(f"(_off + n_tokens - 1) div {SEQ_LEN}")
+                != F.expr(f"_off div {SEQ_LEN}"),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("crosses_boundary"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

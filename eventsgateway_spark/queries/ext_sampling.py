@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from eventsgateway_spark.queries import query
-from eventsgateway_spark.queries._util import table
+from eventsgateway_spark.queries._util import spread, table
 
 # split thresholds on the hash-percent: [0,80) train, [80,90) val, rest test
 TRAIN_PCT = 80
@@ -50,6 +50,7 @@ def split_col(key: F.Column) -> F.Column:
 
 @query(
     "q47_hash_split",
+    declared=False,  # rotation-pool member (round 6: shares a slot with q74)
     oracle=f"""
     WITH s AS (
         SELECT doc_id, length(text) AS n_chars,
@@ -138,4 +139,71 @@ def q48_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("lang", "doc_id", "rk")
         .orderBy("lang", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q74 — per-source token-budget sampling (mixture building)
+# ---------------------------------------------------------------------------
+# Building a training mixture means taking each source up to a TOKEN
+# budget, not a document count (sources differ wildly in doc length).
+# Deterministic greedy prefix: walk each source in doc_id order and
+# keep documents while the source's cumulative token count stays
+# within budget — reproducible under any partitioning, and the
+# kept-set only grows at the tail when the budget rises.
+
+SOURCE_TOKEN_BUDGET = 3_000  # tokens per source (fixture-sized)
+_SAMPLE_BUCKET_DOCS = 500  # docs per prefix-sum bucket (order-aligned)
+
+_DUCK_NTOK = "len([x FOR x IN string_split(text, ' ') IF x <> ''])"
+
+
+@query(
+    "q74_token_budget_sample",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH t AS (SELECT source, doc_id,
+                      CAST({_DUCK_NTOK} AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT source, doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_tokens
+          FROM t)
+    SELECT source, doc_id, n_tokens, cum_tokens
+    FROM c
+    WHERE cum_tokens <= {SOURCE_TOKEN_BUDGET}
+    ORDER BY source, doc_id
+    """,
+)
+def q74_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source document prefix under a token budget — the
+    mixture-building selector. Output: every kept doc with its source
+    cumulative token count (all-integer, hash-exact).
+
+    Scale shape: the per-source running sum is the q61-class
+    distributed prefix sum (operators/skew.py) — a handful of sources
+    means EVERY source is a hot key, exactly the case a naive
+    PARTITION BY source window serializes; bucketing by contiguous
+    doc_id ranges splits each source's stream across tasks, with one
+    tiny offset row per (source, bucket)."""
+    from eventsgateway_spark.functions.text import tokens
+    from eventsgateway_spark.operators.skew import skew_safe_running_sum
+
+    docs = spread(table(spark, sf_dir, "documents").select("source", "doc_id", "text"))
+    t = docs.select(
+        "source", "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    c = skew_safe_running_sum(
+        t,
+        keys=["source"],
+        order_by=["doc_id"],
+        value=F.col("n_tokens"),
+        bucket=F.expr(f"doc_id div {_SAMPLE_BUCKET_DOCS}"),
+        sum_col="cum_tokens",
+    )
+    return (
+        c.filter(F.col("cum_tokens") <= SOURCE_TOKEN_BUDGET)
+        .select("source", "doc_id", "n_tokens", F.col("cum_tokens").cast("bigint").alias("cum_tokens"))
+        .orderBy("source", "doc_id")
     )

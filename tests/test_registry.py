@@ -58,9 +58,17 @@ FAMILIES: dict[str, list[str]] = {
         "q68_shard_manifest",
         "q69_bm25_topk",
     ],
-    "sampling": ["q47_hash_split", "q48_balanced_sample"],
+    "sampling": [
+        "q47_hash_split",
+        "q48_balanced_sample",
+        "q74_token_budget_sample",
+    ],
     "pipeline": ["q60_corpus_prep"],
-    "skew": ["q61_skew_safe_running_sum", "q62_salted_topk_orders"],
+    "skew": [
+        "q61_skew_safe_running_sum",
+        "q62_salted_topk_orders",
+        "q73_sequence_packing",  # distributed prefix sum, q61's operator
+    ],
 }
 
 
