@@ -649,3 +649,65 @@ def test_png_decode_and_resize_are_real(spark):
     # RGBA thumb keeps its alpha channel
     _, _, timg2 = parse_png(bytes(thumbs[2].thumb))
     assert timg2.shape == (2, 2, 4) and (timg2[:, :, 3] == 7).all()
+
+
+# ---------------------------------------------------------------------------
+# corpus-prep selectors (q73 packing / q74 budget sampling)
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_packing_invariants(spark):
+    """q73 semantics beyond the oracle hash: offsets form one exact
+    global prefix sum in (doc_id, chunk_id) order (contiguous token
+    stream, no gaps/overlaps), positions stay inside the sequence, and
+    the boundary flag marks exactly the straddling chunks."""
+    from eventsgateway_spark.queries import QUERIES
+    from eventsgateway_spark.queries.ext_pipeline import SEQ_LEN
+
+    rows = QUERIES["q73_sequence_packing"](spark, SF_ORACLE).collect()
+    assert rows
+    off = 0
+    for r in rows:  # driver-side replay of the stream
+        assert r.seq_id == off // SEQ_LEN
+        assert r.seq_pos == off % SEQ_LEN
+        assert r.crosses_boundary == (
+            1 if (off + r.n_tokens - 1) // SEQ_LEN != r.seq_id else 0
+        )
+        assert 0 < r.n_tokens <= 32  # CHUNK_TOKENS
+        off += r.n_tokens
+    # every full sequence is exactly SEQ_LEN tokens
+    total = off
+    assert total > SEQ_LEN  # fixture big enough to pack multiple sequences
+
+
+def test_token_budget_sample_greedy_maximal(spark):
+    """q74: per-source kept set is the maximal doc_id-ordered prefix
+    whose token total fits the budget — adding each source's next doc
+    would exceed it."""
+    from eventsgateway_spark.queries import QUERIES
+    from eventsgateway_spark.queries._util import table
+    from eventsgateway_spark.queries.ext_sampling import SOURCE_TOKEN_BUDGET
+    from eventsgateway_spark.functions.text import tokens
+
+    kept = QUERIES["q74_token_budget_sample"](spark, SF_ORACLE).collect()
+    assert kept
+    docs = (
+        table(spark, SF_ORACLE, "documents")
+        .select("source", "doc_id", F.size(tokens("text")).alias("n"))
+        .collect()
+    )
+    by_src: dict[str, list] = {}
+    for d in sorted(docs, key=lambda d: d.doc_id):
+        by_src.setdefault(d.source, []).append(d)
+    got: dict[str, list] = {}
+    for r in kept:
+        assert r.cum_tokens <= SOURCE_TOKEN_BUDGET
+        got.setdefault(r.source, []).append(r)
+    for src, docs_in_order in by_src.items():
+        expect, cum = [], 0
+        for d in docs_in_order:
+            if cum + d.n > SOURCE_TOKEN_BUDGET:
+                break  # greedy prefix stops at the first overflow
+            cum += d.n
+            expect.append((d.doc_id, cum))
+        assert [(r.doc_id, r.cum_tokens) for r in got.get(src, [])] == expect, src
