@@ -46,6 +46,8 @@ PROBE_QUERIES = (
     "q31_minhash_lsh_pairs",
     "q60_corpus_prep",
     "q72_substring_dedup",
+    "q73_sequence_packing",
+    "q74_token_budget_sample",
 )
 
 
