@@ -29,3 +29,20 @@ def test_loadtest_is_seed_deterministic(spark):
     a = run_loadtest(spark, threads=2, duration_s=0.5, seed=3)
     b = run_loadtest(spark, threads=2, duration_s=0.5, seed=3)
     assert (a["sent"], a["ingested_ok"]) == (b["sent"], b["ingested_ok"])
+
+
+def test_pipeline_throughput_probe(spark, tmp_path):
+    """Backfill-scale throughput probe: JVM-generated wire rows through
+    the full ingest plan; all events valid, payloads decodable."""
+    from eventsgateway_spark.sources.avro_codec import decode_event
+    from eventsgateway_spark.sources.kafka import FileBus
+    from eventsgateway_spark.tools.loadtest import run_pipeline_throughput
+
+    rep = run_pipeline_throughput(spark, 2_000, bus_root=str(tmp_path / "bus"))
+    assert rep["events"] == 2_000
+    rows = FileBus(spark, str(tmp_path / "bus")).consume_batch()
+    assert rows.count() == 2_000
+    one = rows.limit(1).collect()[0]
+    rec = decode_event(bytes(one["value"]))
+    assert rec["name"] == "load test event" and len(rec["props"]) == 11
+    assert one["topic"].startswith("sv-uploads-")
