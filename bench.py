@@ -52,9 +52,13 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
-        # release leftover localCheckpoint blocks / broadcasts between
-        # queries — 40 queries share one session and the accumulated
-        # blocks otherwise distort later measurements
+        # release leftover pinned/persisted frames, localCheckpoint
+        # blocks, and broadcasts between queries — 70+ queries share one
+        # session and accumulated blocks otherwise distort later
+        # measurements (persisted frames survive GC until unpersist)
+        from eventsgateway_spark.queries._util import unpin_all
+
+        unpin_all()
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 

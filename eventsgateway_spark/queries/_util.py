@@ -165,8 +165,27 @@ def pin(df: DataFrame, mode: str = "checkpoint") -> DataFrame:
     if mode == "persist":
         df = df.persist()
         df.count()  # eager fill so concurrent consumers don't race the cache
+        _PINNED.append(df)
         return df
     return df.localCheckpoint()
+
+
+# Persisted frames created by pin(mode="persist"), kept so long-lived
+# sessions (bench.py loops the whole registry) can release them between
+# queries — StorageLevel entries survive GC until an explicit unpersist.
+_PINNED: list[DataFrame] = []
+
+
+def unpin_all() -> None:
+    """Unpersist every pin(mode='persist') frame created so far. Call
+    between independent query executions in a shared session (bench.py
+    does); results already materialized by the owning action are
+    unaffected."""
+    while _PINNED:
+        try:
+            _PINNED.pop().unpersist()
+        except Exception:
+            pass  # session gone / already unpersisted
 
 
 def arrow_scorer() -> bool:
