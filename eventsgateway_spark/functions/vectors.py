@@ -82,6 +82,13 @@ def dot_arrow(a: Column, b: Column) -> Column:
     """Batch-vectorized dot product of two equal-length double-array
     columns via numpy einsum (Arrow transfer, one matmul per batch)."""
     global _dot_arrow_udf
+    from pyspark.sql import SparkSession
+
+    session = SparkSession.getActiveSession()
+    if session is not None:
+        from eventsgateway_spark.shipping import ship_package
+
+        ship_package(session)  # _dot_arrow_batch pickles by module reference
     if _dot_arrow_udf is None:
         _dot_arrow_udf = F.pandas_udf(_dot_arrow_batch, "double")
     return _dot_arrow_udf(a, b)

@@ -326,6 +326,9 @@ def decode_media(assets: DataFrame, stub: bool = True) -> DataFrame:
         for pdf in batches:
             yield batch(pdf)
 
+    from eventsgateway_spark.shipping import ship_package
+
+    ship_package(assets.sparkSession)  # batch fns pickle by module reference
     return assets.mapInPandas(run, FEATURES_SCHEMA)
 
 
@@ -408,6 +411,9 @@ def resize_media(assets: DataFrame, width: int = 32, height: int = 32, stub: boo
                 }
             )
 
+    from eventsgateway_spark.shipping import ship_package
+
+    ship_package(assets.sparkSession)
     return assets.mapInPandas(run_stub if stub else run_real, RESIZED_SCHEMA)
 
 
@@ -431,4 +437,7 @@ def sample_frames(assets: DataFrame, every_n: int = 10, max_frames: int = 3, stu
                     rows["frame"].append(b[i * every_n : (i + 1) * every_n])
             yield pd.DataFrame(rows)
 
+    from eventsgateway_spark.shipping import ship_package
+
+    ship_package(assets.sparkSession)
     return assets.mapInPandas(run, FRAMES_SCHEMA)

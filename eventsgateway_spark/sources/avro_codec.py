@@ -164,6 +164,9 @@ def to_avro_col(spark: SparkSession) -> Column:
             F.struct("id", "name", "props", "serverTimestamp", "clientTimestamp"),
             AVRO_EVENT_SCHEMA_JSON,
         )
+    from eventsgateway_spark.shipping import ship_package
+
+    ship_package(spark)  # fallback codec pickles by module reference
     enc = F.pandas_udf(_pandas_encode, "binary")
     return enc("id", "name", "props", "serverTimestamp", "clientTimestamp")
 
@@ -174,5 +177,8 @@ def from_avro_col(spark: SparkSession, value_col: str = "value") -> Column:
         from pyspark.sql.avro.functions import from_avro
 
         return from_avro(F.col(value_col), AVRO_EVENT_SCHEMA_JSON)
+    from eventsgateway_spark.shipping import ship_package
+
+    ship_package(spark)  # fallback codec pickles by module reference
     dec = F.pandas_udf(_pandas_decode, AVRO_EVENT_SCHEMA)
     return dec(value_col)

@@ -51,6 +51,9 @@ def running_totals(df: DataFrame, key_col: str = "key") -> DataFrame:
     """Per-key cumulative (count, value-sum) across micro-batches.
     Input needs columns (``key_col``, value:double); output one row per
     key per batch with batch + lifetime totals."""
+    from eventsgateway_spark.shipping import ship_package
+
+    ship_package(df.sparkSession)  # state fn pickles by module reference
     return (
         df.withColumnRenamed(key_col, "key")
         .groupBy("key")
