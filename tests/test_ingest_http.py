@@ -9,6 +9,7 @@ import json
 import urllib.request
 
 import pytest
+from pyspark.sql import functions as F
 
 from eventsgateway_spark.ingest_http import ingest_events, serve_ingest
 from eventsgateway_spark.sources.avro_codec import decode_event
@@ -129,3 +130,60 @@ def test_gateway_flush_size_guard(spark):
         gw.send(f"e{i}")
     with pytest.raises(ValueError, match="file/Kafka source"):
         gw.flush()
+
+
+def test_live_service_http_to_queryable_table(spark, tmp_path):
+    """The reference's full dev loop as ONE live service (docker-compose
+    parity: gRPC API + Kafka + Spark ETL + queryable table): the HTTP
+    endpoint is up, a client POSTs events, a CONTINUOUS streaming ETL
+    drains the bus into the partitioned events table, and the table is
+    queryable — all while the server is still serving."""
+    import time
+
+    from eventsgateway_spark.sources.lakehouse import read_events_table
+    from eventsgateway_spark.streaming.pipeline import run_etl
+
+    bus = FileBus(spark, str(tmp_path / "bus"))
+    server, port = serve_ingest(spark, sink=bus.produce)
+    etl = run_etl(
+        spark,
+        bus.consume_stream(),
+        str(tmp_path / "events"),
+        str(tmp_path / "ckpt"),
+        trigger_once=False,  # continuous micro-batches, like production
+    )
+    try:
+        for i in range(3):
+            code, body = _post(
+                port, "/send-events",
+                {"events": [{**GOOD, "id": f"live-{i}"}]},
+            )
+            assert (code, body["failure_indexes"]) == (200, [])
+        # wait for the continuous stream to drain the bus into the table
+        deadline = time.time() + 90
+        seen: set = set()
+        while time.time() < deadline and len(seen) < 3:
+            try:
+                seen = {
+                    r["id"]
+                    for r in read_events_table(
+                        spark, str(tmp_path / "events")
+                    ).collect()
+                }
+            except Exception:
+                pass  # table dir not created yet
+            time.sleep(1)
+        assert seen == {"live-0", "live-1", "live-2"}
+        # still serving while the stream runs
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert r.status == 200
+        # y/m/d partition columns derived from client time (P4)
+        row = (
+            read_events_table(spark, str(tmp_path / "events"))
+            .filter(F.col("id") == "live-0")
+            .collect()[0]
+        )
+        assert row["year"] == "2023"
+    finally:
+        etl.stop()
+        server.shutdown()
