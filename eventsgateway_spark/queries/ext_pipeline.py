@@ -190,7 +190,29 @@ def q60_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # buckets with a window over one tiny row per bucket.
 
 SEQ_LEN = 128  # packed training-sequence length in tokens
-PACK_BUCKET_DOCS = 500  # docs per prefix-sum bucket (order-aligned)
+PACK_BUCKET_DOCS = 500  # docs per prefix-sum bucket (order-aligned), floor
+# Phase 2 of the distributed prefix sum runs a single-partition window
+# over one row per bucket, so bucket COUNT must stay bounded as the
+# corpus grows: cap it at ~2^16 by widening buckets with input size.
+_MAX_PREFIX_BUCKETS = 1 << 16
+_EST_BYTES_PER_DOC = 512  # conservative: smaller estimate => more docs => wider buckets
+
+
+def prefix_bucket_docs(df) -> int:
+    """Input-size-derived docs-per-bucket for the two-phase prefix sum.
+
+    Purely a PERFORMANCE knob — any width yields the identical exact
+    prefix sum (unlike q68/q70's result-shaping counts), so the
+    unknown-size fallback is simply the fixture floor. Assumes roughly
+    dense doc_ids (the fixture/layout contract); sparse 64-bit ids
+    would need a rank-based bucket key instead."""
+    from eventsgateway_spark.queries._util import known_input_bytes
+
+    b = known_input_bytes(df)
+    if b is None:
+        return PACK_BUCKET_DOCS
+    est_docs = max(1, b // _EST_BYTES_PER_DOC)
+    return int(max(PACK_BUCKET_DOCS, est_docs // _MAX_PREFIX_BUCKETS))
 
 
 @query(
@@ -228,8 +250,9 @@ def q73_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: chunk metadata only (chunk_text projected away before
     any shuffle); the global prefix sum is the two-phase bucketed form
     — no single-task ORDER BY over the corpus. Bucket key is
-    ``doc_id div 500``: contiguous doc ranges, order-aligned by
-    construction, ~500x fewer phase-2 rows than chunks."""
+    ``doc_id div prefix_bucket_docs(docs)``: contiguous doc ranges,
+    order-aligned by construction, with the width growing with input
+    size so the phase-2 per-bucket window never exceeds ~2^16 rows."""
     from eventsgateway_spark.operators.skew import skew_safe_running_sum
     from eventsgateway_spark.queries.ext_text import chunk_documents
 
@@ -242,7 +265,7 @@ def q73_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["_g"],
         order_by=["doc_id", "chunk_id"],
         value=F.col("n_tokens"),
-        bucket=F.expr(f"doc_id div {PACK_BUCKET_DOCS}"),
+        bucket=F.expr(f"doc_id div {prefix_bucket_docs(docs)}"),
         sum_col="_cum",
     )
     # integer `div` throughout: off can exceed 2^53 on a real corpus

@@ -153,7 +153,6 @@ def q48_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # kept-set only grows at the tail when the budget rises.
 
 SOURCE_TOKEN_BUDGET = 3_000  # tokens per source (fixture-sized)
-_SAMPLE_BUCKET_DOCS = 500  # docs per prefix-sum bucket (order-aligned)
 
 _DUCK_NTOK = "len([x FOR x IN string_split(text, ' ') IF x <> ''])"
 
@@ -189,6 +188,7 @@ def q74_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny offset row per (source, bucket)."""
     from eventsgateway_spark.functions.text import tokens
     from eventsgateway_spark.operators.skew import skew_safe_running_sum
+    from eventsgateway_spark.queries.ext_pipeline import prefix_bucket_docs
 
     docs = spread(table(spark, sf_dir, "documents").select("source", "doc_id", "text"))
     t = docs.select(
@@ -199,7 +199,7 @@ def q74_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["source"],
         order_by=["doc_id"],
         value=F.col("n_tokens"),
-        bucket=F.expr(f"doc_id div {_SAMPLE_BUCKET_DOCS}"),
+        bucket=F.expr(f"doc_id div {prefix_bucket_docs(docs)}"),
         sum_col="cum_tokens",
     )
     return (

@@ -192,3 +192,32 @@ def test_scale_derived_counts_floor_at_fixture(spark):
     # arithmetic of the rule itself
     assert max(_N_SHARDS, (100 << 40) // _TARGET_SHARD_BYTES) == 100 << 10  # 100 TB -> ~100k shards
     assert max(IVF_K, (1 << 30) // _SEMD_TARGET_CELL_BYTES) == (1 << 30) // (100 << 10)
+
+
+def test_prefix_bucket_width_scales_with_input(spark):
+    """The prefix-sum bucket width (q73/q74) floors at the fixture
+    constant, grows with input size so phase-2 bucket count stays
+    <= ~2^16, and falls back to the floor on unknown-size inputs (it
+    is a pure performance knob — unlike q68/q70's result-shaping
+    counts, any width gives the identical prefix sum)."""
+    from eventsgateway_spark.queries._util import table
+    from eventsgateway_spark.queries.ext_pipeline import (
+        PACK_BUCKET_DOCS,
+        _EST_BYTES_PER_DOC,
+        _MAX_PREFIX_BUCKETS,
+        prefix_bucket_docs,
+    )
+
+    docs = table(spark, SF_ORACLE, "documents")
+    assert prefix_bucket_docs(docs) == PACK_BUCKET_DOCS
+
+    class Fake:
+        def inputFiles(self):
+            raise RuntimeError("unknown size")
+
+    assert prefix_bucket_docs(Fake()) == PACK_BUCKET_DOCS
+    # 100 TB: est docs = bytes/512 = 2e11 -> width ~3M docs/bucket,
+    # bucket count bounded by the cap
+    width = max(PACK_BUCKET_DOCS, ((100 << 40) // _EST_BYTES_PER_DOC) // _MAX_PREFIX_BUCKETS)
+    est_docs = (100 << 40) // _EST_BYTES_PER_DOC
+    assert est_docs // width <= _MAX_PREFIX_BUCKETS
