@@ -18,6 +18,7 @@ source, which gives the same micro-batch admission semantics
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -111,14 +112,28 @@ def write_payloads_kafka(df: DataFrame, bootstrap: str, **producer_opts: str):
 class FileBus:
     """Kafka-shaped transport over a spool directory (local testing)."""
 
+    # Per-spool-root locks: concurrent ``mode("append")`` writes into ONE
+    # directory race on the shared ``_temporary`` committer staging dir
+    # (reproduced by parallel HTTP ingest requests — one request's commit
+    # deletes the other's staged files). A real Kafka producer has no such
+    # shared-directory hazard; for this single-process dev analog,
+    # serializing the append commit per root is the honest fix.
+    _locks: dict[str, threading.Lock] = {}
+    _locks_guard = threading.Lock()
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        with FileBus._locks_guard:
+            self._lock = FileBus._locks.setdefault(root, threading.Lock())
 
     def produce(self, payloads: DataFrame) -> None:
         """Batch produce: append (topic, key, value) rows to the spool."""
-        payloads.select("topic", "key", "value").write.mode("append").parquet(self.root)
+        with self._lock:
+            payloads.select("topic", "key", "value").write.mode("append").parquet(
+                self.root
+            )
 
     def consume_batch(self, topic: str | None = None) -> DataFrame:
         df = self.spark.read.schema(PAYLOAD_SCHEMA).parquet(self.root)

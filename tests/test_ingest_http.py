@@ -187,3 +187,30 @@ def test_live_service_http_to_queryable_table(spark, tmp_path):
     finally:
         etl.stop()
         server.shutdown()
+
+
+def test_concurrent_posts(spark, tmp_path):
+    """ThreadingHTTPServer + concurrent Spark jobs: parallel clients
+    must each get their own correct failure indexes (no cross-request
+    state; Spark schedules concurrent driver threads safely)."""
+    import concurrent.futures
+
+    bus = FileBus(spark, str(tmp_path / "bus"))
+    server, port = serve_ingest(spark, sink=bus.produce)
+    try:
+        def one(i: int):
+            events = [
+                {**GOOD, "id": f"c{i}-0"},
+                {**GOOD, "id": f"c{i}-1", "name": ""},  # index 1 fails
+            ]
+            return _post(port, "/send-events", {"events": events})
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+            results = list(ex.map(one, range(4)))
+        assert all(code == 200 and body["failure_indexes"] == [1]
+                   for code, body in results)
+        ids = {decode_event(bytes(r["value"]))["id"]
+               for r in bus.consume_batch().collect()}
+        assert ids == {f"c{i}-0" for i in range(4)}
+    finally:
+        server.shutdown()
