@@ -109,6 +109,10 @@ ROTATION: list[tuple[str, ...]] = [
     # FAMILIES).
     ("q73_sequence_packing", "q61_skew_safe_running_sum"),
     ("q74_token_budget_sample", "q47_hash_split"),
+    # q75 (temperature mixture weights) debuts in the even phase; its
+    # slot-mate q07 is a long-green static demoted because family Q6
+    # keeps q06/q17 declared every phase.
+    ("q75_domain_mixture", "q07_rollup_revenue"),
 ]
 
 # Approximate by nature (approx_count_distinct / HLL) — can never

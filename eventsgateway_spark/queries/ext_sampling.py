@@ -156,6 +156,12 @@ SOURCE_TOKEN_BUDGET = 3_000  # tokens per source (fixture-sized)
 
 _DUCK_NTOK = "len([x FOR x IN string_split(text, ' ') IF x <> ''])"
 
+# q75: temperature exponent for mixture re-weighting, expressed as a
+# rational (1/2 = sqrt) so both engines compute it with one IEEE-exact
+# operation. alpha<1 upsamples low-resource sources (multilingual-LM
+# sampling); alpha=1 is proportional; alpha=0 is uniform.
+MIXTURE_ALPHA_NUM, MIXTURE_ALPHA_DEN = 1, 2
+
 
 @query(
     "q74_token_budget_sample",
@@ -206,4 +212,91 @@ def q74_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.filter(F.col("cum_tokens") <= SOURCE_TOKEN_BUDGET)
         .select("source", "doc_id", "n_tokens", F.col("cum_tokens").cast("bigint").alias("cum_tokens"))
         .orderBy("source", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q75 — temperature-scaled domain-mixture weights
+# ---------------------------------------------------------------------------
+# The step BEFORE q74's budget cut: decide how much each source SHOULD
+# contribute. Proportional sampling (share of raw tokens) lets a huge
+# crawl source drown curated ones; uniform sampling over-trains tiny
+# sources. The standard compromise (multilingual-LM sampling, also the
+# DoReMi-style static baseline) re-weights source probabilities by a
+# temperature: w_i ∝ p_i^alpha with alpha in (0,1).
+#
+# Determinism contract: alpha=1/2 means the un-normalized weight is
+# sqrt(n_tokens). IEEE-754 sqrt is correctly rounded in every engine,
+# and floor() of it is exact for counts < 2^52, so isqrt(n_tokens) is
+# an INTEGER both engines agree on bit-for-bit; every downstream ratio
+# is integer division over integer sums — hash-exact, no float
+# accumulation-order hazard (a float softmax would differ by summation
+# order).
+#
+# Scale shape: one full-corpus hash-agg (map-side partial combine) down
+# to |sources| rows, then window math over that tiny frame. The
+# single-partition windows are over the per-source aggregate (a handful
+# of rows), never the corpus — same pattern as q47's audit total.
+
+@query(
+    "q75_domain_mixture",
+    declared=False,  # rotation-pool member (debuts round 6; see ROTATION)
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM({_DUCK_NTOK}) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT *,
+               CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isqrt_tok
+        FROM t
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST((1000000 * n_tokens) // (SELECT SUM(n_tokens) FROM w)
+               AS BIGINT) AS share_ppm,
+           CAST((1000000 * isqrt_tok) // (SELECT SUM(isqrt_tok) FROM w)
+               AS BIGINT) AS weight_ppm,
+           CAST((100 * ((1000000 * isqrt_tok) // (SELECT SUM(isqrt_tok) FROM w)))
+               // NULLIF((1000000 * n_tokens) // (SELECT SUM(n_tokens) FROM w), 0)
+               AS BIGINT) AS oversample_x100
+    FROM w
+    ORDER BY source
+    """,
+)
+def q75_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-mixture weights at temperature alpha=1/2.
+
+    Output per source: raw token share (ppm), temperature-scaled
+    sampling weight (ppm), and the implied over/under-sampling factor
+    (x100) — the table a mixture-aware loader consumes to draw
+    batches. Small sources get oversample_x100 > 100 (seen more often
+    than their share), dominant ones < 100."""
+    from eventsgateway_spark.functions.text import tokens
+
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = per_src.withColumn(
+        "isqrt_tok", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint")
+    )
+    tot = W.partitionBy()  # over the |sources|-row aggregate only
+    return (
+        w.withColumn("_tok_total", F.sum("n_tokens").over(tot))
+        .withColumn("_w_total", F.sum("isqrt_tok").over(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("(1000000 * n_tokens) div _tok_total").alias("share_ppm"),
+            F.expr("(1000000 * isqrt_tok) div _w_total").alias("weight_ppm"),
+            F.expr(
+                "(100 * ((1000000 * isqrt_tok) div _w_total))"
+                " div nullif((1000000 * n_tokens) div _tok_total, 0)"
+            ).alias("oversample_x100"),
+        )
+        .orderBy("source")
     )

@@ -250,6 +250,8 @@ def q06_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q07_rollup_revenue",
+    declared=False,  # rotation-pool member since r6 (pairs with q75;
+    # Q6 family keeps q06/q17 in the static tier every phase)
     oracle="""
     SELECT COALESCE(r.r_name, '(all)') AS region_name,
            COALESCE(n.n_name, '(all)') AS nation_name,

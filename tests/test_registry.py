@@ -62,6 +62,7 @@ FAMILIES: dict[str, list[str]] = {
         "q47_hash_split",
         "q48_balanced_sample",
         "q74_token_budget_sample",
+        "q75_domain_mixture",
     ],
     "pipeline": ["q60_corpus_prep"],
     "skew": [
