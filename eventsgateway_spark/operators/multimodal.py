@@ -8,7 +8,8 @@ row-by-row.
 
 This container has no image/audio libraries, so decode is two-tier:
 ``stub=False`` REALLY decodes the dependency-free formats — binary
-PPM (P6) images are parsed and resized with numpy alone — and raises
+PPM (P6) and PNG images are parsed and resized with numpy + stdlib
+zlib, PCM WAV audio with stdlib ``wave`` — and raises
 ``NotImplementedError`` for formats that need PIL/libav (the plug-in
 seam); ``stub=True`` produces deterministic fake features derived
 from the payload bytes (stable for tests of the Spark-side plumbing).
@@ -280,11 +281,93 @@ def _png_features(b: bytes):
     return w, h, [w / 2048.0, h / 2048.0, *means.tolist(), *stds.tolist()]
 
 
+# ---------------------------------------------------------------------------
+# Real WAV (PCM) decode — stdlib wave/struct + numpy, no libav
+# ---------------------------------------------------------------------------
+
+
+def parse_wav(b: bytes):
+    """Parse a RIFF/WAVE PCM payload with the stdlib ``wave`` module:
+    returns (n_channels, sample_rate, frames x channels float64 array
+    normalized to [-1, 1]). 8/16/32-bit integer PCM; raises
+    ``ValueError`` (wave.Error is re-raised as such) on malformed or
+    compressed payloads."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(b)) as wf:
+            nch, sampwidth = wf.getnchannels(), wf.getsampwidth()
+            rate, nframes = wf.getframerate(), wf.getnframes()
+            raw = wf.readframes(nframes)
+    except wave.Error as ex:
+        raise ValueError(f"not a PCM WAV payload: {ex}") from ex
+    if sampwidth == 1:  # unsigned 8-bit
+        x = np.frombuffer(raw, dtype=np.uint8).astype("float64")
+        x = (x - 128.0) / 128.0
+    elif sampwidth == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
+    elif sampwidth == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype("float64") / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width: {sampwidth} bytes")
+    if nch <= 0 or x.size % nch:
+        raise ValueError("WAV frame data inconsistent with channel count")
+    return nch, rate, x.reshape(-1, nch)
+
+
+def encode_wav(samples, rate: int = 16_000) -> bytes:
+    """frames x channels float array in [-1, 1] → 16-bit PCM WAV bytes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="float64")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(arr.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _wav_features(b: bytes):
+    """Audio mapping of the FEATURES_SCHEMA contract: width=channels,
+    height=bits per sample, n_frames=PCM frame count; 8-dim feature =
+    [rate/48k, duration_s/60, rms, peak, zero-crossing rate,
+    channels/8, mean, inter-channel correlation (1.0 for mono)]."""
+    import numpy as np
+
+    nch, rate, x = parse_wav(b)
+    mono = x.mean(axis=1)
+    dur = x.shape[0] / rate if rate else 0.0
+    rms = float(np.sqrt((mono**2).mean())) if mono.size else 0.0
+    peak = float(np.abs(x).max()) if x.size else 0.0
+    zcr = float((np.diff(np.signbit(mono)) != 0).mean()) if mono.size > 1 else 0.0
+    if nch >= 2 and x.shape[0] > 1 and x[:, 0].std() > 0 and x[:, 1].std() > 0:
+        corr = float(np.corrcoef(x[:, 0], x[:, 1])[0, 1])
+    else:
+        corr = 1.0
+    feat = [rate / 48_000.0, dur / 60.0, rms, peak, zcr, nch / 8.0,
+            float(mono.mean()) if mono.size else 0.0, corr]
+    return nch, 16, x.shape[0], feat
+
+
 #: media_type → real decoder, the dependency-free tier. Formats outside
 #: this table raise NotImplementedError (the PIL/libav plug-in seam).
+#: Image decoders return (w, h, feature); audio returns the 4-tuple
+#: (channels, bits, n_frames, feature) — _real_decode_batch handles both.
 _REAL_DECODERS = {
     "image/ppm": _ppm_features,
     "image/png": _png_features,
+    "audio/wav": _wav_features,
 }
 
 
@@ -302,13 +385,17 @@ def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         if dec is None:
             raise NotImplementedError(
                 f"real decode for {mt!r} needs PIL/libav — not available in "
-                "this environment; image/ppm and image/png decode natively "
-                "(numpy + stdlib zlib)"
+                "this environment; image/ppm, image/png and audio/wav decode "
+                "natively (numpy + stdlib zlib/wave)"
             )
-        w, h, feat = dec(bytes(raw))
+        res = dec(bytes(raw))
+        if len(res) == 4:  # audio: (channels, bits, n_frames, feature)
+            w, h, nf, feat = res
+        else:  # image: (w, h, feature), single frame
+            (w, h, feat), nf = res, 1
         out["width"].append(w)
         out["height"].append(h)
-        out["n_frames"].append(1)
+        out["n_frames"].append(nf)
         out["feature"].append([float(x) for x in feat])
     return pd.DataFrame(out)
 

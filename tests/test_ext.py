@@ -651,6 +651,47 @@ def test_png_decode_and_resize_are_real(spark):
     assert timg2.shape == (2, 2, 4) and (timg2[:, :, 3] == 7).all()
 
 
+def test_wav_decode_is_real(spark):
+    """stub=False genuinely decodes PCM WAV with stdlib wave + numpy:
+    n_frames is the PCM frame count (not the images' constant 1), and
+    the feature row carries rate/duration/RMS/ZCR the batch really has.
+    Audio and image assets decode side by side in one mapInPandas."""
+    import numpy as np
+
+    from eventsgateway_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rate, n = 16_000, 1600  # 100 ms
+    t = np.arange(n) / rate
+    sine = 0.5 * np.sin(2 * np.pi * 440.0 * t)  # mono A440
+    stereo = np.stack([sine, -sine], axis=1)  # anti-correlated channels
+    img = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    rows = [
+        (1, "audio/wav", bytearray(encode_wav(sine, rate)), 0),
+        (2, "audio/wav", bytearray(encode_wav(stereo, rate)), 0),
+        (3, "image/ppm", bytearray(encode_ppm(img)), 0),
+    ]
+    assets = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.asset_id: r for r in decode_media(assets, stub=False).collect()}
+
+    mono, st2 = feats[1], feats[2]
+    assert (mono.width, mono.height, mono.n_frames) == (1, 16, n)
+    assert (st2.width, st2.height, st2.n_frames) == (2, 16, n)
+    f = mono.feature
+    assert abs(f[0] - rate / 48_000.0) < 1e-6
+    assert abs(f[1] - (n / rate) / 60.0) < 1e-6
+    assert abs(f[2] - 0.5 / np.sqrt(2)) < 1e-2  # sine RMS = A/sqrt(2)
+    assert abs(f[4] - 2 * 440.0 / rate) < 5e-3  # ZCR of a 440 Hz tone
+    assert abs(st2.feature[7] - (-1.0)) < 1e-6  # anti-correlated stereo
+    # stereo mix of s and -s cancels: silent mono mix, zero RMS
+    assert st2.feature[2] < 1e-9
+    assert feats[3].n_frames == 1  # images keep single-frame semantics
+
+
 # ---------------------------------------------------------------------------
 # corpus-prep selectors (q73 packing / q74 budget sampling)
 # ---------------------------------------------------------------------------

@@ -193,6 +193,30 @@ def test_png_parse_encode_roundtrip(w, h, seed, alpha):
     assert (pw, ph) == (w, h) and np.array_equal(out, img)
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    ch=st.integers(min_value=1, max_value=2),
+    rate=st.sampled_from([8_000, 16_000, 44_100]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_wav_parse_encode_roundtrip(n, ch, rate, seed):
+    """parse_wav ∘ encode_wav recovers shape, rate, and samples to
+    16-bit quantization accuracy; malformed payloads raise ValueError."""
+    import numpy as np
+    import pytest
+
+    from eventsgateway_spark.operators.multimodal import encode_wav, parse_wav
+
+    rng = np.random.RandomState(seed % (2**31))
+    x = rng.uniform(-1, 1, size=(n, ch))
+    nch, prate, out = parse_wav(encode_wav(x, rate))
+    assert (nch, prate) == (ch, rate) and out.shape == (n, ch)
+    assert np.abs(out - x).max() <= 1.5 / 32767.0
+    with pytest.raises(ValueError):
+        parse_wav(b"RIFFgarbage-not-a-wav" + bytes(rng.randint(0, 256, 16, "u1")))
+
+
 def _png_with_filters(img, filters):
     """Reference encoder applying a GIVEN filter type per scanline
     (forward-filters the image so parse_png must invert every type)."""
