@@ -177,7 +177,12 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     return _with_jaccard(inter, sizes, threshold)
 
 
-def verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+def verify_pairs(
+    cand: DataFrame,
+    sh: DataFrame,
+    threshold: float,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
     """Exact Jaccard for a GIVEN candidate pair set only — the LSH
     companion: intersection counts come from equi-joining the
     candidate list against the shingle table twice, never from the
@@ -189,8 +194,14 @@ def verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     These are plain equi-joins on doc ids; AQE still broadcasts the
     list while it is genuinely small (fixtures) and falls back to a
     shuffle join when it isn't (absence of the forced hint is pinned
-    by tests/test_plans.py)."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    by tests/test_plans.py).
+
+    ``sizes`` lets a caller that already aggregates per-doc (q31's
+    minhash signature groupBy) hand over the per-doc shingle count and
+    save one full re-run of the shingle lineage — the shingle table is
+    the expensive frame here, not the counts."""
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     s1 = sh.select(F.col("doc_id").alias("d1"), "s")
     s2 = sh.select(F.col("doc_id").alias("d2"), "s")
     inter = (
@@ -338,11 +349,16 @@ def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = doc_shingles(docs)
     shh = sh.select("doc_id", token_hash32(F.col("s")).alias("hs"))
+    # count(1) rides the signature groupBy: the per-doc shingle size
+    # verify_pairs needs comes out of THIS aggregation instead of a
+    # fourth full run of the shingle lineage (the groupBy exchange is
+    # canonical, so the bands and sizes consumers share one shuffle)
     mins = shh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(_mh_a(i)) * F.col("hs") + F.lit(_mh_b(i))) % MH_P).alias(f"m{i}")
             for i in range(MH_K)
-        ]
+        ],
+        F.count(F.lit(1)).alias("sz"),
     )
     # one explode instead of a 4-way union (which would recompute the
     # signature aggregation once per band). Pin mode "off" (round-6
@@ -380,7 +396,9 @@ def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    return verify_pairs(cand, sh, 0.4).orderBy("d1", "d2")
+    return verify_pairs(
+        cand, sh, 0.4, sizes=mins.select("doc_id", "sz")
+    ).orderBy("d1", "d2")
 
 
 # ---------------------------------------------------------------------------

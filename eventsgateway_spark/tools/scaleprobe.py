@@ -48,6 +48,7 @@ PROBE_QUERIES = (
     "q72_substring_dedup",
     "q73_sequence_packing",
     "q74_token_budget_sample",
+    "q75_domain_mixture",
 )
 
 
@@ -108,7 +109,8 @@ def gen_corpus(out_dir: str, mult: int, seed: int = 7) -> str:
 
 
 def run_probe(mults: tuple[int, ...] = (1, 10, 100), runs: int = 2,
-              root: str = "/tmp/scaleprobe") -> dict:
+              root: str = "/tmp/scaleprobe",
+              probe_queries: tuple[str, ...] = PROBE_QUERIES) -> dict:
     from eventsgateway_spark.queries import QUERIES
     from eventsgateway_spark.session import get_spark
 
@@ -116,12 +118,12 @@ def run_probe(mults: tuple[int, ...] = (1, 10, 100), runs: int = 2,
     # one unmeasured pass at the smallest scale: JIT + codegen + file
     # listing warmup otherwise lands entirely on the first timed query
     warm_dir = gen_corpus(os.path.join(root, f"x{mults[0]}"), mults[0])
-    for name in PROBE_QUERIES:
+    for name in probe_queries:
         QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
-    results: dict[str, dict[int, float]] = {q: {} for q in PROBE_QUERIES}
+    results: dict[str, dict[int, float]] = {q: {} for q in probe_queries}
     for mult in mults:
         sf_dir = gen_corpus(os.path.join(root, f"x{mult}"), mult)
-        for name in PROBE_QUERIES:
+        for name in probe_queries:
             samples = []
             for _ in range(runs):
                 t0 = time.perf_counter()
@@ -154,5 +156,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,10,100")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--queries", default=",".join(PROBE_QUERIES),
+                    help="comma-separated subset of the probe set")
     args = ap.parse_args()
-    run_probe(tuple(int(m) for m in args.mults.split(",")), args.runs)
+    run_probe(tuple(int(m) for m in args.mults.split(",")), args.runs,
+              probe_queries=tuple(args.queries.split(",")))
