@@ -1,0 +1,99 @@
+"""JSONL document source: batch + streaming read with quarantine,
+round-trip through the partitioned writer (sources/jsonl.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from eventsgateway_spark.sources.jsonl import (
+    read_documents_jsonl,
+    stream_documents_jsonl,
+    write_documents_jsonl,
+)
+
+GOOD = [
+    {"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "s1", "n_chars": 10},
+    {"doc_id": 2, "text": "gamma", "lang": "es", "source": "s2"},  # n_chars omitted
+]
+BAD_LINES = [
+    "{not json at all",  # malformed
+    json.dumps({"text": "no id", "lang": "en"}),  # parses, missing doc_id
+    json.dumps({"doc_id": 3, "lang": "en"}),  # parses, missing text
+]
+
+
+def _write_fixture(d: str) -> str:
+    path = os.path.join(d, "shard-000.jsonl")
+    with open(path, "w") as f:
+        for row in GOOD:
+            f.write(json.dumps(row) + "\n")
+        for line in BAD_LINES:
+            f.write(line + "\n")
+    return str(d)
+
+
+def test_batch_read_splits_valid_and_quarantine(spark, tmp_path):
+    src = _write_fixture(tmp_path)
+    docs, quarantine = read_documents_jsonl(spark, src)
+
+    got = {r.doc_id: r for r in docs.collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_chars == 10
+    assert got[2].n_chars == len("gamma")  # derived when omitted
+    assert [f.name for f in docs.schema.fields] == [
+        "doc_id", "text", "lang", "source", "n_chars",
+    ]
+
+    q = [r.raw_line for r in quarantine.collect()]
+    assert len(q) == len(BAD_LINES)
+    assert any("not json" in line for line in q)  # raw line preserved
+
+
+def test_jsonl_feeds_corpus_queries(spark, tmp_path):
+    """The parsed frame is documents-shaped: a corpus operator runs on
+    it unmodified (schema contract, not just column names)."""
+    src = _write_fixture(tmp_path)
+    docs, _ = read_documents_jsonl(spark, src)
+    from eventsgateway_spark.functions.text import tokens
+
+    out = docs.select("doc_id", F.size(tokens("text")).alias("n_tok")).collect()
+    assert {r.doc_id: r.n_tok for r in out} == {1: 2, 2: 1}
+
+
+def test_roundtrip_partitioned_writer(spark, tmp_path):
+    os.makedirs(tmp_path / "in", exist_ok=True)
+    src = _write_fixture(str(tmp_path / "in"))
+    docs, _ = read_documents_jsonl(spark, src)
+    out_dir = str(tmp_path / "out")
+    write_documents_jsonl(docs.withColumn("split", F.lit("train")), out_dir, by="split")
+    # partition directory layout + lossless content round-trip
+    assert os.path.isdir(os.path.join(out_dir, "split=train"))
+    back, back_q = read_documents_jsonl(spark, os.path.join(out_dir, "split=train"))
+    assert back_q.count() == 0
+    assert sorted((r.doc_id, r.text) for r in back.collect()) == [
+        (1, "alpha beta"), (2, "gamma"),
+    ]
+
+
+def test_stream_read_micro_batches(spark, tmp_path):
+    src_dir = tmp_path / "stream-in"
+    os.makedirs(src_dir)
+    _write_fixture(str(src_dir))
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream_documents_jsonl(spark, str(src_dir), max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(sink)
+    assert got.count() == 2  # the 3 bad lines never reach the sink
+    assert set(got.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
