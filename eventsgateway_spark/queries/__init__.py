@@ -109,10 +109,11 @@ ROTATION: list[tuple[str, ...]] = [
     # FAMILIES).
     ("q73_sequence_packing", "q61_skew_safe_running_sum"),
     ("q74_token_budget_sample", "q47_hash_split"),
-    # q75 (temperature mixture weights) debuts in the even phase; its
-    # slot-mate q07 is a long-green static demoted because family Q6
-    # keeps q06/q17 declared every phase.
+    # q75/q76 (temperature mixture weights / weighted training order)
+    # debut in the even phase; their slot-mates q07/q17 are long-green
+    # statics demoted because family Q6 keeps q06 declared every phase.
     ("q75_domain_mixture", "q07_rollup_revenue"),
+    ("q76_training_order", "q17_cube_event_stats"),
 ]
 
 # Approximate by nature (approx_count_distinct / HLL) — can never

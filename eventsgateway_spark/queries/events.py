@@ -220,6 +220,8 @@ def q16_dedup_latest_per_user_type(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "q17_cube_event_stats",
+    declared=False,  # rotation-pool member since r6 (pairs with q76;
+    # Q6 family keeps q06 in the static tier every phase)
     oracle="""
     SELECT COALESCE(event_type, '(all)') AS event_type,
            COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), '(all)') AS event_date,

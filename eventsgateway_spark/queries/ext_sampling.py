@@ -238,6 +238,38 @@ def q74_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # single-partition windows are over the per-source aggregate (a handful
 # of rows), never the corpus — same pattern as q47's audit total.
 
+def mixture_weights(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_tokens, share_ppm, weight_ppm,
+    oversample_x100) — the q75 weight table, reusable by the
+    training-order interleave (q76). One corpus hash-agg down to
+    |sources| rows; windows touch only that tiny frame."""
+    from eventsgateway_spark.functions.text import tokens
+
+    per_src = docs.select("source", "text").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = per_src.withColumn(
+        "isqrt_tok", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint")
+    )
+    tot = W.partitionBy()  # over the |sources|-row aggregate only
+    return (
+        w.withColumn("_tok_total", F.sum("n_tokens").over(tot))
+        .withColumn("_w_total", F.sum("isqrt_tok").over(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("(1000000 * n_tokens) div _tok_total").alias("share_ppm"),
+            F.expr("(1000000 * isqrt_tok) div _w_total").alias("weight_ppm"),
+            F.expr(
+                "(100 * ((1000000 * isqrt_tok) div _w_total))"
+                " div nullif((1000000 * n_tokens) div _tok_total, 0)"
+            ).alias("oversample_x100"),
+        )
+    )
+
+
 @query(
     "q75_domain_mixture",
     declared=False,  # rotation-pool member (debuts round 6; see ROTATION)
@@ -273,30 +305,99 @@ def q75_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x100) — the table a mixture-aware loader consumes to draw
     batches. Small sources get oversample_x100 > 100 (seen more often
     than their share), dominant ones < 100."""
-    from eventsgateway_spark.functions.text import tokens
+    docs = table(spark, sf_dir, "documents")
+    return mixture_weights(docs).orderBy("source")
 
-    docs = table(spark, sf_dir, "documents").select("source", "text")
-    per_src = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens"),
+
+# ---------------------------------------------------------------------------
+# q76 — deterministic weighted training order (stride interleave)
+# ---------------------------------------------------------------------------
+# The last assembly step: q75 says HOW MUCH of each source, q76 says
+# IN WHAT ORDER. Stride scheduling from the OS literature: each
+# source's k-th document is released at virtual time k/weight, so
+# sorting by virtual time yields an interleave where every window of
+# the stream matches the target mixture — no RNG, no epoch-boundary
+# burstiness (the failure mode of concat-then-global-shuffle when the
+# shuffle is seeded per run).
+#
+# All-integer: vt = (rk * 10^9) div weight_ppm. Within a source, rank
+# comes from md5 order (hash order ≈ uniform shuffle, the q48 device),
+# so the within-source order is itself a reproducible shuffle.
+#
+# Scale shape: the per-source rank is the q61/q73-class distributed
+# prefix sum — a handful of sources means EVERY source is a hot key,
+# so a naive PARTITION BY source row_number serializes the corpus
+# into |sources| tasks. Bucketing by the md5 prefix (256 contiguous
+# hash ranges, order-aligned with the sort key) splits each source's
+# rank computation across tasks; the weight join is |sources| rows
+# (AQE broadcasts it). The final ORDER BY vt is presentation — a
+# trainer reads shards sorted by vt with a merge, never one task.
+
+VT_SCALE = 1_000_000_000
+
+
+@query(
+    "q76_training_order",
+    declared=False,  # rotation-pool member (debuts round 6; see ROTATION)
+    oracle=f"""
+    WITH t AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM({_DUCK_NTOK}) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source,
+               CAST((1000000 * CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT))
+                   // (SELECT SUM(CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)) FROM t)
+                   AS BIGINT) AS weight_ppm
+        FROM t
+    ),
+    r AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
     )
-    w = per_src.withColumn(
-        "isqrt_tok", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint")
+    SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS rk,
+           CAST((r.rk * {VT_SCALE}) // GREATEST(w.weight_ppm, 1) AS BIGINT) AS vt
+    FROM r JOIN w ON r.source = w.source
+    ORDER BY vt, r.source, r.doc_id
+    """,
+)
+def q76_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-interleave training order: every doc gets an integer
+    virtual time (rank-within-source / mixture weight); reading in vt
+    order delivers the q75 mixture in every prefix of the stream."""
+    from eventsgateway_spark.operators.skew import skew_safe_running_sum
+    from eventsgateway_spark.queries._util import spread
+
+    docs = spread(table(spark, sf_dir, "documents").select("source", "doc_id"))
+    h = docs.withColumn("h", F.md5(F.col("doc_id").cast("string")))
+    ranked = skew_safe_running_sum(
+        h,
+        keys=["source"],
+        order_by=["h", "doc_id"],
+        value=F.lit(1),
+        # md5 prefix: 256 contiguous hash ranges, order-aligned with
+        # the (h, doc_id) sort — each hot source's rank computation
+        # splits across up to 256 tasks
+        bucket=F.substring("h", 1, 2),
+        rn_col="rk",
+        sum_col="_unused",
     )
-    tot = W.partitionBy()  # over the |sources|-row aggregate only
+    weights = mixture_weights(table(spark, sf_dir, "documents")).select(
+        "source", "weight_ppm"
+    )
     return (
-        w.withColumn("_tok_total", F.sum("n_tokens").over(tot))
-        .withColumn("_w_total", F.sum("isqrt_tok").over(tot))
+        ranked.join(weights, "source")
         .select(
             "source",
-            "n_docs",
-            "n_tokens",
-            F.expr("(1000000 * n_tokens) div _tok_total").alias("share_ppm"),
-            F.expr("(1000000 * isqrt_tok) div _w_total").alias("weight_ppm"),
-            F.expr(
-                "(100 * ((1000000 * isqrt_tok) div _w_total))"
-                " div nullif((1000000 * n_tokens) div _tok_total, 0)"
-            ).alias("oversample_x100"),
+            "doc_id",
+            F.col("rk").cast("bigint").alias("rk"),
+            F.expr(f"(rk * {VT_SCALE}) div greatest(weight_ppm, 1)")
+            .cast("bigint")
+            .alias("vt"),
         )
-        .orderBy("source")
+        .orderBy("vt", "source", "doc_id")
     )

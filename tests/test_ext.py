@@ -697,6 +697,40 @@ def test_wav_decode_is_real(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_training_order_interleave_invariants(spark):
+    """q76 semantics beyond the oracle hash: (a) within each source,
+    vt is strictly increasing in rk (stride scheduling never reorders
+    a source's own stream); (b) the realized mixture tracks the q75
+    weights — in the first half of the vt-ordered stream, every
+    source's share is within 6 percentage points of its weight_ppm
+    share (the whole point of interleaving by virtual time)."""
+    from collections import Counter
+
+    from eventsgateway_spark.queries import QUERIES
+
+    rows = QUERIES["q76_training_order"](spark, SF_ORACLE).collect()
+    assert rows
+    last_vt: dict = {}
+    for r in rows:
+        if r.source in last_vt:
+            assert r.vt >= last_vt[r.source]
+        last_vt[r.source] = r.vt
+
+    weights = {
+        r.source: r.weight_ppm
+        for r in QUERIES["q75_domain_mixture"](spark, SF_ORACLE).collect()
+    }
+    half = rows[: len(rows) // 2]
+    got = Counter(r.source for r in half)
+    wtot = sum(weights.values())
+    for src, w in weights.items():
+        expect = w / wtot
+        # sources exhaust when small; realized share can only fall
+        # short near the end of a source's stream, never overshoot
+        # by more than one stride
+        assert abs(got[src] / len(half) - expect) < 0.06, (src, got[src])
+
+
 def test_sequence_packing_invariants(spark):
     """q73 semantics beyond the oracle hash: offsets form one exact
     global prefix sum in (doc_id, chunk_id) order (contiguous token

@@ -63,6 +63,7 @@ FAMILIES: dict[str, list[str]] = {
         "q48_balanced_sample",
         "q74_token_budget_sample",
         "q75_domain_mixture",
+        "q76_training_order",
     ],
     "pipeline": ["q60_corpus_prep"],
     "skew": [
