@@ -49,6 +49,7 @@ PROBE_QUERIES = (
     "q73_sequence_packing",
     "q74_token_budget_sample",
     "q75_domain_mixture",
+    "q76_training_order",
 )
 
 
