@@ -78,6 +78,50 @@ def test_roundtrip_partitioned_writer(spark, tmp_path):
     ]
 
 
+def test_jsonl_landing_zone_feeds_streaming_corpus_prep(spark, tmp_path):
+    """End-to-end landing zone: JSONL shards dropped in a directory →
+    streaming read (malformed lines quarantined at parse) → full
+    corpus-prep pipeline (curate → dedup screen) → routed sinks. This
+    is the raw-files-to-training-corpus path a user actually runs."""
+    from eventsgateway_spark.streaming.corpus_prep import corpus_prep_stream
+
+    corpus_text = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while a second clause keeps the token count over the rule floor "
+        "of twenty for this corpus document"
+    )
+    good = (
+        "the engine routes a perfectly reasonable document of more than "
+        "twenty tokens and it contains the a of and to is in it stopwords "
+        "plus plenty of distinct words overall"
+    )
+    src_dir = tmp_path / "landing"
+    os.makedirs(src_dir)
+    with open(src_dir / "shard-000.jsonl", "w") as f:
+        for row in [
+            {"doc_id": 100, "text": good, "lang": "en", "source": "s1"},
+            {"doc_id": 102, "text": corpus_text, "lang": "en", "source": "s1"},
+        ]:
+            f.write(json.dumps(row) + "\n")
+        f.write("{broken line never reaches the pipeline\n")
+
+    corpus = spark.createDataFrame([(0, corpus_text)], "doc_id long, text string")
+    q = corpus_prep_stream(
+        stream_documents_jsonl(spark, str(src_dir)).select("doc_id", "text"),
+        corpus,
+        out_root=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    kept = spark.read.parquet(str(tmp_path / "out/kept")).collect()
+    dups = spark.read.parquet(str(tmp_path / "out/dups")).collect()
+    assert {r.doc_id for r in kept} == {100}
+    assert {r.doc_id for r in dups} == {102}
+    assert dups[0].matched_corpus_id == 0 and dups[0].jaccard == 1.0
+
+
 def test_stream_read_micro_batches(spark, tmp_path):
     src_dir = tmp_path / "stream-in"
     os.makedirs(src_dir)
