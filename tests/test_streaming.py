@@ -984,3 +984,49 @@ def test_streaming_corpus_prep_within_batch_dedup(spark, tmp_path):
     assert dups[301].matched_corpus_id == 300
     assert dups[302].match_kind == "near_batch" and dups[302].matched_corpus_id == 300
     assert 0.5 <= dups[302].jaccard < 1.0
+
+
+def test_streaming_mixture_monitor_matches_batch_q75(spark, tmp_path):
+    """Streaming mixture monitor: two micro-batches of documents update
+    the running totals/weights tables; after drain the weights table is
+    BIT-FOR-BIT the batch q75 math over the union of all arrived docs
+    (integer-exact math ⇒ streaming/batch parity is equality, not
+    tolerance). The swap is atomic: a reader between batches sees a
+    complete table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from eventsgateway_spark.queries.ext_sampling import mixture_weights
+    from eventsgateway_spark.streaming.mixture import mixture_monitor_stream
+
+    rows1 = [(1, "a b c d e", "s1"), (2, "f g h", "s2")]
+    rows2 = [(3, "i j k l m n o p", "s1"), (4, "q r", "s3")]
+    schema = "doc_id long, text string, source string"
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    root = str(tmp_path / "mix")
+    q = mixture_monitor_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        root=root,
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.source: r
+        for r in spark.read.parquet(os.path.join(root, "weights")).collect()
+    }
+    all_docs = spark.createDataFrame(rows1 + rows2, schema)
+    want = {r.source: r for r in mixture_weights(all_docs).collect()}
+    assert set(got) == set(want) == {"s1", "s2", "s3"}
+    for s in want:
+        assert got[s].n_docs == want[s].n_docs
+        assert got[s].n_tokens == want[s].n_tokens
+        assert got[s].share_ppm == want[s].share_ppm
+        assert got[s].weight_ppm == want[s].weight_ppm
+    # totals table stays |sources|-sized
+    assert spark.read.parquet(os.path.join(root, "totals")).count() == 3
