@@ -504,6 +504,60 @@ def resize_media(assets: DataFrame, width: int = 32, height: int = 32, stub: boo
     return assets.mapInPandas(run_stub if stub else run_real, RESIZED_SCHEMA)
 
 
+RESAMPLED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("audio", T.BinaryType()),
+    ]
+)
+
+
+def resample_audio(assets: DataFrame, rate: int = 16_000) -> DataFrame:
+    """Audio analog of ``resize_media``: nearest-sample resample of
+    ``audio/wav`` payloads to a target rate — the numpy index-gather
+    device of ``_nn_resize`` applied along time. Real for PCM WAV
+    (stdlib wave in, 16-bit WAV out); other audio formats raise — the
+    libav plug-in seam. Output payload drops to the new rate's frame
+    count; run this BEFORE any shuffle of audio columns (the resample
+    usually shrinks 44.1k sources ~3x at 16 kHz)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "rate": [],
+                "n_frames": [],
+                "audio": [],
+            }
+            for aid, mt, raw in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mt != "audio/wav":
+                    raise NotImplementedError(
+                        f"real resample for {mt!r} needs libav — audio/wav "
+                        "resamples natively (stdlib wave + numpy)"
+                    )
+                nch, src_rate, x = parse_wav(bytes(raw))
+                n_out = max(1, int(round(x.shape[0] * rate / max(src_rate, 1))))
+                idx = np.minimum(
+                    (np.arange(n_out) * src_rate // rate), x.shape[0] - 1
+                )
+                out["asset_id"].append(aid)
+                out["rate"].append(rate)
+                out["n_frames"].append(n_out)
+                out["audio"].append(encode_wav(x[idx], rate))
+            yield pd.DataFrame(out)
+
+    from eventsgateway_spark.shipping import ship_package
+
+    ship_package(assets.sparkSession)
+    return assets.mapInPandas(run, RESAMPLED_SCHEMA)
+
+
 def sample_frames(assets: DataFrame, every_n: int = 10, max_frames: int = 3, stub: bool = True) -> DataFrame:
     """Frame-sampling stub (video → k frames): fans each asset out to
     ≤ max_frames rows, one per sampled frame — the row-explosion shape

@@ -692,6 +692,40 @@ def test_wav_decode_is_real(spark):
     assert feats[3].n_frames == 1  # images keep single-frame semantics
 
 
+def test_wav_resample_is_real(spark):
+    """resample_audio really changes the sample grid: a 16 kHz sine
+    downsampled to 8 kHz halves the frame count, round-trips through
+    the WAV codec, and preserves the tone (RMS within quantization);
+    non-WAV media hit the libav seam."""
+    import numpy as np
+    import pytest as _pytest
+
+    from eventsgateway_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav,
+        parse_wav,
+        resample_audio,
+    )
+
+    rate, n = 16_000, 1600
+    sine = 0.5 * np.sin(2 * np.pi * 440.0 * np.arange(n) / rate)
+    assets = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(encode_wav(sine, rate)), 0)], MEDIA_SCHEMA
+    )
+    out = resample_audio(assets, rate=8_000).collect()[0]
+    assert (out.rate, out.n_frames) == (8_000, 800)
+    nch, got_rate, x = parse_wav(bytes(out.audio))
+    assert (nch, got_rate, x.shape[0]) == (1, 8_000, 800)
+    # nearest-sample pick of a slow sine keeps amplitude statistics
+    assert abs(float(np.sqrt((x[:, 0] ** 2).mean())) - 0.5 / np.sqrt(2)) < 2e-2
+
+    other = spark.createDataFrame(
+        [(2, "audio/mp3", bytearray(b"fake"), 4)], MEDIA_SCHEMA
+    )
+    with _pytest.raises(Exception, match="libav|NotImplemented"):
+        resample_audio(other).collect()
+
+
 # ---------------------------------------------------------------------------
 # corpus-prep selectors (q73 packing / q74 budget sampling)
 # ---------------------------------------------------------------------------
