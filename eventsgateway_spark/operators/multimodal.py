@@ -289,9 +289,9 @@ def _png_features(b: bytes):
 def parse_wav(b: bytes):
     """Parse a RIFF/WAVE PCM payload with the stdlib ``wave`` module:
     returns (n_channels, sample_rate, frames x channels float64 array
-    normalized to [-1, 1]). 8/16/32-bit integer PCM; raises
-    ``ValueError`` (wave.Error is re-raised as such) on malformed or
-    compressed payloads."""
+    normalized to [-1, 1], bits_per_sample). 8/16/32-bit integer PCM;
+    raises ``ValueError`` (wave.Error/EOFError re-raised as such) on
+    malformed, truncated, or compressed payloads."""
     import io
     import wave
 
@@ -302,7 +302,10 @@ def parse_wav(b: bytes):
             nch, sampwidth = wf.getnchannels(), wf.getsampwidth()
             rate, nframes = wf.getframerate(), wf.getnframes()
             raw = wf.readframes(nframes)
-    except wave.Error as ex:
+    # EOFError: a payload that STARTS a valid RIFF/WAVE header but
+    # truncates mid-chunk escapes wave.Error — same contract violation,
+    # same ValueError (callers quarantine on ValueError)
+    except (wave.Error, EOFError) as ex:
         raise ValueError(f"not a PCM WAV payload: {ex}") from ex
     if sampwidth == 1:  # unsigned 8-bit
         x = np.frombuffer(raw, dtype=np.uint8).astype("float64")
@@ -315,7 +318,7 @@ def parse_wav(b: bytes):
         raise ValueError(f"unsupported PCM sample width: {sampwidth} bytes")
     if nch <= 0 or x.size % nch:
         raise ValueError("WAV frame data inconsistent with channel count")
-    return nch, rate, x.reshape(-1, nch)
+    return nch, rate, x.reshape(-1, nch), sampwidth * 8
 
 
 def encode_wav(samples, rate: int = 16_000) -> bytes:
@@ -340,12 +343,13 @@ def encode_wav(samples, rate: int = 16_000) -> bytes:
 
 def _wav_features(b: bytes):
     """Audio mapping of the FEATURES_SCHEMA contract: width=channels,
-    height=bits per sample, n_frames=PCM frame count; 8-dim feature =
-    [rate/48k, duration_s/60, rms, peak, zero-crossing rate,
-    channels/8, mean, inter-channel correlation (1.0 for mono)]."""
+    height=bits per sample (as parsed, not assumed), n_frames=PCM
+    frame count; 8-dim feature = [rate/48k, duration_s/60, rms, peak,
+    zero-crossing rate, channels/8, mean, inter-channel correlation
+    (1.0 for mono)]."""
     import numpy as np
 
-    nch, rate, x = parse_wav(b)
+    nch, rate, x, bits = parse_wav(b)
     mono = x.mean(axis=1)
     dur = x.shape[0] / rate if rate else 0.0
     rms = float(np.sqrt((mono**2).mean())) if mono.size else 0.0
@@ -357,7 +361,7 @@ def _wav_features(b: bytes):
         corr = 1.0
     feat = [rate / 48_000.0, dur / 60.0, rms, peak, zcr, nch / 8.0,
             float(mono.mean()) if mono.size else 0.0, corr]
-    return nch, 16, x.shape[0], feat
+    return nch, bits, x.shape[0], feat
 
 
 #: media_type → real decoder, the dependency-free tier. Formats outside
@@ -541,7 +545,15 @@ def resample_audio(assets: DataFrame, rate: int = 16_000) -> DataFrame:
                         f"real resample for {mt!r} needs libav — audio/wav "
                         "resamples natively (stdlib wave + numpy)"
                     )
-                nch, src_rate, x = parse_wav(bytes(raw))
+                nch, src_rate, x, _bits = parse_wav(bytes(raw))
+                if x.shape[0] == 0:
+                    # header-only WAV is valid input: resampling zero
+                    # frames yields zero frames, not an index crash
+                    out["asset_id"].append(aid)
+                    out["rate"].append(rate)
+                    out["n_frames"].append(0)
+                    out["audio"].append(encode_wav(x, rate))
+                    continue
                 n_out = max(1, int(round(x.shape[0] * rate / max(src_rate, 1))))
                 idx = np.minimum(
                     (np.arange(n_out) * src_rate // rate), x.shape[0] - 1

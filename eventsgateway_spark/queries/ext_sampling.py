@@ -238,18 +238,28 @@ def q74_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # single-partition windows are over the per-source aggregate (a handful
 # of rows), never the corpus — same pattern as q47's audit total.
 
-def mixture_weights(docs: DataFrame) -> DataFrame:
-    """(source, n_docs, n_tokens, share_ppm, weight_ppm,
-    oversample_x100) — the q75 weight table, reusable by the
-    training-order interleave (q76). One corpus hash-agg down to
-    |sources| rows; windows touch only that tiny frame."""
+def source_totals(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_tokens) — the per-source corpus aggregate
+    both the batch weights (q75) and the streaming mixture monitor
+    accumulate. One full-corpus hash-agg (map-side combine)."""
     from eventsgateway_spark.functions.text import tokens
 
-    per_src = docs.select("source", "text").groupBy("source").agg(
+    return docs.select("source", "text").groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens"),
     )
-    w = per_src.withColumn(
+
+
+def weights_from_totals(totals: DataFrame) -> DataFrame:
+    """The q75 weight formula over a (source, n_docs, n_tokens) frame
+    — THE single copy of the determinism-critical math, shared by
+    batch q75 and the streaming monitor (streaming/mixture.py) so the
+    two can never drift. All divisions are greatest(·,1)-guarded:
+    Spark 4 runs ANSI mode, where an all-zero-token totals frame would
+    otherwise raise DIVIDE_BY_ZERO (and the guard keeps the output —
+    weight 0 — identical to the oracle's GREATEST). Windows touch only
+    the |sources|-row aggregate."""
+    w = totals.withColumn(
         "isqrt_tok", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint")
     )
     tot = W.partitionBy()  # over the |sources|-row aggregate only
@@ -260,14 +270,25 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
-            F.expr("(1000000 * n_tokens) div _tok_total").alias("share_ppm"),
-            F.expr("(1000000 * isqrt_tok) div _w_total").alias("weight_ppm"),
+            F.expr("(1000000 * n_tokens) div greatest(_tok_total, 1)").alias(
+                "share_ppm"
+            ),
+            F.expr("(1000000 * isqrt_tok) div greatest(_w_total, 1)").alias(
+                "weight_ppm"
+            ),
             F.expr(
-                "(100 * ((1000000 * isqrt_tok) div _w_total))"
-                " div nullif((1000000 * n_tokens) div _tok_total, 0)"
+                "(100 * ((1000000 * isqrt_tok) div greatest(_w_total, 1)))"
+                " div nullif((1000000 * n_tokens) div greatest(_tok_total, 1), 0)"
             ).alias("oversample_x100"),
         )
     )
+
+
+def mixture_weights(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_tokens, share_ppm, weight_ppm,
+    oversample_x100) — the q75 weight table, reusable by the
+    training-order interleave (q76)."""
+    return weights_from_totals(source_totals(docs))
 
 
 @query(
@@ -286,12 +307,12 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
         FROM t
     )
     SELECT source, n_docs, n_tokens,
-           CAST((1000000 * n_tokens) // (SELECT SUM(n_tokens) FROM w)
+           CAST((1000000 * n_tokens) // GREATEST((SELECT SUM(n_tokens) FROM w), 1)
                AS BIGINT) AS share_ppm,
-           CAST((1000000 * isqrt_tok) // (SELECT SUM(isqrt_tok) FROM w)
+           CAST((1000000 * isqrt_tok) // GREATEST((SELECT SUM(isqrt_tok) FROM w), 1)
                AS BIGINT) AS weight_ppm,
-           CAST((100 * ((1000000 * isqrt_tok) // (SELECT SUM(isqrt_tok) FROM w)))
-               // NULLIF((1000000 * n_tokens) // (SELECT SUM(n_tokens) FROM w), 0)
+           CAST((100 * ((1000000 * isqrt_tok) // GREATEST((SELECT SUM(isqrt_tok) FROM w), 1)))
+               // NULLIF((1000000 * n_tokens) // GREATEST((SELECT SUM(n_tokens) FROM w), 1), 0)
                AS BIGINT) AS oversample_x100
     FROM w
     ORDER BY source
@@ -348,7 +369,7 @@ VT_SCALE = 1_000_000_000
     w AS (
         SELECT source,
                CAST((1000000 * CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT))
-                   // (SELECT SUM(CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)) FROM t)
+                   // GREATEST((SELECT SUM(CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)) FROM t), 1)
                    AS BIGINT) AS weight_ppm
         FROM t
     ),

@@ -13,12 +13,13 @@ Scale posture (100 TB of JSONL):
   a full extra pass over the input before the real job starts; at
   100 TB that is a second 100 TB scan. The schema here is fixed and
   versioned in code.
-- **PERMISSIVE + corrupt-record column, split once.** A malformed
-  line becomes a quarantine row (raw line preserved) instead of
-  failing the job (FAILFAST) or silently vanishing (DROPMALFORMED) —
-  the same keep/quarantine contract as the event validation filter
-  (operators/transforms.py P1). The split is two filters over one
-  scan lineage, not two reads.
+- **Text scan + ``from_json``, split once.** A malformed or
+  contract-violating line becomes a quarantine row carrying the
+  VERBATIM input line (a corrupt-record column can't do that for
+  lines that parse but miss required fields) instead of failing the
+  job or silently vanishing — the same keep/quarantine contract as
+  the event validation filter (operators/transforms.py P1). The split
+  is two filters over one scan lineage, not two reads.
 - **Line-delimited = splittable.** Plain or per-file-compressed JSONL
   splits by newline into ~``maxPartitionBytes`` tasks. (A single
   giant gzip member is NOT splittable — land .zst/.gz per ~256 MB
@@ -45,13 +46,38 @@ DOCUMENTS_SCHEMA = T.StructType(
     ]
 )
 
-_CORRUPT = "_corrupt_record"
+def _parse_lines(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared batch/stream parse: text lines → (documents, quarantine).
 
-
-def _read_schema() -> T.StructType:
-    return T.StructType(
-        list(DOCUMENTS_SCHEMA.fields) + [T.StructField(_CORRUPT, T.StringType())]
+    ``from_json`` over the raw text column (instead of the JSON
+    reader's PERMISSIVE mode) keeps the ORIGINAL line available for
+    every rejected row — including lines that parse as JSON but break
+    the contract (missing ``doc_id``/``text``), where a corrupt-record
+    column would be null and re-serializing the parsed struct would
+    drop the producer's extra fields. Dead-letter reprocessing needs
+    the bytes that arrived, not a lossy reconstruction. Still one scan
+    lineage, two filters, explicit schema, no inference pass."""
+    parsed = raw.select(
+        F.col("value").alias("raw_line"),
+        F.from_json("value", DOCUMENTS_SCHEMA).alias("d"),
     )
+    bad = (
+        F.col("d").isNull()
+        | F.col("d.doc_id").isNull()
+        | F.col("d.text").isNull()
+    )
+    docs = (
+        parsed.filter(~bad)
+        .select("d.*")
+        # n_chars is derivable; fill it when the producer omitted it so
+        # downstream length operators (q27/q47/q67) see the contract
+        .withColumn(
+            "n_chars",
+            F.coalesce(F.col("n_chars"), F.length("text").cast("long")),
+        )
+    )
+    quarantine = parsed.filter(bad).select("raw_line")
+    return docs, quarantine
 
 
 def read_documents_jsonl(
@@ -60,61 +86,27 @@ def read_documents_jsonl(
     """Batch-read a JSONL directory/file → (documents, quarantine).
 
     ``documents`` carries exactly the fixture ``documents`` schema;
-    ``quarantine`` is (raw_line,) for every malformed input line. Both
-    come from ONE scan lineage (two filters), and the reader runs
-    PERMISSIVE with an explicit schema — no inference pass.
-
-    A line that parses but is missing ``doc_id`` or ``text`` is
-    quarantined too (null key/payload is corrupt for this contract,
-    same rule as the event validator's empty-id check,
-    operators/transforms.py).
-    """
-    raw = (
-        spark.read.schema(_read_schema())
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT)
-        .json(path)
-    )
-    bad = F.col(_CORRUPT).isNotNull() | F.col("doc_id").isNull() | F.col("text").isNull()
-    docs = raw.filter(~bad).select(*[f.name for f in DOCUMENTS_SCHEMA.fields])
-    # n_chars is derivable; fill it when the producer omitted it so
-    # downstream length-based operators (q27/q47/q67) see the contract
-    docs = docs.withColumn(
-        "n_chars",
-        F.coalesce(F.col("n_chars"), F.length("text").cast("long")),
-    )
-    quarantine = raw.filter(bad).select(
-        F.coalesce(F.col(_CORRUPT), F.to_json(F.struct(*[
-            f.name for f in DOCUMENTS_SCHEMA.fields
-        ]))).alias("raw_line")
-    )
-    return docs, quarantine
+    ``quarantine`` is (raw_line,) — the verbatim input line — for
+    every malformed OR contract-violating line (missing doc_id/text:
+    null key/payload is corrupt for this contract, same rule as the
+    event validator's empty-id check, operators/transforms.py)."""
+    return _parse_lines(spark.read.text(path))
 
 
 def stream_documents_jsonl(
     spark: SparkSession, path: str, max_files_per_trigger: int = 16
 ) -> DataFrame:
     """Streaming JSONL → documents frame (valid rows only; wire the
-    quarantine side with ``foreachBatch`` + ``read_documents_jsonl``
-    semantics when a dead-letter sink is needed). Explicit schema, no
-    inference; ``maxFilesPerTrigger`` bounds micro-batch size so one
-    bulk drop of shards cannot produce an unbounded first batch."""
+    quarantine side with ``foreachBatch`` + ``_parse_lines`` when a
+    dead-letter sink is needed). Explicit schema, no inference;
+    ``maxFilesPerTrigger`` bounds micro-batch size so one bulk drop of
+    shards cannot produce an unbounded first batch."""
     raw = (
-        spark.readStream.schema(_read_schema())
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .json(path)
+        spark.readStream.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .text(path)
     )
-    bad = F.col(_CORRUPT).isNotNull() | F.col("doc_id").isNull() | F.col("text").isNull()
-    return (
-        raw.filter(~bad)
-        .select(*[f.name for f in DOCUMENTS_SCHEMA.fields])
-        .withColumn(
-            "n_chars",
-            F.coalesce(F.col("n_chars"), F.length("text").cast("long")),
-        )
-    )
+    docs, _ = _parse_lines(raw)
+    return docs
 
 
 def write_documents_jsonl(

@@ -125,8 +125,13 @@ class FileBus:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # realpath: '/tmp/bus' and '/tmp/bus/' (or a symlinked alias)
+        # are ONE spool directory and must share one lock — keying on
+        # the raw string would let aliases race the append commit
         with FileBus._locks_guard:
-            self._lock = FileBus._locks.setdefault(root, threading.Lock())
+            self._lock = FileBus._locks.setdefault(
+                os.path.realpath(root), threading.Lock()
+            )
 
     def produce(self, payloads: DataFrame) -> None:
         """Batch produce: append (topic, key, value) rows to the spool."""

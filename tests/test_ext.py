@@ -714,8 +714,8 @@ def test_wav_resample_is_real(spark):
     )
     out = resample_audio(assets, rate=8_000).collect()[0]
     assert (out.rate, out.n_frames) == (8_000, 800)
-    nch, got_rate, x = parse_wav(bytes(out.audio))
-    assert (nch, got_rate, x.shape[0]) == (1, 8_000, 800)
+    nch, got_rate, x, bits = parse_wav(bytes(out.audio))
+    assert (nch, got_rate, x.shape[0], bits) == (1, 8_000, 800, 16)
     # nearest-sample pick of a slow sine keeps amplitude statistics
     assert abs(float(np.sqrt((x[:, 0] ** 2).mean())) - 0.5 / np.sqrt(2)) < 2e-2
 
@@ -724,6 +724,16 @@ def test_wav_resample_is_real(spark):
     )
     with _pytest.raises(Exception, match="libav|NotImplemented"):
         resample_audio(other).collect()
+
+    # header-only WAV (0 frames) is valid input: 0-frame output, no crash
+    empty = spark.createDataFrame(
+        [(3, "audio/wav", bytearray(encode_wav(np.zeros((0, 1)), rate)), 0)],
+        MEDIA_SCHEMA,
+    )
+    got = resample_audio(empty, rate=8_000).collect()[0]
+    assert got.n_frames == 0
+    _, _, ex, _ = parse_wav(bytes(got.audio))
+    assert ex.shape[0] == 0
 
 
 # ---------------------------------------------------------------------------
@@ -820,3 +830,19 @@ def test_token_budget_sample_greedy_maximal(spark):
             cum += d.n
             expect.append((d.doc_id, cum))
         assert [(r.doc_id, r.cum_tokens) for r in got.get(src, [])] == expect, src
+
+
+def test_mixture_weights_zero_token_corpus_no_ansi_crash(spark):
+    """weights_from_totals must survive an all-zero-token totals frame
+    under Spark 4 ANSI mode (unguarded `div 0` raises DIVIDE_BY_ZERO):
+    weights come out 0, oversample NULL — same as the GREATEST-guarded
+    oracle. This is the shared formula, so streaming inherits the
+    guarantee."""
+    from eventsgateway_spark.queries.ext_sampling import weights_from_totals
+
+    totals = spark.createDataFrame(
+        [("s1", 2, 0), ("s2", 1, 0)], "source string, n_docs long, n_tokens long"
+    )
+    rows = {r.source: r for r in weights_from_totals(totals).collect()}
+    assert rows["s1"].share_ppm == rows["s1"].weight_ppm == 0
+    assert rows["s1"].oversample_x100 is None

@@ -210,11 +210,15 @@ def test_wav_parse_encode_roundtrip(n, ch, rate, seed):
 
     rng = np.random.RandomState(seed % (2**31))
     x = rng.uniform(-1, 1, size=(n, ch))
-    nch, prate, out = parse_wav(encode_wav(x, rate))
-    assert (nch, prate) == (ch, rate) and out.shape == (n, ch)
+    nch, prate, out, bits = parse_wav(encode_wav(x, rate))
+    assert (nch, prate, bits) == (ch, rate, 16) and out.shape == (n, ch)
     assert np.abs(out - x).max() <= 1.5 / 32767.0
     with pytest.raises(ValueError):
         parse_wav(b"RIFFgarbage-not-a-wav" + bytes(rng.randint(0, 256, 16, "u1")))
+    # a WAV truncated mid-header must also raise ValueError (the
+    # stdlib chunk reader throws EOFError there, not wave.Error)
+    with pytest.raises(ValueError):
+        parse_wav(encode_wav(x, rate)[:13])
 
 
 def _png_with_filters(img, filters):

@@ -993,12 +993,11 @@ def test_streaming_mixture_monitor_matches_batch_q75(spark, tmp_path):
     (integer-exact math ⇒ streaming/batch parity is equality, not
     tolerance). The swap is atomic: a reader between batches sees a
     complete table."""
-    import os
-
-    from pyspark.sql import functions as F
-
     from eventsgateway_spark.queries.ext_sampling import mixture_weights
-    from eventsgateway_spark.streaming.mixture import mixture_monitor_stream
+    from eventsgateway_spark.streaming.mixture import (
+        mixture_monitor_stream,
+        read_current,
+    )
 
     rows1 = [(1, "a b c d e", "s1"), (2, "f g h", "s2")]
     rows2 = [(3, "i j k l m n o p", "s1"), (4, "q r", "s3")]
@@ -1016,17 +1015,12 @@ def test_streaming_mixture_monitor_matches_batch_q75(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    got = {
-        r.source: r
-        for r in spark.read.parquet(os.path.join(root, "weights")).collect()
-    }
+    weights = read_current(spark, root, "weights")
+    got = {r.source: r.asDict() for r in weights.collect()}
     all_docs = spark.createDataFrame(rows1 + rows2, schema)
-    want = {r.source: r for r in mixture_weights(all_docs).collect()}
-    assert set(got) == set(want) == {"s1", "s2", "s3"}
-    for s in want:
-        assert got[s].n_docs == want[s].n_docs
-        assert got[s].n_tokens == want[s].n_tokens
-        assert got[s].share_ppm == want[s].share_ppm
-        assert got[s].weight_ppm == want[s].weight_ppm
-    # totals table stays |sources|-sized
-    assert spark.read.parquet(os.path.join(root, "totals")).count() == 3
+    want = {r.source: r.asDict() for r in mixture_weights(all_docs).collect()}
+    # FULL-ROW equality, oversample_x100 included — the streaming table
+    # is the batch table, not a subset of it
+    assert got == want and set(got) == {"s1", "s2", "s3"}
+    # totals table stays |sources|-sized; pointer resolves a real dir
+    assert read_current(spark, root, "totals").count() == 3
