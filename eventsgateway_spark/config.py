@@ -105,6 +105,17 @@ def _parse_yaml_subset(text: str) -> dict:
         line = raw.split("#", 1)[0].rstrip()
         if not line.strip():
             continue
+        if line.lstrip().startswith("- "):
+            # list syntax is OUTSIDE this subset: parsing '- item' as a
+            # map key would silently corrupt the config (e.g. a brokers
+            # list dissolving into nonsense keys and the baked-in
+            # default winning). Fail loudly; install PyYAML or inline
+            # the list as a scalar (comma-joined) instead.
+            raise ValueError(
+                "YAML list syntax ('- item') is not supported by the "
+                f"fallback parser (line: {line.strip()!r}); install PyYAML "
+                "or use a comma-separated scalar"
+            )
         indent = len(line) - len(line.lstrip())
         key, _, val = line.strip().partition(":")
         while stack and indent <= stack[-1][0]:

@@ -41,8 +41,8 @@ class ChunkDocUDTF:
 
 
 def register_udtfs(spark) -> None:
+    """Make the UDTFs callable from SQL (FROM-clause / LATERAL)."""
     from eventsgateway_spark.shipping import ship_package
 
     ship_package(spark)  # UDTF classes pickle by module reference
-    """Make the UDTFs callable from SQL (FROM-clause / LATERAL)."""
     spark.udtf.register("chunk_doc", ChunkDocUDTF)

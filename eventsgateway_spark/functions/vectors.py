@@ -84,11 +84,18 @@ def dot_arrow(a: Column, b: Column) -> Column:
     global _dot_arrow_udf
     from pyspark.sql import SparkSession
 
+    # getActiveSession is THREAD-LOCAL: a worker thread that never
+    # touched the session sees None there while the process-wide
+    # session (builder.getOrCreate resolves it without creating a new
+    # one when it exists) still needs the package shipped — silently
+    # skipping would resurface the executor ModuleNotFoundError this
+    # call exists to prevent.
     session = SparkSession.getActiveSession()
-    if session is not None:
-        from eventsgateway_spark.shipping import ship_package
+    if session is None:
+        session = SparkSession.builder.getOrCreate()
+    from eventsgateway_spark.shipping import ship_package
 
-        ship_package(session)  # _dot_arrow_batch pickles by module reference
+    ship_package(session)  # _dot_arrow_batch pickles by module reference
     if _dot_arrow_udf is None:
         _dot_arrow_udf = F.pandas_udf(_dot_arrow_batch, "double")
     return _dot_arrow_udf(a, b)

@@ -113,6 +113,23 @@ class Gateway:
         return ingest(self.spark, wire_df if wire_df is not None else self.flush(),
                       max_message_bytes=self.max_message_bytes)
 
+    def drain(self):
+        """Flush+ingest the buffer as a SEQUENCE of ≤MAX_FLUSH_ROWS
+        micro-batches (generator of IngestResults) — the recovery path
+        when a producer loop legitimately outran the single-flush
+        ceiling (e.g. a long load test): each wave is a bounded
+        createDataFrame, so the driver never ships the whole backlog
+        as one row set. The buffer shrinks as waves are consumed; an
+        abandoned generator leaves the remainder buffered."""
+        while self._buffer:
+            rows = self._buffer[: self.MAX_FLUSH_ROWS]
+            self._buffer = self._buffer[self.MAX_FLUSH_ROWS:]
+            yield ingest(
+                self.spark,
+                self.spark.createDataFrame(rows, WIRE_EVENT_SCHEMA),
+                max_message_bytes=self.max_message_bytes,
+            )
+
 
 def ingest(
     spark: SparkSession,

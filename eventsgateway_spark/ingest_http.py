@@ -62,10 +62,22 @@ _HTTP_WIRE_SCHEMA = T.StructType(
 )
 
 
-def _wire_rows(events: list[dict]) -> list[tuple]:
-    rows = []
+def _wire_rows(events: list[dict]) -> tuple[list[tuple], dict[int, str]]:
+    """(rows, framing_failures). An entry that is not an object — or
+    whose ``props`` is not an object — cannot even be represented as a
+    wire row; that is a FRAMING failure (the gRPC analog is a request
+    deserialization error), rejected here with a reason instead of
+    crashing the request into a 500. Contract-level rejects (empty id,
+    missing timestamp, oversize) still come from the pipeline plan."""
+    rows, framing = [], {}
     for i, ev in enumerate(events):
+        if not isinstance(ev, dict):
+            framing[i] = "malformed_event"
+            continue
         props = ev.get("props") or {}
+        if not isinstance(props, dict):
+            framing[i] = "malformed_props"
+            continue
         try:
             ts = int(ev["timestamp"])
         except (KeyError, TypeError, ValueError):
@@ -80,7 +92,7 @@ def _wire_rows(events: list[dict]) -> list[tuple]:
                 ts,
             )
         )
-    return rows
+    return rows, framing
 
 
 def ingest_events(
@@ -94,17 +106,22 @@ def ingest_events(
 
     The index list is sorted and unique, matching the semantics (not
     the goroutine-append ordering) of the reference's FailureIndexes.
-    """
+    Serving-path job count: the two side-outputs are read in ONE
+    unioned collect, so a request costs two Spark jobs (verdict +
+    sink), not three."""
     if not events:
         return [], {}
-    wire = spark.createDataFrame(_wire_rows(events), _HTTP_WIRE_SCHEMA)
-    res: IngestResult = ingest(spark, wire, max_message_bytes=max_message_bytes)
-    reasons: dict[int, str] = {}
-    for side in (res.quarantine, res.oversized):
-        for row in side.select("_idx", "reject_reason").collect():
+    rows, reasons = _wire_rows(events)
+    if rows:
+        wire = spark.createDataFrame(rows, _HTTP_WIRE_SCHEMA)
+        res: IngestResult = ingest(spark, wire, max_message_bytes=max_message_bytes)
+        side = res.quarantine.select("_idx", "reject_reason").unionByName(
+            res.oversized.select("_idx", "reject_reason")
+        )
+        for row in side.collect():
             reasons[int(row["_idx"])] = row["reject_reason"]
-    if sink is not None:
-        sink(res.payloads)
+        if sink is not None:
+            sink(res.payloads)
     return sorted(reasons), reasons
 
 
@@ -150,6 +167,9 @@ def serve_ingest(
             path = self.path.rstrip("/")
             try:
                 if path == "/send-events":
+                    if not isinstance(payload, dict):
+                        self._reply(400, {"error": "body must be an object"})
+                        return
                     events = payload.get("events", [])
                     if not isinstance(events, list):
                         self._reply(400, {"error": "events must be a list"})

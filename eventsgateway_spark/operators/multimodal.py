@@ -216,21 +216,31 @@ def parse_png(b: bytes):
             ).reshape(stride).astype(np.uint16)
         elif fb == 2:  # Up
             rec = (line + prev) % 256
+        # Average/Paeth carry a strict left-neighbor dependency, so the
+        # chain can't vectorize — but per-element numpy scalar access
+        # is ~10x slower than plain-int loops. Work on bytes (direct
+        # int indexing) and a Python list, convert once per scanline.
         elif fb == 3:  # Average — sequential in the left neighbor
-            rec = np.empty(stride, np.uint16)
+            line_b = raw[y * (stride + 1) + 1 : y * (stride + 1) + 1 + stride]
+            prev_l = prev.tolist()
+            rec_l = [0] * stride
             for i in range(stride):
-                left = int(rec[i - ch]) if i >= ch else 0
-                rec[i] = (int(line[i]) + (left + int(prev[i])) // 2) % 256
+                left = rec_l[i - ch] if i >= ch else 0
+                rec_l[i] = (line_b[i] + ((left + prev_l[i]) >> 1)) & 255
+            rec = np.array(rec_l, np.uint16)
         elif fb == 4:  # Paeth — sequential predictor
-            rec = np.empty(stride, np.uint16)
+            line_b = raw[y * (stride + 1) + 1 : y * (stride + 1) + 1 + stride]
+            prev_l = prev.tolist()
+            rec_l = [0] * stride
             for i in range(stride):
-                a = int(rec[i - ch]) if i >= ch else 0
-                up = int(prev[i])
-                c = int(prev[i - ch]) if i >= ch else 0
+                a = rec_l[i - ch] if i >= ch else 0
+                up = prev_l[i]
+                c = prev_l[i - ch] if i >= ch else 0
                 p = a + up - c
                 pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                rec[i] = (int(line[i]) + pred) % 256
+                rec_l[i] = (line_b[i] + pred) & 255
+            rec = np.array(rec_l, np.uint16)
         else:
             raise ValueError(f"unknown PNG filter type {fb}")
         out[y] = rec.astype(np.uint8)

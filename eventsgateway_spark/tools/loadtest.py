@@ -77,14 +77,17 @@ def run_loadtest(
         bus = FileBus(spark, bus_root)
         n_pre = bus.consume_batch().count()
         t0 = time.perf_counter()
-        result = gw.ingest()
-        bus.produce(result.payloads)
+        # drain(): ≤MAX_FLUSH_ROWS waves, so a long/fast configuration
+        # (e.g. 30 min at a 50 ms ceiling) does not trip the single-
+        # flush backfill guard — each wave is a bounded micro-batch,
+        # which is also what the reference's sleep-paced client does
+        for result in gw.drain():
+            bus.produce(result.payloads)
         wall = time.perf_counter() - t0
         n_ok = bus.consume_batch().count() - n_pre
     else:
         t0 = time.perf_counter()
-        result = gw.ingest()
-        n_ok = result.payloads.count()
+        n_ok = sum(result.payloads.count() for result in gw.drain())
         wall = time.perf_counter() - t0
     report = {
         "sent": n_sent,

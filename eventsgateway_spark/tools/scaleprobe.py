@@ -134,6 +134,13 @@ def run_probe(mults: tuple[int, ...] = (1, 10, 100), runs: int = 2,
                 samples.append(time.perf_counter() - t0)
             results[name][mult] = round(min(samples), 2)
             print(f"x{mult} {name}: {results[name][mult]}s", flush=True)
+            # q60's pin(persist) frames survive GC until unpersisted
+            # (same hazard bench.py guards): left pinned, they
+            # accumulate across queries/scales and squeeze memory in
+            # the x100 timings this tool exists to measure honestly
+            from eventsgateway_spark.queries._util import unpin_all
+
+            unpin_all()
         import gc
 
         gc.collect()

@@ -115,3 +115,18 @@ def test_component_factories(spark, tmp_path):
             assert r.status == 200
     finally:
         server.shutdown()
+
+
+def test_fallback_parser_rejects_list_syntax():
+    """The PyYAML-less subset parser must FAIL LOUDLY on '- item'
+    list lines instead of silently dissolving them into bogus map
+    keys (which would make e.g. a brokers list fall back to the
+    baked-in default with no error)."""
+    import pytest
+
+    from eventsgateway_spark.config import _parse_yaml_subset
+
+    with pytest.raises(ValueError, match="list syntax"):
+        _parse_yaml_subset(
+            "kafka:\n  producer:\n    brokers:\n      - kafka1:9092\n"
+        )

@@ -172,3 +172,23 @@ def test_kafka_produce_consume_roundtrip(spark):
     rec = decode_event(bytes(back[0]["value"]))
     assert rec["id"] == sent_id and rec["name"] == "integration-event"
     assert rec["props"] == {"prop1": "val1"}
+
+
+def test_gateway_drain_chunks_oversized_buffer(spark, monkeypatch):
+    """drain() recovers a buffer that outran the single-flush ceiling:
+    waves of <= MAX_FLUSH_ROWS, every event delivered exactly once,
+    buffer empty afterwards; flush() on the same buffer would raise."""
+    import pytest
+
+    from eventsgateway_spark.gateway import Gateway
+
+    gw = Gateway(spark, default_topic="t")
+    monkeypatch.setattr(Gateway, "MAX_FLUSH_ROWS", 3)
+    for i in range(8):
+        gw.send(f"ev{i}", {"k": str(i)})
+    with pytest.raises(ValueError, match="MAX_FLUSH_ROWS"):
+        gw.flush()
+    assert len(gw._buffer) == 8  # the guard must not eat the buffer
+    waves = [res.payloads.count() for res in gw.drain()]
+    assert waves == [3, 3, 2]
+    assert gw._buffer == []

@@ -214,3 +214,27 @@ def test_concurrent_posts(spark, tmp_path):
         assert ids == {f"c{i}-0" for i in range(4)}
     finally:
         server.shutdown()
+
+
+def test_framing_failures_are_indexed_not_500(spark):
+    """A non-object event entry or non-object props is a FRAMING
+    failure: it gets a failure index + reason (like a gRPC request
+    deserialization error), never a 500, and well-formed neighbors in
+    the same batch still flow through the pipeline."""
+    from eventsgateway_spark.ingest_http import ingest_events
+
+    events = [GOOD, 5, {**GOOD, "id": "p", "props": ["not", "a", "map"]}]
+    fail, reasons = ingest_events(spark, events)
+    assert fail == [1, 2]
+    assert reasons == {1: "malformed_event", 2: "malformed_props"}
+
+
+def test_framing_failures_over_http(spark):
+    server, port = serve_ingest(spark, sink=None)
+    try:
+        code, body = _post(port, "/send-events", {"events": [5, GOOD]})
+        assert code == 200 and body["failure_indexes"] == [0]
+        code, body = _post(port, "/send-event", 7)
+        assert code == 422 and body["error"] == "malformed_event"
+    finally:
+        server.shutdown()
