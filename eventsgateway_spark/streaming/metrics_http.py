@@ -85,7 +85,15 @@ class PrometheusRegistry:
     ) -> None:
         with self._lock:
             self._declare(name, "histogram", help)
-            self._hist_buckets.setdefault(name, buckets)
+            prior = self._hist_buckets.setdefault(name, buckets)
+            if prior != buckets and buckets != RESPONSE_TIME_BUCKETS_MS:
+                # silently bucketing against bounds the caller never
+                # asked for would misrepresent the distribution with
+                # no error — conflicting definitions must fail loudly
+                raise ValueError(
+                    f"histogram {name!r} already declared with buckets "
+                    f"{prior}; conflicting definition {buckets}"
+                )
             k = self._key(name, labels)
             counts, total, n = self._hist.get(
                 k, ([0] * len(self._hist_buckets[name]), 0.0, 0)
@@ -96,8 +104,17 @@ class PrometheusRegistry:
             self._hist[k] = (counts, total + value, n + 1)
 
     @staticmethod
+    def _esc(v: str) -> str:
+        """Exposition-format label-value escaping (backslash, quote,
+        newline) — an unescaped quote in a query/observation name
+        would invalidate the WHOLE scrape, not just one series."""
+        return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+    @staticmethod
     def _fmt_labels(label_items: tuple[tuple[str, str], ...], extra: str = "") -> str:
-        parts = [f'{k}="{v}"' for k, v in label_items]
+        parts = [
+            f'{k}="{PrometheusRegistry._esc(str(v))}"' for k, v in label_items
+        ]
         if extra:
             parts.append(extra)
         return "{" + ",".join(parts) + "}" if parts else ""

@@ -21,13 +21,22 @@ Shape per micro-batch (the 100 TB story):
   full corpus reproduces the streaming table bit-for-bit once counts
   match (pinned by the streaming parity test).
 
-Publication is pointer-swapped: data lands in a fresh versioned
-directory, then a CURRENT pointer file is replaced atomically
-(``os.replace``). A reader always resolves a fully-written version; a
-crash at ANY point leaves the previous version current — there is no
-rename window where the table is missing, and no failure mode that
-silently restarts the counts (a missing-table condition is detected
-by pointer absence, never by swallowing read errors).
+Publication protocol (one version = one consistent snapshot):
+- each update writes a fresh ``v{n}/`` directory holding BOTH tables
+  (``totals``, ``weights``) and a ``BATCH`` marker with the applied
+  micro-batch id, then atomically replaces the ``CURRENT`` pointer
+  file (``os.replace``) — totals and weights can never be observed
+  from different batches, and a crash at any point leaves the
+  previous version current;
+- foreachBatch is AT-LEAST-ONCE: a crash after publish but before the
+  checkpoint commit re-delivers the same batch_id on restart. Counts
+  are additive, so the replay guard compares the incoming batch_id
+  against the published ``BATCH`` marker and no-ops on ``<=`` — the
+  double-count hole is closed by the marker, not by wishful
+  exactly-once assumptions;
+- the last ``KEEP_VERSIONS`` versions are retained before recycling,
+  so a reader that resolved the pointer just before a publish can
+  finish scanning its version while newer ones land.
 """
 
 from __future__ import annotations
@@ -40,20 +49,38 @@ from pyspark.sql.streaming import StreamingQuery
 
 TOTALS = "totals"
 WEIGHTS = "weights"
+#: versions retained behind CURRENT before deletion — bounds disk at
+#: (KEEP_VERSIONS+1) x a |sources|-row table while giving in-flight
+#: readers a multi-batch grace window.
+KEEP_VERSIONS = 2
 
 
-def _pointer(root: str, name: str) -> str:
-    return os.path.join(root, f"{name}.CURRENT")
+def _pointer(root: str) -> str:
+    return os.path.join(root, "CURRENT")
 
 
-def current_path(root: str, name: str) -> str | None:
-    """Directory currently published for ``name``, or None if the
-    table has never been published."""
-    ptr = _pointer(root, name)
+def _current_version(root: str) -> int | None:
+    ptr = _pointer(root)
     if not os.path.exists(ptr):
         return None
     with open(ptr) as f:
-        return os.path.join(root, f.read().strip())
+        return int(f.read().strip().lstrip("v"))
+
+
+def current_path(root: str, name: str) -> str | None:
+    """Directory currently published for ``name`` (totals/weights), or
+    None if nothing has been published yet."""
+    n = _current_version(root)
+    return None if n is None else os.path.join(root, f"v{n}", name)
+
+
+def last_batch_id(root: str) -> int | None:
+    """Micro-batch id of the published version (replay guard input)."""
+    n = _current_version(root)
+    if n is None:
+        return None
+    with open(os.path.join(root, f"v{n}", "BATCH")) as f:
+        return int(f.read().strip())
 
 
 def read_current(spark: SparkSession, root: str, name: str) -> DataFrame | None:
@@ -65,31 +92,36 @@ def read_current(spark: SparkSession, root: str, name: str) -> DataFrame | None:
     return None if path is None else spark.read.parquet(path)
 
 
-def _publish(df: DataFrame, root: str, name: str) -> None:
-    """Versioned write + atomic pointer replace. The two versions
-    alternate (v0/v1): the non-current one is recycled, so disk use is
-    bounded at 2x a |sources|-row table."""
-    cur = current_path(root, name)
-    nxt = f"{name}_v1" if (cur or "").endswith("_v0") else f"{name}_v0"
-    nxt_path = os.path.join(root, nxt)
-    if os.path.exists(nxt_path):
-        shutil.rmtree(nxt_path)
-    df.coalesce(1).write.mode("overwrite").parquet(nxt_path)
-    tmp = _pointer(root, name) + ".tmp"
+def _publish_version(
+    root: str, totals: DataFrame, weights: DataFrame, batch_id: int
+) -> None:
+    cur = _current_version(root)
+    n = 0 if cur is None else cur + 1
+    vdir = os.path.join(root, f"v{n}")
+    if os.path.exists(vdir):  # leftover from a crash before pointer swap
+        shutil.rmtree(vdir)
+    totals.coalesce(1).write.parquet(os.path.join(vdir, TOTALS))
+    weights.coalesce(1).write.parquet(os.path.join(vdir, WEIGHTS))
+    with open(os.path.join(vdir, "BATCH"), "w") as f:
+        f.write(str(batch_id))
+    tmp = _pointer(root) + ".tmp"
     with open(tmp, "w") as f:
-        f.write(nxt)
-    os.replace(tmp, _pointer(root, name))  # atomic on POSIX
+        f.write(f"v{n}")
+    os.replace(tmp, _pointer(root))  # atomic on POSIX
+    stale = os.path.join(root, f"v{n - KEEP_VERSIONS - 1}")
+    if n > KEEP_VERSIONS and os.path.exists(stale):
+        shutil.rmtree(stale)
 
 
 def update_mixture_batch(
-    spark: SparkSession, batch_df: DataFrame, root: str
+    spark: SparkSession, batch_df: DataFrame, root: str, batch_id: int
 ) -> None:
     """Merge one micro-batch of documents into the running per-source
-    totals and republish the weight table. Idempotence note:
-    checkpoint replay of a batch double-counts tokens (counts are
-    additive, not keyed) — route through a keyed upsert
-    (streaming/upsert.py) first if the source can replay; with the
-    file source + checkpoint, each file is delivered exactly once."""
+    totals and publish a new consistent version. Replay-safe: a
+    batch_id at or below the published marker is a checkpoint replay
+    of work already applied and is skipped (foreachBatch is
+    at-least-once; counts are additive, so re-applying would
+    double-count)."""
     from pyspark.sql import functions as F
 
     from eventsgateway_spark.queries.ext_sampling import (
@@ -98,6 +130,9 @@ def update_mixture_batch(
     )
 
     os.makedirs(root, exist_ok=True)
+    applied = last_batch_id(root)
+    if applied is not None and batch_id <= applied:
+        return  # replay of an already-published batch
     batch_totals = source_totals(batch_df)
     existing = read_current(spark, root, TOTALS)
     merged = (
@@ -111,8 +146,7 @@ def update_mixture_batch(
         )
     )
     merged = merged.localCheckpoint()  # sever lineage from the table we replace
-    _publish(merged, root, TOTALS)
-    _publish(weights_from_totals(merged), root, WEIGHTS)
+    _publish_version(root, merged, weights_from_totals(merged), batch_id)
 
 
 def mixture_monitor_stream(
@@ -122,7 +156,7 @@ def mixture_monitor_stream(
     (read them with :func:`read_current`) from a document stream
     (columns ``source``, ``text``)."""
     writer = doc_stream.writeStream.foreachBatch(
-        lambda b, _id: update_mixture_batch(b.sparkSession, b, root)
+        lambda b, bid: update_mixture_batch(b.sparkSession, b, root, bid)
     ).option("checkpointLocation", checkpoint)
     if trigger_once:
         writer = writer.trigger(availableNow=True)

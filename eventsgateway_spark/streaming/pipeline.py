@@ -53,9 +53,14 @@ def run_etl_with_metrics(
     events table AND a metrics sink (per-batch counts by event name),
     mirroring the reference's interceptor pattern where every request
     both lands in Kafka and increments Prometheus counters
-    (server/app/app.go:177-224). ``foreachBatch`` gives transactional
-    per-batch fan-out to two sinks — the supported Spark shape for
-    multi-sink streams (one source read, two writes per batch)."""
+    (server/app/app.go:177-224). ``foreachBatch`` is AT-LEAST-ONCE, so
+    both sinks write their batch as a ``batch_id`` partition with
+    dynamic overwrite (the ``_idempotent_append`` pattern of
+    streaming/near_dup.py): a checkpoint replay REWRITES the same
+    partitions instead of appending duplicate rows — plain
+    ``mode("append")`` here would double the replayed batch in both
+    outputs. The events side keeps the y/m/d columns as sub-partitions
+    under batch_id."""
     from pyspark.sql import functions as F
 
     from eventsgateway_spark.operators.transforms import derive_date_partitions
@@ -66,14 +71,21 @@ def run_etl_with_metrics(
     def fan_out(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
-            derive_date_partitions(batch_df).write.mode("append").partitionBy(
-                *PARTITION_COLS
-            ).parquet(table_path)
+            (
+                derive_date_partitions(batch_df)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id", *PARTITION_COLS)
+                .parquet(table_path)
+            )
             (
                 batch_df.groupBy("name")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
                 .parquet(metrics_path)
             )
         finally:

@@ -64,8 +64,18 @@ def merge_batch(
     touched = [tuple(r) for r in batch.select(*PARTITION_COLS).distinct().collect()]
     if not touched:
         return
+    # The missing-table catch wraps ONLY the read: a filter/unionByName
+    # AnalysisException (e.g. producer schema drift adding a column the
+    # table lacks) must PROPAGATE — swallowing it as "first batch" would
+    # dynamic-overwrite the touched partitions with just this batch,
+    # silently deleting every pre-existing event in them.
     try:
         existing = read_events_table(spark, path)
+    except AnalysisException:  # first batch: table does not exist yet
+        existing = None
+    if existing is None:
+        merged = batch
+    else:
         in_touched = reduce(
             lambda a, b: a | b,
             [
@@ -74,8 +84,6 @@ def merge_batch(
             ],
         )
         merged = batch.unionByName(existing.filter(in_touched).select(batch.columns))
-    except AnalysisException:  # first batch: table does not exist yet
-        merged = batch
     winners = dedup_exact_batch(merged, list(key_cols), order_col, tiebreak)
     # Materialize before overwriting: the winners' lineage reads the
     # same path being replaced, which Spark (correctly) refuses for a

@@ -103,6 +103,10 @@ def value_histogram(
     bucket = F.lit("inf")
     for b in reversed(buckets):
         bucket = F.when(v <= b, f"le_{b:g}").otherwise(bucket)
+    # a NULL value fails every `v <= b` and would fall through to the
+    # overflow bucket, inflating it by the missing-field rate; a
+    # Prometheus histogram never observes a value it doesn't have
+    df = df.filter(v.isNotNull())
     if watermark and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return (

@@ -111,3 +111,26 @@ def test_streaming_progress_feeds_registry(spark, tmp_path):
             server.shutdown()
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_label_values_are_escaped():
+    """A quote/backslash/newline in a label value (query names are
+    user-controlled) must render escaped per the exposition spec —
+    unescaped it would invalidate the whole scrape."""
+    from eventsgateway_spark.streaming.metrics_http import PrometheusRegistry
+
+    reg = PrometheusRegistry()
+    reg.inc_counter("c_total", labels={"q": 'ingest "v2"\\x\n'})
+    page = reg.render()
+    assert 'q="ingest \\"v2\\"\\\\x\\n"' in page
+
+
+def test_conflicting_histogram_buckets_raise():
+    import pytest
+
+    from eventsgateway_spark.streaming.metrics_http import PrometheusRegistry
+
+    reg = PrometheusRegistry()
+    reg.observe_histogram("h_ms", 5.0, buckets=(10.0, 100.0))
+    with pytest.raises(ValueError, match="conflicting"):
+        reg.observe_histogram("h_ms", 5.0, buckets=(1000.0, 5000.0))

@@ -270,6 +270,16 @@ def test_etl_metrics_fanout(spark, tmp_path):
         r["name"]: r["n"] for r in spark.read.parquet(metrics).collect()
     }
     assert got == {"session_start": 2, "purchase": 1}
+    # both sinks are batch_id-partitioned (the idempotent-replay
+    # layout: a redelivered batch rewrites its partition, never appends)
+    assert os.path.isdir(os.path.join(table, "batch_id=0"))
+    assert os.path.isdir(os.path.join(metrics, "batch_id=0"))
+    # re-running over the same checkpoint adds nothing
+    q2 = run_etl_with_metrics(
+        spark, bus.consume_stream(), table, metrics, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(table).count() == 3
 
 
 def test_stateful_running_totals(spark, tmp_path):
@@ -1024,3 +1034,36 @@ def test_streaming_mixture_monitor_matches_batch_q75(spark, tmp_path):
     assert got == want and set(got) == {"s1", "s2", "s3"}
     # totals table stays |sources|-sized; pointer resolves a real dir
     assert read_current(spark, root, "totals").count() == 3
+
+
+def test_mixture_monitor_replay_guard_and_atomic_version(spark, tmp_path):
+    """Re-delivering an already-applied batch_id (foreachBatch is
+    at-least-once) must be a no-op — counts are additive and would
+    otherwise double. A higher batch_id applies, and totals/weights
+    always come from ONE version directory (single pointer)."""
+    from eventsgateway_spark.streaming.mixture import (
+        current_path,
+        last_batch_id,
+        read_current,
+        update_mixture_batch,
+    )
+
+    schema = "doc_id long, text string, source string"
+    b0 = spark.createDataFrame([(1, "a b c", "s1")], schema)
+    root = str(tmp_path / "mix")
+
+    update_mixture_batch(spark, b0, root, batch_id=0)
+    tok0 = read_current(spark, root, "totals").collect()[0].n_tokens
+    assert tok0 == 3 and last_batch_id(root) == 0
+
+    update_mixture_batch(spark, b0, root, batch_id=0)  # replay: no-op
+    assert read_current(spark, root, "totals").collect()[0].n_tokens == 3
+    assert last_batch_id(root) == 0
+
+    b1 = spark.createDataFrame([(2, "d e", "s1")], schema)
+    update_mixture_batch(spark, b1, root, batch_id=1)
+    assert read_current(spark, root, "totals").collect()[0].n_tokens == 5
+    # both tables resolve inside the same version dir
+    tp, wp = current_path(root, "totals"), current_path(root, "weights")
+    assert os.path.dirname(tp) == os.path.dirname(wp)
+    assert last_batch_id(root) == 1
