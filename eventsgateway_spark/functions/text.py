@@ -23,9 +23,25 @@ TOK_MOD = 131_071
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokens with empties dropped (split artifacts)."""
+    """SINGLE-SPACE tokens with empties dropped — deliberately not a
+    ``\\s+`` split: every DuckDB oracle mirrors this with
+    ``string_split(text, ' ')``, so the delimiter is part of the
+    engine-wide determinism contract (changing it here without
+    changing all 70+ oracles would break every hash check). Corpus
+    text with tabs/newlines must be whitespace-normalized at the
+    ingestion boundary (``normalize_whitespace`` — the JSONL source
+    applies it) before reaching token-based operators."""
     c = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def normalize_whitespace(text: Column | str) -> Column:
+    """Collapse runs of any whitespace to single spaces and trim — the
+    ingestion-boundary normalization that makes real corpus text
+    (newline/tab separated) safe for the single-space ``tokens``
+    contract. Null-propagating, JVM regex (codegen)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
 def token_hash32(tok: Column) -> Column:

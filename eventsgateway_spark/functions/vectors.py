@@ -70,9 +70,24 @@ def _dot_arrow_batch(pa: pd.Series, pb: pd.Series) -> pd.Series:
     # Arrow list columns arrive as a Series of np.ndarray elements;
     # np.stack avoids the per-row Python-list materialization .tolist()
     # would pay (measured ~2× on 64-dim batches)
-    ma = np.stack(pa.values).astype(np.float64, copy=False)
-    mb = np.stack(pb.values).astype(np.float64, copy=False)
-    return pd.Series(np.einsum("ij,ij->i", ma, mb))
+    try:
+        ma = np.stack(pa.values).astype(np.float64, copy=False)
+        mb = np.stack(pb.values).astype(np.float64, copy=False)
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+    except ValueError:
+        # NULL or ragged-length vectors make np.stack throw; the JVM
+        # fold yields NULL for those rows and carries on — the flag
+        # promises identical BEHAVIOR, so the Arrow path must tolerate
+        # them too, not turn them into task failures. Slow per-row
+        # path, taken only when the batch actually contains bad rows.
+        out = []
+        for a, b in zip(pa.values, pb.values):
+            if a is None or b is None or len(a) != len(b):
+                out.append(None)
+            else:
+                out.append(float(np.dot(np.asarray(a, np.float64),
+                                        np.asarray(b, np.float64))))
+        return pd.Series(out, dtype="float64")
 
 
 _dot_arrow_udf = None  # built lazily: pandas_udf needs an active session

@@ -67,8 +67,24 @@ def train_centroids(
     cents = ivf_centroids(emb, k).localCheckpoint()
     history: list[float] = []
     for _ in range(iters):
-        assigned = ivf_assign_with(v, cents)
-        new_cents_tbl = _element_wise_means(assigned).localCheckpoint()
+        # materialize the O(N·k·dim) assignment ONCE — both the means
+        # aggregation and the inertia job consume it; unpinned, each
+        # would re-run the full assignment scan (doubling the step the
+        # module documents as the bottleneck)
+        assigned = ivf_assign_with(v, cents).localCheckpoint()
+        # A cell that loses every member (duplicate seeds: ties all
+        # break to the lower cid) vanishes from the means output; left-
+        # joining against the previous round's cells carries its old
+        # centroid forward, so the trained index always has exactly k
+        # cells instead of silently shrinking.
+        prev_tbl = cents.select(F.explode("cents").alias("c")).select(
+            F.col("c.cid").alias("cell_id"), F.col("c.ce").alias("prev_ce")
+        )
+        new_cents_tbl = (
+            prev_tbl.join(_element_wise_means(assigned), "cell_id", "left")
+            .select("cell_id", F.coalesce("ce", "prev_ce").alias("ce"))
+            .localCheckpoint()
+        )
         # J(assign_t, cents_{t+1}) — sandwiched by both Lloyd
         # improvement steps, so the recorded series is monotone
         # non-increasing (up to float noise)

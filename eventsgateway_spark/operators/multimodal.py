@@ -122,6 +122,8 @@ def parse_ppm(b: bytes):
         fields.append(int(b[start:pos]))
     pos += 1  # the single whitespace byte after maxval
     w, h, maxval = fields
+    if w <= 0 or h <= 0:
+        raise ValueError(f"zero-area PPM ({w}x{h})")
     if maxval != 255:
         raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
     raw = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
@@ -174,13 +176,18 @@ def parse_png(b: bytes):
         (ln,) = struct.unpack(">I", b[pos : pos + 4])
         typ = b[pos + 4 : pos + 8]
         data = b[pos + 8 : pos + 8 + ln]
-        if len(data) < ln:
+        # the trailer check covers the CRC too: a payload cut off after
+        # a chunk's data would otherwise hand struct.unpack an empty
+        # CRC slice and leak struct.error past the ValueError contract
+        if len(data) < ln or pos + 12 + ln > len(b):
             raise ValueError("truncated PNG chunk")
         (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
         if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {typ!r} chunk")
         pos += 12 + ln
         if typ == b"IHDR":
+            if len(data) != 13:  # spec-fixed size; struct.error is not
+                raise ValueError("malformed IHDR chunk")  # our contract
             ihdr = struct.unpack(">IIBBBBB", data)
         elif typ == b"IDAT":
             idat.append(data)
@@ -190,6 +197,10 @@ def parse_png(b: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, comp, filt, interlace = ihdr
+    if w <= 0 or h <= 0:
+        # zero-area "images" would yield NaN feature stats and an
+        # IndexError in resize instead of the quarantine path
+        raise ValueError(f"zero-area PNG ({w}x{h})")
     if depth != 8 or ctype not in (2, 6):
         raise ValueError(
             f"only 8-bit RGB/RGBA supported (depth={depth}, color_type={ctype})"

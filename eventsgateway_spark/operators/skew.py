@@ -114,9 +114,14 @@ def skew_safe_running_sum(
     so no task holds it whole. Phase 2 aggregates one row per
     (key, bucket) (tiny), computes each bucket's starting offsets with
     a window over buckets, and broadcast-joins them back. Output
-    equals the naive single-window plan row-for-row; only the
-    physical shape differs (two bounded windows + one broadcast join
-    instead of one unbounded sort).
+    equals the naive single-window plan row-for-row PROVIDED
+    ``order_by`` is a total order within each key (append a unique
+    tie-break column like doc_id, as every caller here does): on ties
+    the naive RANGE-frame window gives peers the peer-inclusive sum,
+    while this ROWS-frame prefix assigns them distinct
+    arbitrarily-ordered sums — same requirement ``topk_per_key``
+    documents. Only the physical shape differs otherwise (two bounded
+    windows + one broadcast join instead of one unbounded sort).
     """
     src = df.withColumn("_bkt", bucket)
     w_local = Window.partitionBy(*keys, "_bkt").orderBy(*order_by)

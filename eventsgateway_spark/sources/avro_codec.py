@@ -157,18 +157,26 @@ def to_avro_col(spark: SparkSession) -> Column:
     """Column expression encoding the five storage fields into Avro
     bytes. Input columns: id, name, props, serverTimestamp,
     clientTimestamp."""
+    # NULL props must encode as an empty map on BOTH paths: the Avro
+    # schema types props as a non-nullable map, so the native to_avro
+    # would throw at runtime on a null row — a DataFrame that works in
+    # the fallback container (encode_event coerces None to {}) must
+    # not fail on a spark-avro cluster.
+    props = F.coalesce(
+        F.col("props"), F.expr("cast(map() as map<string,string>)")
+    ).alias("props")
     if native_avro_available(spark):
         from pyspark.sql.avro.functions import to_avro
 
         return to_avro(
-            F.struct("id", "name", "props", "serverTimestamp", "clientTimestamp"),
+            F.struct("id", "name", props, "serverTimestamp", "clientTimestamp"),
             AVRO_EVENT_SCHEMA_JSON,
         )
     from eventsgateway_spark.shipping import ship_package
 
     ship_package(spark)  # fallback codec pickles by module reference
     enc = F.pandas_udf(_pandas_encode, "binary")
-    return enc("id", "name", "props", "serverTimestamp", "clientTimestamp")
+    return enc("id", "name", props, "serverTimestamp", "clientTimestamp")
 
 
 def from_avro_col(spark: SparkSession, value_col: str = "value") -> Column:

@@ -66,9 +66,16 @@ def _parse_lines(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         | F.col("d.doc_id").isNull()
         | F.col("d.text").isNull()
     )
+    from eventsgateway_spark.functions.text import normalize_whitespace
+
     docs = (
         parsed.filter(~bad)
         .select("d.*")
+        # real corpus text separates words with newlines/tabs; the
+        # engine's token operators split on single spaces (the oracle
+        # determinism contract, functions/text.tokens) — normalize at
+        # THIS boundary so every downstream operator sees its contract
+        .withColumn("text", normalize_whitespace(F.col("text")))
         # n_chars is derivable; fill it when the producer omitted it so
         # downstream length operators (q27/q47/q67) see the contract
         .withColumn(

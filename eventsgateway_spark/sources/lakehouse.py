@@ -128,7 +128,26 @@ def compact_partition(
     import math
     import os
 
-    ext = f".{fmt}"
+    # Delta stores .parquet data files (plus _delta_log); sizing by a
+    # literal '.delta' extension would find nothing and silently
+    # coalesce everything into one file / return 0
+    ext = ".parquet" if fmt in ("parquet", "delta") else f".{fmt}"
+    # A table written by the STREAMING sink is read through its
+    # _spark_metadata transaction log; rewriting files underneath the
+    # log would leave batch readers referencing deleted files. The
+    # streaming-sink small-file problem is real, but compacting such a
+    # table requires retiring the log first (stop the stream; a
+    # restart then needs a fresh checkpoint + sink path) — refuse
+    # rather than corrupt.
+    if os.path.isdir(os.path.join(path, "_spark_metadata")):
+        raise ValueError(
+            f"{path} was written by the streaming file sink "
+            "(_spark_metadata present): compacting underneath the sink "
+            "log breaks batch reads of this table. Stop the stream and "
+            "delete _spark_metadata (converting it to a plain table) "
+            "before compacting; restarting the stream afterwards "
+            "requires a fresh checkpoint and sink path."
+        )
     part_dir = os.path.join(path, f"year={year}", f"month={month}", f"day={day}")
     if not os.path.isdir(part_dir):
         raise ValueError(f"partition not found: {part_dir}")

@@ -405,6 +405,25 @@ def test_kmeans_trainer_converges_and_improves_assignment(spark):
     assert {r["cell_id"] for r in cells} <= set(range(IVF_K))
 
 
+def test_kmeans_duplicate_seeds_keep_k_cells(spark):
+    """Duplicate seed vectors (common in dedup corpora): the losing
+    cell gets zero members in round 1 (ties break to the lower cid).
+    Its centroid must be carried forward, not silently dropped — the
+    trained index always has exactly k cells."""
+    from eventsgateway_spark.operators.kmeans import train_centroids
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.0]),  # identical seeds 0 and 1
+        (2, [0.0, 1.0]), (3, [0.0, 0.9]), (4, [0.9, 0.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, _ = train_centroids(emb, k=3, iters=2)
+    cell_ids = sorted(
+        c["cid"] for c in cents.collect()[0]["cents"]
+    )
+    assert cell_ids == [0, 1, 2]  # cell 1 survived despite zero members
+
+
 def test_simhash_hamming_banding_semantics(spark):
     """q63's Manku banding: a 1-token edit of a long doc must surface
     as a bounded-Hamming pair (close token distributions ⇒ few sign

@@ -65,6 +65,24 @@ def test_jsonl_feeds_corpus_queries(spark, tmp_path):
     assert {r.doc_id: r.n_tok for r in out} == {1: 2, 2: 1}
 
 
+def test_whitespace_normalized_at_boundary(spark, tmp_path):
+    """Newline/tab-separated corpus text (normal in scraped dumps) is
+    collapsed to the single-space form the token operators' oracle
+    contract requires — at ingestion, not in every operator."""
+    from eventsgateway_spark.functions.text import tokens
+
+    line = json.dumps(
+        {"doc_id": 9, "text": "alpha\nbeta\tgamma  delta", "lang": "en",
+         "source": "s"}
+    )
+    p = tmp_path / "ws.jsonl"
+    p.write_text(line + "\n")
+    docs, q = read_documents_jsonl(spark, str(p))
+    assert q.count() == 0
+    row = docs.select("text", F.size(tokens("text")).alias("n")).collect()[0]
+    assert row.text == "alpha beta gamma delta" and row.n == 4
+
+
 def test_roundtrip_partitioned_writer(spark, tmp_path):
     os.makedirs(tmp_path / "in", exist_ok=True)
     src = _write_fixture(str(tmp_path / "in"))

@@ -1067,3 +1067,16 @@ def test_mixture_monitor_replay_guard_and_atomic_version(spark, tmp_path):
     tp, wp = current_path(root, "totals"), current_path(root, "weights")
     assert os.path.dirname(tp) == os.path.dirname(wp)
     assert last_batch_id(root) == 1
+
+
+def test_compact_refuses_streaming_sink_tables(spark, tmp_path):
+    """A table with _spark_metadata (streaming file sink) is read
+    through its transaction log; compacting underneath it would leave
+    readers referencing deleted files. compact_partition must refuse."""
+    from eventsgateway_spark.sources.lakehouse import compact_partition
+
+    tbl = str(tmp_path / "stream_tbl")
+    os.makedirs(os.path.join(tbl, "_spark_metadata"))
+    os.makedirs(os.path.join(tbl, "year=2024", "month=01", "day=01"))
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        compact_partition(spark, tbl, "2024", "01", "01")
