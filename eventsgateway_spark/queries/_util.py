@@ -207,3 +207,11 @@ def money(col_name: str) -> F.Column:
 
 def as_double(col) -> F.Column:
     return col.cast("double")
+
+
+# THE DuckDB mirror of functions.text.tokens() — single-space split,
+# empties dropped. One copy: the Spark tokenizer and its oracle half
+# are a matched pair (the engine-wide determinism contract), and the
+# five query modules that need the SQL form alias THIS constant, so a
+# tokenizer change cannot silently desynchronize one module's oracles.
+DUCK_TOKS = "[x FOR x IN string_split(text, ' ') IF x <> '']"

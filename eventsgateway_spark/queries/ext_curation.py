@@ -42,7 +42,7 @@ from eventsgateway_spark.functions.text import EN_STOPWORDS, tokens
 from eventsgateway_spark.queries import query
 from eventsgateway_spark.queries._util import spread, table
 
-_DUCK_TOKS = "[x FOR x IN string_split(text, ' ') IF x <> '']"
+from eventsgateway_spark.queries._util import DUCK_TOKS as _DUCK_TOKS
 
 # ---------------------------------------------------------------------------
 # q66 — PII detection + redaction
@@ -204,7 +204,9 @@ _EN_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
         SELECT lang,
                len(toks) AS n_tok,
                len(list_distinct(toks)) AS n_uniq,
-               list_sum([length(x) FOR x IN toks]) AS sum_len,
+               -- COALESCE: list_sum([]) is NULL in DuckDB but the Spark
+               -- fold starts at 0 — a zero-token doc must agree (0)
+               COALESCE(list_sum([length(x) FOR x IN toks]), 0) AS sum_len,
                len([x FOR x IN toks IF x IN ({_EN_SQL})]) AS stop_hits
         FROM t
     ),
@@ -298,11 +300,13 @@ def shard_count(df: DataFrame) -> int:
 
 
 def shard_of(key: F.Column, n_shards: int = _N_SHARDS) -> F.Column:
-    """Stable shard id in [0, n_shards) from a key column (md5 fold,
-    same construction as ext_sampling.hash_pct)."""
-    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    ) % n_shards
+    """Stable shard id in [0, n_shards) from a key column — THE md5
+    fold (functions.text.token_hash32), not a re-implementation:
+    hash-split, shard assignment, and token hashing share one
+    construction, and their oracles assume it stays in sync."""
+    from eventsgateway_spark.functions.text import token_hash32
+
+    return token_hash32(key.cast("string")) % n_shards
 
 
 @query(

@@ -42,7 +42,7 @@ from eventsgateway_spark.operators.components import connected_components
 from eventsgateway_spark.queries import query
 from eventsgateway_spark.queries._util import arrow_scorer, pin, spread, table
 
-_DUCK_TOKS = "[x FOR x IN string_split(text, ' ') IF x <> '']"
+from eventsgateway_spark.queries._util import DUCK_TOKS as _DUCK_TOKS
 
 # MinHash family: h_i(s) = (a_i * hash32(s) + b_i) mod P. Odd multipliers,
 # P = 2^31-1; products stay < 2^38 so DuckDB's checked BIGINT math is safe.

@@ -40,7 +40,7 @@ from eventsgateway_spark.queries.ext_text import DECON_N, EVAL_SOURCE, chunk_doc
 
 MIN_TOKENS = 10  # quality floor
 
-_TOKS = "[x FOR x IN string_split(text, ' ') IF x <> '']"
+from eventsgateway_spark.queries._util import DUCK_TOKS as _TOKS
 _TRIGRAM = "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
 _FIVEGRAM = " || ' ' || ".join(f"toks[i+{j}]" for j in range(DECON_N))
 

@@ -35,10 +35,12 @@ _DUCK_HASHPCT = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 
 
 
 def hash_pct(col: F.Column) -> F.Column:
-    """Stable pseudo-uniform percent in [0,100) from a key column."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    ) % 100
+    """Stable pseudo-uniform percent in [0,100) from a key column —
+    the shared md5 fold (functions.text.token_hash32), kept in one
+    place so split/shard/token hashing cannot drift apart."""
+    from eventsgateway_spark.functions.text import token_hash32
+
+    return token_hash32(col.cast("string")) % 100
 
 
 def split_col(key: F.Column) -> F.Column:
@@ -91,11 +93,9 @@ def q47_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grand total via an unpartitioned window over the 3-row per-split
     # aggregate — no second corpus scan and no driver round-trip (the
     # single-partition window is over 3 rows, not the corpus)
-    from pyspark.sql.window import Window
-
     return (
         per_split.withColumn(
-            "_total", F.sum("n_docs").over(Window.partitionBy())
+            "_total", F.sum("n_docs").over(W.partitionBy())
         )
         .select(
             "split",
@@ -154,7 +154,8 @@ def q48_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SOURCE_TOKEN_BUDGET = 3_000  # tokens per source (fixture-sized)
 
-_DUCK_NTOK = "len([x FOR x IN string_split(text, ' ') IF x <> ''])"
+from eventsgateway_spark.queries._util import DUCK_TOKS as _DT
+_DUCK_NTOK = f"len({_DT})"
 
 # q75: temperature exponent for mixture re-weighting, expressed as a
 # rational (1/2 = sqrt) so both engines compute it with one IEEE-exact

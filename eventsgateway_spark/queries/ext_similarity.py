@@ -99,13 +99,23 @@ def q33_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking uses the micro-unit integer score (round(cos*1e6) — the
     canonicalization-proof output type, cf. q35) with neighbor-id
     tie-break, so the order is stable across engines."""
+    from eventsgateway_spark.functions.vectors import dot, norm
+
+    # norms PRE-computed once per vector on each side — cosine() inside
+    # the join would re-fold the candidate's norm once per query and
+    # the query's norm once per candidate (higher-order folds are
+    # interpreted, not codegen'd), tripling the per-pair CPU of the
+    # brute-force scan. Same grouping as the oracle: dot / (qn * cn).
     v = spread(table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("e")
-    )
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("e"),
+    ).withColumn("cn", norm(F.col("e")))
     q = v.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("q_label"),
         F.col("e").alias("qe"),
+        F.col("cn").alias("qn"),
     )
     scored = (
         v.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
@@ -114,9 +124,9 @@ def q33_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_label",
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("n_label"),
-            F.round(cosine(F.col("qe"), F.col("e")) * 1e6).cast("bigint").alias(
-                "cos_sim_u"
-            ),
+            F.round(
+                dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("cn")) * 1e6
+            ).cast("bigint").alias("cos_sim_u"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim_u"), F.asc("neighbor_id"))

@@ -34,7 +34,7 @@ from eventsgateway_spark.queries import query
 from eventsgateway_spark.queries._util import pin, spread, table
 
 # DuckDB-side token array (empties dropped) — mirror of text.tokens().
-_DUCK_TOKS = "[x FOR x IN string_split(text, ' ') IF x <> '']"
+from eventsgateway_spark.queries._util import DUCK_TOKS as _DUCK_TOKS
 
 
 # ---------------------------------------------------------------------------
