@@ -193,8 +193,10 @@ def gateway_from_config(spark, cfg: EngineConfig):
 
 
 def serve_ingest_from_config(spark, cfg: EngineConfig, sink=None, port: int | None = None):
-    """The served S1 bound per config (server.port; pass ``port=0`` for
-    an ephemeral test port)."""
+    """The served S1 bound per config (server.host/server.port; pass
+    ``port=0`` for an ephemeral test port). Default host 0.0.0.0 — a
+    deployed ingest endpoint must be reachable off-box; tests that
+    want loopback call serve_ingest directly."""
     from eventsgateway_spark.ingest_http import serve_ingest
 
     return serve_ingest(
@@ -202,6 +204,7 @@ def serve_ingest_from_config(spark, cfg: EngineConfig, sink=None, port: int | No
         sink=sink,
         port=int(cfg.get("server.port")) if port is None else port,
         max_message_bytes=int(cfg.get("kafka.producer.maxMessageBytes")),
+        host=str(cfg.get("server.host") or "0.0.0.0"),
     )
 
 

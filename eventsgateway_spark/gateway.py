@@ -106,8 +106,12 @@ class Gateway:
                 "backfill should go through a file/Kafka source so executors "
                 "read it in parallel"
             )
-        rows, self._buffer = self._buffer, []
-        return self.spark.createDataFrame(rows, WIRE_EVENT_SCHEMA)
+        # build the frame BEFORE clearing: a schema-verification error
+        # in createDataFrame must leave the buffer intact (clearing
+        # first would destroy every buffered event, valid ones included)
+        df = self.spark.createDataFrame(self._buffer, WIRE_EVENT_SCHEMA)
+        self._buffer = []
+        return df
 
     def ingest(self, wire_df: DataFrame | None = None) -> IngestResult:
         return ingest(self.spark, wire_df if wire_df is not None else self.flush(),
@@ -123,12 +127,15 @@ class Gateway:
         abandoned generator leaves the remainder buffered."""
         while self._buffer:
             rows = self._buffer[: self.MAX_FLUSH_ROWS]
-            self._buffer = self._buffer[self.MAX_FLUSH_ROWS:]
-            yield ingest(
+            # same clear-after-success ordering as flush(): only drop
+            # the wave from the buffer once its frame verified
+            res = ingest(
                 self.spark,
                 self.spark.createDataFrame(rows, WIRE_EVENT_SCHEMA),
                 max_message_bytes=self.max_message_bytes,
             )
+            self._buffer = self._buffer[len(rows):]
+            yield res
 
 
 def ingest(

@@ -48,18 +48,23 @@ from pyspark.sql import types as T
 
 from eventsgateway_spark.gateway import IngestResult, ingest
 from eventsgateway_spark.operators import transforms
+from eventsgateway_spark.schemas import WIRE_EVENT_SCHEMA
 
-#: Wire envelope + the request-index passthrough column.
+#: Wire envelope + the request-index passthrough column — DERIVED from
+#: the canonical wire schema (fields forced nullable so validation,
+#: not createDataFrame, rejects bad rows); a hand copy would silently
+#: drift when schemas.py changes.
 _HTTP_WIRE_SCHEMA = T.StructType(
-    [
-        T.StructField("_idx", T.LongType(), False),
-        T.StructField("id", T.StringType(), True),
-        T.StructField("name", T.StringType(), True),
-        T.StructField("topic", T.StringType(), True),
-        T.StructField("props", T.MapType(T.StringType(), T.StringType()), True),
-        T.StructField("timestamp", T.LongType(), True),
-    ]
+    [T.StructField("_idx", T.LongType(), False)]
+    + [T.StructField(f.name, f.dataType, True) for f in WIRE_EVENT_SCHEMA.fields]
 )
+
+#: Per-request ceiling: one HTTP request = one micro-batch of
+#: driver-side rows (the reference's per-RPC granularity). Bulk
+#: backfill must use the file/Kafka source path — the same boundary
+#: Gateway.MAX_FLUSH_ROWS enforces on the buffer facade, enforced
+#: HERE because this endpoint calls ingest() directly.
+MAX_REQUEST_EVENTS = 10_000
 
 
 def _wire_rows(events: list[dict]) -> tuple[list[tuple], dict[int, str]]:
@@ -78,9 +83,12 @@ def _wire_rows(events: list[dict]) -> tuple[list[tuple], dict[int, str]]:
         if not isinstance(props, dict):
             framing[i] = "malformed_props"
             continue
+        ts_raw = ev.get("timestamp")
         try:
-            ts = int(ev["timestamp"])
-        except (KeyError, TypeError, ValueError):
+            # booleans are ints in Python — JSON true must not become
+            # timestamp 1; floats (ms since epoch) truncate
+            ts = None if isinstance(ts_raw, bool) else int(ts_raw)
+        except (TypeError, ValueError):
             ts = None  # validate() rejects it as missing_timestamp
         rows.append(
             (
@@ -88,7 +96,13 @@ def _wire_rows(events: list[dict]) -> tuple[list[tuple], dict[int, str]]:
                 ev.get("id"),
                 ev.get("name"),
                 ev.get("topic"),
-                {str(k): str(v) for k, v in props.items()},
+                # non-string prop values keep their JSON form ("true",
+                # "null", '{"b": 1}') — Python str() would store reprs
+                # ('True', "{'b': 1}") no JSON consumer can round-trip
+                {
+                    str(k): (v if isinstance(v, str) else json.dumps(v))
+                    for k, v in props.items()
+                },
                 ts,
             )
         )
@@ -130,12 +144,16 @@ def serve_ingest(
     sink: Callable[[DataFrame], None] | None = None,
     port: int = 0,
     max_message_bytes: int = transforms.DEFAULT_MAX_MESSAGE_BYTES,
+    host: str = "127.0.0.1",
 ) -> tuple[ThreadingHTTPServer, int]:
     """Serve the ingest API on a daemon thread; returns (server,
     bound_port). ``port=0`` binds an ephemeral port; call
     ``server.shutdown()`` to stop. ``sink`` receives each request's
     accepted-payload DataFrame (e.g. ``FileBus(...).produce`` or a
-    Kafka writer); ``None`` validates/encodes without delivering."""
+    Kafka writer); ``None`` validates/encodes without delivering.
+    ``host`` defaults to loopback (safe for tests); a deployed
+    endpoint binds "0.0.0.0" (config key ``server.host``) — the
+    served-S1 purpose needs a reachable socket, not just localhost."""
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, obj: dict | str) -> None:
@@ -158,9 +176,18 @@ def serve_ingest(
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):  # noqa: N802
+            # a chunked or length-less POST would read as an EMPTY body
+            # and be acked 200 with nothing ingested (and desync the
+            # next keep-alive request): require a Content-Length
+            if "chunked" in self.headers.get("Transfer-Encoding", "").lower():
+                self._reply(411, {"error": "chunked encoding not supported"})
+                return
+            raw_len = self.headers.get("Content-Length")
+            if raw_len is None:
+                self._reply(411, {"error": "Content-Length required"})
+                return
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                payload = json.loads(self.rfile.read(length) or b"{}")
+                payload = json.loads(self.rfile.read(int(raw_len)) or b"{}")
             except (ValueError, json.JSONDecodeError):
                 self._reply(400, {"error": "invalid json"})
                 return
@@ -173,6 +200,16 @@ def serve_ingest(
                     events = payload.get("events", [])
                     if not isinstance(events, list):
                         self._reply(400, {"error": "events must be a list"})
+                        return
+                    if len(events) > MAX_REQUEST_EVENTS:
+                        # same backfill boundary Gateway.MAX_FLUSH_ROWS
+                        # guards: driver-shipped rows are per-RPC
+                        # granularity, not a bulk-load path
+                        self._reply(413, {
+                            "error": f"more than {MAX_REQUEST_EVENTS} events "
+                            "in one request; use the file/Kafka source "
+                            "path for backfill"
+                        })
                         return
                     fail, _ = ingest_events(
                         spark, events, sink, max_message_bytes
@@ -196,7 +233,7 @@ def serve_ingest(
         def log_message(self, *args):  # silence per-request stderr noise
             pass
 
-    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server, server.server_address[1]

@@ -31,9 +31,21 @@ class ValidationSplit(NamedTuple):
     quarantine: DataFrame
 
 
+def _null_prop_value() -> F.Column:
+    """True when props carries a NULL value. The Avro map is
+    string→string (schemas.py mirrors the reference proto): a null
+    value crashes BOTH encoders at execution time, so it must be a
+    quarantine reason, not a batch-killing executor error."""
+    return F.col("props").isNotNull() & F.exists(
+        F.map_values("props"), lambda v: v.isNull()
+    )
+
+
 def validity_condition() -> F.Column:
     """P1 — the reference rejects events missing id/topic/name or with
-    a zero timestamp (server/sender/kafka.go:89-94)."""
+    a zero timestamp (server/sender/kafka.go:89-94); null prop VALUES
+    are additionally rejected because the wire map type cannot encode
+    them (see _null_prop_value)."""
     return (
         F.col("id").isNotNull()
         & (F.col("id") != "")
@@ -43,6 +55,7 @@ def validity_condition() -> F.Column:
         & (F.col("name") != "")
         & F.col("timestamp").isNotNull()
         & (F.col("timestamp") != 0)
+        & ~_null_prop_value()
     )
 
 
@@ -56,7 +69,11 @@ def validate(df: DataFrame) -> ValidationSplit:
         F.when(F.col("id").isNull() | (F.col("id") == ""), "missing_id")
         .when(F.col("topic").isNull() | (F.col("topic") == ""), "missing_topic")
         .when(F.col("name").isNull() | (F.col("name") == ""), "missing_name")
-        .otherwise("missing_timestamp")
+        .when(
+            F.col("timestamp").isNull() | (F.col("timestamp") == 0),
+            "missing_timestamp",
+        )
+        .otherwise("null_prop_value")
     )
     return ValidationSplit(
         valid=df.filter(cond),

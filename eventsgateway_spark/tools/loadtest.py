@@ -51,8 +51,10 @@ def run_loadtest(
     (also printed in the reference's format)."""
     rng = random.Random(seed)
     n_pairs = PROPS_SIZES[props_size]
-    # events per producer = duration / mean sleep (U(0, ceiling)/2)
-    per_thread = max(1, int(duration_s * 1000 / (sleep_ceiling_ms / 2)))
+    # events per producer = duration / mean sleep (U(0, ceiling)/2);
+    # randSleepCeilingMs: 0 is a legal config meaning "no pacing" —
+    # treat it as a 1 ms floor instead of dividing by zero
+    per_thread = max(1, int(duration_s * 1000 / (max(sleep_ceiling_ms, 1) / 2)))
     gw = Gateway(spark, default_topic="loadtest")
     n_sent = 0
     for _ in range(threads):

@@ -149,7 +149,10 @@ def run_probe(mults: tuple[int, ...] = (1, 10, 100), runs: int = 2,
     for name, times in results.items():
         row: dict = {f"x{m}": t for m, t in times.items()}
         ms = sorted(times)
-        if len(ms) >= 2:
+        # a sub-centisecond timing rounds to 0.0 — log of that would
+        # throw at report time and discard the whole (expensive) run;
+        # the exponent is meaningless at that resolution, so omit it
+        if len(ms) >= 2 and times[ms[-2]] > 0 and times[ms[-1]] > 0:
             m0, m1 = ms[-2], ms[-1]
             row["exponent"] = round(
                 math.log(times[m1] / times[m0]) / math.log(m1 / m0), 2

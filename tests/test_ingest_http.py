@@ -238,3 +238,59 @@ def test_framing_failures_over_http(spark):
         assert code == 422 and body["error"] == "malformed_event"
     finally:
         server.shutdown()
+
+
+def test_json_faithful_prop_coercion_and_bool_timestamp(spark):
+    """Non-string JSON prop values keep their JSON form (not Python
+    reprs); a boolean timestamp is a missing timestamp, not ts=1."""
+    from eventsgateway_spark.ingest_http import ingest_events
+
+    captured = []
+    ev = {**GOOD, "props": {"retry": True, "ref": None, "meta": {"b": 1}}}
+    fail, _ = ingest_events(spark, [ev], sink=captured.append)
+    assert fail == []
+    import json as _json
+
+    from eventsgateway_spark.sources.avro_codec import decode_event
+
+    rec = decode_event(bytes(captured[0].collect()[0]["value"]))
+    assert rec["props"] == {"retry": "true", "ref": "null",
+                            "meta": _json.dumps({"b": 1})}
+
+    fail, reasons = ingest_events(spark, [{**GOOD, "timestamp": True}])
+    assert fail == [0] and reasons[0] == "missing_timestamp"
+
+
+def test_oversized_request_rejected_413(spark):
+    from eventsgateway_spark.ingest_http import MAX_REQUEST_EVENTS
+
+    server, port = serve_ingest(spark, sink=None)
+    try:
+        code, body = _post(
+            port, "/send-events", {"events": [GOOD] * (MAX_REQUEST_EVENTS + 1)}
+        )
+        assert code == 413 and "backfill" in body["error"]
+    finally:
+        server.shutdown()
+
+
+def test_null_prop_value_quarantined_not_crash(spark):
+    """A null prop VALUE cannot encode into the string->string Avro
+    map; it must come back as a failure index, not kill the batch."""
+    from eventsgateway_spark.ingest_http import ingest_events
+
+    events = [GOOD, {**GOOD, "id": "npv", "props": {"k": None}}]
+    # JSON null prop values keep their JSON form "null" via coercion,
+    # so drive the validator directly through the Gateway path too
+    fail, reasons = ingest_events(spark, events)
+    assert fail == []  # HTTP path coerces null -> "null" (JSON-faithful)
+
+    from eventsgateway_spark.gateway import Gateway
+
+    gw = Gateway(spark, default_topic="t")
+    gw.send("ok", {"a": "1"})
+    gw.send("bad", {"a": None})
+    res = gw.ingest()
+    q = {r["name"]: r["reject_reason"] for r in res.quarantine.collect()}
+    assert q == {"bad": "null_prop_value"}
+    assert res.payloads.count() == 1
