@@ -114,6 +114,9 @@ ROTATION: list[tuple[str, ...]] = [
     # statics demoted because family Q6 keeps q06 declared every phase.
     ("q75_domain_mixture", "q07_rollup_revenue"),
     ("q76_training_order", "q17_cube_event_stats"),
+    # q77 (leakage-safe split) debuts even-phase; slot-mate q29 is a
+    # demoted Q19 static (q30/q31/q32 keep the family declared).
+    ("q77_leakage_safe_split", "q29_exact_dedup_groups"),
 ]
 
 # Approximate by nature (approx_count_distinct / HLL) — can never

@@ -249,6 +249,8 @@ _SH_CTES = f"""
 
 @query(
     "q29_exact_dedup_groups",
+    declared=False,  # rotation-pool member since r6 (pairs with q77;
+    # family Q19 keeps q30/q31/q32 in the static tier every phase)
     oracle=f"""
     WITH t AS (SELECT doc_id,
                       array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' ') AS k

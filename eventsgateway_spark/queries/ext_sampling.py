@@ -423,3 +423,79 @@ def q76_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vt", "source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q77 — leakage-safe train/val/test split (cluster-level assignment)
+# ---------------------------------------------------------------------------
+# The q47 hash split has a blind spot every eval pipeline eventually
+# hits: two NEAR-DUPLICATE documents can land in different splits, so
+# the model is "evaluated" on a paraphrase of its own training data —
+# silent test-set contamination. The fix is structural: assign splits
+# to duplicate CLUSTERS (q32's connected components over the
+# Jaccard>=0.5 pair graph), not documents; every member of a cluster
+# inherits the split of its canonical id, so no near-dup pair can
+# straddle train/test by construction. Singleton documents cluster as
+# themselves and degrade to exactly the q47 assignment.
+#
+# Scale shape: the dup graph + O(log n) star contraction is q32's
+# machinery (SCALE.md: linear growth, bounded rounds); the split
+# derivation is one map over the |docs| label table with the shared
+# md5 fold. The label join is doc_id-keyed — the same shuffle the
+# component labeling already produced.
+
+
+def _q77_oracle() -> str:
+    # ext_dedup registers before this module (queries/__init__ import
+    # order), so its shingle/jaccard CTE text is importable here
+    from eventsgateway_spark.queries.ext_dedup import _SH_CTES
+
+    pct = "('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+    return f"""
+    WITH RECURSIVE {_SH_CTES},
+    e AS (SELECT d1 AS u, d2 AS v FROM jac WHERE jaccard >= 0.5
+          UNION ALL
+          SELECT d2, d1 FROM jac WHERE jaccard >= 0.5),
+    nodes AS (SELECT DISTINCT u FROM e),
+    reach(u, r) AS (
+        SELECT u, u FROM nodes
+        UNION
+        SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+    ),
+    lbl AS (SELECT u AS doc_id, MIN(r) AS cl FROM reach GROUP BY u),
+    c AS (SELECT d.doc_id, COALESCE(l.cl, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+    SELECT doc_id, cluster_id,
+           CASE WHEN {pct} < {TRAIN_PCT} THEN 'train'
+                WHEN {pct} < {VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM c
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "q77_leakage_safe_split",
+    declared=False,  # rotation-pool member (debuts round 6; see ROTATION)
+    oracle=_q77_oracle(),
+)
+def q77_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, split): near-dup-cluster-level 80/10/10
+    assignment — no near-duplicate pair straddles two splits."""
+    from eventsgateway_spark.operators.components import connected_components
+    from eventsgateway_spark.queries.ext_dedup import doc_shingles, jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    edges = jaccard_pairs(doc_shingles(docs), 0.5).select(
+        F.col("d1").alias("u"), F.col("d2").alias("v")
+    )
+    labels = connected_components(edges).labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cl")
+    )
+    cl = docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("cl"), F.col("doc_id")).alias("cluster_id")
+    )
+    return (
+        cl.select("doc_id", "cluster_id", split_col(F.col("cluster_id")).alias("split"))
+        .orderBy("doc_id")
+    )

@@ -865,3 +865,34 @@ def test_mixture_weights_zero_token_corpus_no_ansi_crash(spark):
     rows = {r.source: r for r in weights_from_totals(totals).collect()}
     assert rows["s1"].share_ppm == rows["s1"].weight_ppm == 0
     assert rows["s1"].oversample_x100 is None
+
+
+def test_leakage_safe_split_invariants(spark):
+    """q77 semantics beyond the oracle hash: (a) every near-dup pair
+    (Jaccard>=0.5) lands in ONE split — the contamination q47-style
+    per-doc splitting allows; (b) singleton docs get exactly the q47
+    assignment for their own id (the split rule degrades gracefully)."""
+    from eventsgateway_spark.queries import QUERIES
+    from eventsgateway_spark.queries.ext_dedup import doc_shingles, jaccard_pairs
+    from eventsgateway_spark.queries._util import table as _table
+
+    rows = QUERIES["q77_leakage_safe_split"](spark, SF_ORACLE).collect()
+    split_of = {r.doc_id: r.split for r in rows}
+    cluster_of = {r.doc_id: r.cluster_id for r in rows}
+
+    docs = _table(spark, SF_ORACLE, "documents")
+    pairs = jaccard_pairs(doc_shingles(docs), 0.5).select("d1", "d2").collect()
+    assert pairs  # the fixture has near-dups; the test must bite
+    for p in pairs:
+        assert split_of[p.d1] == split_of[p.d2], (p.d1, p.d2)
+        assert cluster_of[p.d1] == cluster_of[p.d2]
+
+    from eventsgateway_spark.queries.ext_sampling import TRAIN_PCT, VAL_PCT, hash_pct
+    from pyspark.sql import functions as F
+
+    singles = [d for d in split_of if cluster_of[d] == d]
+    some = spark.createDataFrame([(d,) for d in singles[:50]], "doc_id long")
+    pct = {r.doc_id: r.p for r in some.select("doc_id", hash_pct(F.col("doc_id")).alias("p")).collect()}
+    for d, p in pct.items():
+        want = "train" if p < TRAIN_PCT else ("val" if p < VAL_PCT else "test")
+        assert split_of[d] == want

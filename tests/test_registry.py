@@ -64,6 +64,7 @@ FAMILIES: dict[str, list[str]] = {
         "q74_token_budget_sample",
         "q75_domain_mixture",
         "q76_training_order",
+        "q77_leakage_safe_split",
     ],
     "pipeline": ["q60_corpus_prep"],
     "skew": [
