@@ -39,10 +39,18 @@ def asof_join(
 
     Equivalent to DuckDB/Pandas ``ASOF LEFT JOIN``. Ties (equal
     timestamps) match — the right row sorts before the left via the
-    tag ordering.
+    tag ordering. NULL-timestamp rows match neither direction (a
+    NULL-time state row would otherwise sort NULLS FIRST and leak its
+    values into every early left row — DuckDB/pandas treat it as
+    unmatchable, and so does this operator).
+
+    DETERMINISM PRECONDITION: the right side must be unique per
+    (key, right_time) — with duplicates, which of the tied rows'
+    values is carried is partition-order-dependent (the same
+    precondition pandas merge_asof documents; q37 pre-dedupes).
     """
     rv_struct = F.struct(*[F.col(c) for c in right_values]).alias("_rv")
-    r = right.select(
+    r = right.filter(F.col(right_time).isNotNull()).select(
         *on, F.col(right_time).alias("_t"), F.lit(0).alias("_tag"), rv_struct
     )
     l = left.select(
@@ -59,7 +67,7 @@ def asof_join(
         "_tag",
         "_rv",
     )
-    combined = l.select(*l_cols, "_t", "_tag", "_rv").unionByName(r_aligned)
+    combined = l.unionByName(r_aligned)
     w = (
         Window.partitionBy(*on)
         .orderBy(F.col("_t"), F.col("_tag"))

@@ -110,7 +110,22 @@ def curate(df: DataFrame, text_col: str = "text") -> CurationSplit:
     Redaction happens BEFORE the split (flags are computed from the
     pre-redaction metrics, which don't depend on PII placeholders), so
     the quarantine side-output shipped to a review bucket is scrubbed
-    too — raw PII never leaves the curation stage."""
+    too — raw PII never leaves the curation stage.
+
+    The metric/flag names below are RESERVED on the input frame — a
+    pre-existing column of the same name would make the flag
+    expressions ambiguous (or silently bind the caller's column), so
+    collisions fail loudly here instead."""
+    reserved = {
+        "n_tok", "n_uniq", "sum_len", "stop_hits",
+        "f_len", "f_word_len", "f_uniq", "f_stop", "reject_reason",
+    }
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"curate() reserves column names {sorted(clash)}; rename them "
+            "on the input frame"
+        )
     flagged = (
         df.select(*df.columns, *quality_metrics(F.col(text_col)))
         .select(*df.columns, *quality_flags())

@@ -22,7 +22,9 @@ def ingest_counters() -> list:
     return [
         F.count(F.lit(1)).alias("n_events"),
         F.approx_count_distinct("topic").alias("approx_topics"),
-        F.sum(F.octet_length("value")).alias("payload_bytes"),
+        # SUM over zero rows is NULL; a counter must read 0 on an idle
+        # micro-batch (exporters do arithmetic on it)
+        F.coalesce(F.sum(F.octet_length("value")), F.lit(0)).alias("payload_bytes"),
     ]
 
 

@@ -160,6 +160,10 @@ def pin(df: DataFrame, mode: str = "checkpoint") -> DataFrame:
     if is_fixture_scale(df):
         return df
     mode = os.environ.get("SPARK_GRAFT_PIN_MODE", mode)
+    if mode not in ("off", "persist", "checkpoint"):
+        # a typo'd env override silently benchmarking the WRONG
+        # strategy would corrupt the A/B conclusions above
+        raise ValueError(f"unknown pin mode {mode!r} (off|persist|checkpoint)")
     if mode == "off":
         return df
     if mode == "persist":

@@ -1,8 +1,10 @@
 """SparkSession factory.
 
 Centralizes the confs that matter for both correctness (UTC session
-timezone, ANSI off for permissive casts kept explicit in our code) and
-scale (AQE, shuffle partitions, Arrow).
+timezone; ANSI stays at the Spark 4 default of ON — casts and
+divisions in engine code are written ANSI-safe, e.g. the
+greatest()-guarded integer divisions in ext_sampling) and scale (AQE,
+shuffle partitions, Arrow).
 
 Local-mode notes: tests run on ``local[N]`` (single JVM). On a real
 cluster the same confs apply; the only local-specific knob is

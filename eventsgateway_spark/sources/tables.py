@@ -34,6 +34,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for spark.sql use."""
-    for name, df in load_tables(spark, sf_dir).items():
-        df.createOrReplaceTempView(name)
+    """Register every fixture table PRESENT in ``sf_dir`` as a temp
+    view for spark.sql use. Missing files are skipped rather than
+    failing the whole Engine construction — a TPC-H-only fixture dir
+    (no documents/embeddings) should still serve relational queries;
+    a query touching an unregistered view fails at ITS call site with
+    a clear table-not-found error."""
+    import os
+
+    for name in TESTDATA_TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -896,3 +896,24 @@ def test_leakage_safe_split_invariants(spark):
     for d, p in pct.items():
         want = "train" if p < TRAIN_PCT else ("val" if p < VAL_PCT else "test")
         assert split_of[d] == want
+
+
+def test_asof_null_timestamps_match_nothing(spark):
+    """A NULL-timestamp state row must not leak values into early left
+    rows (it would sort NULLS FIRST and become carried state), and a
+    NULL-timestamp left row gets no match — DuckDB/pandas ASOF
+    semantics."""
+    left = spark.createDataFrame(
+        [("k1", 50, 1), ("k1", None, 2)], "k string, t long, lv long"
+    )
+    right = spark.createDataFrame(
+        [("k1", None, 99), ("k1", 100, 10)], "k string, t long, rv long"
+    )
+    got = {
+        r.lv: r.rv_asof
+        for r in asof_join(
+            left, right, on=["k"], left_time="t", right_time="t",
+            right_values=["rv"],
+        ).collect()
+    }
+    assert got == {1: None, 2: None}
