@@ -407,6 +407,50 @@ def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q32 — duplicate clustering: connected components
 # ---------------------------------------------------------------------------
 
+# (applicationId, realpath(sf_dir)) -> materialized (doc_id, cluster_id)
+# frame. Session-scoped on purpose: a durable saved table would go stale
+# if the fixture were regenerated between runs, while the bench/driver
+# reuse we need (q32 then q77 in ONE session) is exactly session-scoped.
+_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every document that appears in the
+    Jaccard≥0.5 near-dup pair graph; cluster id is the minimum member
+    doc_id.
+
+    THE single copy of the shingle → Jaccard-pair → star-contraction
+    lineage, shared by q32 (cluster report) and q77 (leakage-safe
+    split). Above fixture scale the label table is materialized once
+    (``localCheckpoint``) and cached per (session, fixture): the
+    round-6 driver bench ran the identical full lineage twice — q32 at
+    3.4 s and q77 at 9.9 s — for a table of |clustered docs| rows. At
+    100 TB the same table graduates to a doc_id-bucketed saved table
+    (the save/load_corpus_index pattern, streaming/near_dup.py); the
+    cache here is the in-session form of that materialization. At
+    fixture scale (driver correctness runs) the plan is returned
+    uncached — the recompute is cheaper than any checkpoint job, and
+    each query still hash-checks independently against its oracle."""
+    import os as _os
+
+    from eventsgateway_spark.queries._util import is_fixture_scale
+
+    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
+    cached = _LABELS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = table(spark, sf_dir, "documents")
+    edges = jaccard_pairs(doc_shingles(docs), 0.5).select(
+        F.col("d1").alias("u"), F.col("d2").alias("v")
+    )
+    labels = connected_components(edges).labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    if not is_fixture_scale(docs):
+        labels = labels.localCheckpoint()
+        _LABELS_CACHE[key] = labels
+    return labels
+
 
 @query(
     "q32_dedup_clusters",
@@ -437,17 +481,16 @@ def q32_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     component diameter, so a viral duplicate cluster — a long pairwise
     chain, the failure mode of the previous hash-to-min loop — cannot
     stall convergence at corpus scale. Iteration count on a synthetic
-    giant chain is pinned by tests/test_components.py."""
-    edges = jaccard_pairs(doc_shingles(table(spark, sf_dir, "documents")), 0.5).select(
-        F.col("d1").alias("u"), F.col("d2").alias("v")
-    )
-    labels = connected_components(edges).labels
+    giant chain is pinned by tests/test_components.py. The label table
+    itself comes from :func:`dedup_cluster_labels`, materialized once
+    per session and shared with q77."""
+    labels = dedup_cluster_labels(spark, sf_dir)
     return (
         labels.select(
-            F.col("node").alias("doc_id"),
-            F.col("label").alias("cluster_id"),
+            "doc_id",
+            "cluster_id",
             F.count(F.lit(1))
-            .over(Window.partitionBy("label"))
+            .over(Window.partitionBy("cluster_id"))
             .alias("cluster_size"),
         )
         .orderBy("doc_id")

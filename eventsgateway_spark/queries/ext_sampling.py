@@ -481,16 +481,17 @@ def _q77_oracle() -> str:
 )
 def q77_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id, split): near-dup-cluster-level 80/10/10
-    assignment — no near-duplicate pair straddles two splits."""
-    from eventsgateway_spark.operators.components import connected_components
-    from eventsgateway_spark.queries.ext_dedup import doc_shingles, jaccard_pairs
+    assignment — no near-duplicate pair straddles two splits.
+
+    The cluster-label table is ``dedup_cluster_labels`` — the SAME
+    session-materialized frame q32 reads, so running both (bench,
+    driver) pays the shingle → pair → contraction lineage once; q77
+    itself is one doc_id-keyed left join plus a map over the labels."""
+    from eventsgateway_spark.queries.ext_dedup import dedup_cluster_labels
 
     docs = table(spark, sf_dir, "documents")
-    edges = jaccard_pairs(doc_shingles(docs), 0.5).select(
-        F.col("d1").alias("u"), F.col("d2").alias("v")
-    )
-    labels = connected_components(edges).labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cl")
+    labels = dedup_cluster_labels(spark, sf_dir).select(
+        "doc_id", F.col("cluster_id").alias("cl")
     )
     cl = docs.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("cl"), F.col("doc_id")).alias("cluster_id")
