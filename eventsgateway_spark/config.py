@@ -194,17 +194,30 @@ def gateway_from_config(spark, cfg: EngineConfig):
 
 def serve_ingest_from_config(spark, cfg: EngineConfig, sink=None, port: int | None = None):
     """The served S1 bound per config (server.host/server.port; pass
-    ``port=0`` for an ephemeral test port). Default host 0.0.0.0 — a
-    deployed ingest endpoint must be reachable off-box; tests that
-    want loopback call serve_ingest directly."""
+    ``port=0`` for an ephemeral test port).
+
+    Default host is LOOPBACK (ADVICE r6): the endpoint is
+    unauthenticated, so off-box exposure must be an explicit opt-in —
+    set ``server.host: 0.0.0.0`` in the config to bind all interfaces
+    on a deployed gateway.
+
+    ``server.transport: grpc`` serves the reference's native wire
+    protocol instead of HTTP/JSON (requires the public grpcio package;
+    ingest_grpc.serve_ingest_grpc). Both transports share the entire
+    pipeline below request framing."""
+    port_ = int(cfg.get("server.port")) if port is None else port
+    host = str(cfg.get("server.host") or "127.0.0.1")
+    max_bytes = int(cfg.get("kafka.producer.maxMessageBytes"))
+    if str(cfg.get("server.transport") or "http").lower() == "grpc":
+        from eventsgateway_spark.ingest_grpc import serve_ingest_grpc
+
+        return serve_ingest_grpc(
+            spark, sink=sink, port=port_, max_message_bytes=max_bytes, host=host
+        )
     from eventsgateway_spark.ingest_http import serve_ingest
 
     return serve_ingest(
-        spark,
-        sink=sink,
-        port=int(cfg.get("server.port")) if port is None else port,
-        max_message_bytes=int(cfg.get("kafka.producer.maxMessageBytes")),
-        host=str(cfg.get("server.host") or "0.0.0.0"),
+        spark, sink=sink, port=port_, max_message_bytes=max_bytes, host=host
     )
 
 

@@ -130,3 +130,36 @@ def test_fallback_parser_rejects_list_syntax():
         _parse_yaml_subset(
             "kafka:\n  producer:\n    brokers:\n      - kafka1:9092\n"
         )
+
+
+def test_serve_ingest_default_host_is_loopback(spark, tmp_path):
+    """ADVICE r6: the unauthenticated ingest endpoint must default to
+    loopback; 0.0.0.0 is an explicit server.host opt-in."""
+    from eventsgateway_spark.config import serve_ingest_from_config
+
+    cfg = _cfg(tmp_path)
+    assert cfg.get("server.host") is None  # not set by the fixture
+    server, _port = serve_ingest_from_config(spark, cfg, sink=None, port=0)
+    try:
+        assert server.server_address[0] == "127.0.0.1"
+    finally:
+        server.shutdown()
+
+
+def test_serve_ingest_grpc_transport_selection(spark, tmp_path):
+    """server.transport: grpc routes to the gRPC server (or raises
+    ImportError where grpcio is absent — this container)."""
+    import pytest
+
+    from eventsgateway_spark.config import serve_ingest_from_config
+    from eventsgateway_spark.ingest_grpc import grpc_available
+
+    cfg = _cfg(tmp_path)
+    cfg._data.setdefault("server", {})["transport"] = "grpc"
+    if grpc_available():
+        server, port = serve_ingest_from_config(spark, cfg, sink=None, port=0)
+        assert port > 0
+        server.stop(0)
+    else:
+        with pytest.raises(ImportError):
+            serve_ingest_from_config(spark, cfg, sink=None, port=0)
