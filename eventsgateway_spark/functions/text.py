@@ -35,6 +35,25 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(c, " "), lambda t: t != "")
 
 
+def has_pretokenized(df) -> bool:
+    """True iff ``df`` carries a pre-tokenized ``toks`` column — the
+    contract by which composers (q60's corpus prep) thread ONE
+    tokenization through multiple operator stages. Type-checked, not
+    name-sniffed (ADVICE r6): a caller frame with a coincidental
+    ``toks`` column of the wrong type fails LOUDLY here instead of
+    silently skipping tokenization and changing results."""
+    dtype = dict(df.dtypes).get("toks")
+    if dtype is None:
+        return False
+    if dtype != "array<string>":
+        raise TypeError(
+            f"column 'toks' has type {dtype}, not array<string>; the "
+            "name is reserved for tokens()-produced arrays (rename the "
+            "column or tokenize with functions.text.tokens)"
+        )
+    return True
+
+
 def normalize_whitespace(text: Column | str) -> Column:
     """Collapse runs of any whitespace to single spaces and trim — the
     ingestion-boundary normalization that makes real corpus text

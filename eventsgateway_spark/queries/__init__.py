@@ -42,11 +42,32 @@ def query(name: str, oracle: str | None = None, *, declared: bool = True):
     """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Release every OTHER query's persisted pins before
+            # building this one (ADVICE r6): long-lived sessions that
+            # never call unpin_all() themselves (correctness driver,
+            # notebooks) are bounded to one query's pins, while
+            # re-runs of the same query keep their CacheManager
+            # entries (bench warm-up semantics unchanged). Registered
+            # queries never call each other (grep-audited), so this
+            # cannot evict a pin the current build created.
+            from eventsgateway_spark.queries._util import (
+                set_pin_owner,
+                unpin_others,
+            )
+
+            unpin_others(name)
+            set_pin_owner(name)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = run
         if oracle is not None:
             ORACLE_SQL[name] = oracle
         if declared:
-            DECLARED_QUERIES[name] = fn
+            DECLARED_QUERIES[name] = run
             if oracle is not None:
                 DECLARED_ORACLE_SQL[name] = oracle
             assert len(DECLARED_QUERIES) <= _DRIVER_QUERY_CAP, (

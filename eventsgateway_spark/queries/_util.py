@@ -169,27 +169,57 @@ def pin(df: DataFrame, mode: str = "checkpoint") -> DataFrame:
     if mode == "persist":
         df = df.persist()
         df.count()  # eager fill so concurrent consumers don't race the cache
-        _PINNED.append(df)
+        _PINNED.append((_PIN_OWNER, df))
         return df
     return df.localCheckpoint()
 
 
-# Persisted frames created by pin(mode="persist"), kept so long-lived
-# sessions (bench.py loops the whole registry) can release them between
-# queries — StorageLevel entries survive GC until an explicit unpersist.
-_PINNED: list[DataFrame] = []
+# Persisted frames created by pin(mode="persist"), tagged with the
+# registry query that created them. STRONG references on purpose
+# (ADVICE r6 considered weakrefs): SQL persist registers the plan in
+# the JVM CacheManager, which holds the blocks until an explicit
+# unpersist — a GC'd Python handle would make the entry permanently
+# unreleasable, not reclaim it. Accumulation is bounded instead by the
+# registry wrapper (queries/__init__.py): each query execution first
+# releases every OTHER query's pins, so a long-lived session that
+# never calls unpin_all() itself (correctness driver, notebook) holds
+# at most one query's pins, while re-runs of the SAME query keep
+# reusing their CacheManager entries (same-plan persist is dedup'd by
+# Spark, so re-registering costs no extra storage).
+_PINNED: list[tuple[str | None, DataFrame]] = []
+_PIN_OWNER: str | None = None
+
+
+def set_pin_owner(name: str | None) -> None:
+    """Tag subsequently-created pins with the registry query building
+    them (called by the queries/__init__ execution wrapper)."""
+    global _PIN_OWNER
+    _PIN_OWNER = name
+
+
+def _release(df: DataFrame) -> None:
+    try:
+        df.unpersist()
+    except Exception:
+        pass  # session gone / already unpersisted
+
+
+def unpin_others(current: str) -> None:
+    """Unpersist every pin owned by a different query (or by no query).
+    Results already materialized by the owning action are unaffected;
+    a still-running concurrent query would recompute, not corrupt."""
+    keep = [(o, df) for o, df in _PINNED if o == current]
+    for o, df in _PINNED:
+        if o != current:
+            _release(df)
+    _PINNED[:] = keep
 
 
 def unpin_all() -> None:
-    """Unpersist every pin(mode='persist') frame created so far. Call
-    between independent query executions in a shared session (bench.py
-    does); results already materialized by the owning action are
-    unaffected."""
+    """Unpersist every pin(mode='persist') frame created so far (called
+    between bench.py / scaleprobe iterations)."""
     while _PINNED:
-        try:
-            _PINNED.pop().unpersist()
-        except Exception:
-            pass  # session gone / already unpersisted
+        _release(_PINNED.pop()[1])
 
 
 def arrow_scorer() -> bool:

@@ -86,7 +86,9 @@ def doc_shingles(
     the split is skipped entirely (composers like q60 tokenize once
     and thread the array through every stage — the round-6 fix for
     the pipeline re-tokenizing its surviving corpus 4x)."""
-    if "toks" in docs.columns:
+    from eventsgateway_spark.functions.text import has_pretokenized
+
+    if has_pretokenized(docs):
         return _shingles_from_toks(docs, n, max_df)
     base = spread(docs.select("doc_id", "text"))
     if arrow_scorer():

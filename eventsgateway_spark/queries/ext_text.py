@@ -377,7 +377,9 @@ def chunk_documents(docs: DataFrame) -> DataFrame:
     range shuffle. A frame carrying a ``toks`` column is treated as
     pre-tokenized and the split is skipped (q60 threads one
     tokenization through all stages)."""
-    if "toks" in docs.columns:
+    from eventsgateway_spark.functions.text import has_pretokenized
+
+    if has_pretokenized(docs):
         with_toks = docs.select("doc_id", "toks").filter(F.size("toks") > 0)
     else:
         with_toks = docs.select("doc_id", tokens("text").alias("toks")).filter(

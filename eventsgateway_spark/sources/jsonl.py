@@ -76,12 +76,11 @@ def _parse_lines(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         # determinism contract, functions/text.tokens) — normalize at
         # THIS boundary so every downstream operator sees its contract
         .withColumn("text", normalize_whitespace(F.col("text")))
-        # n_chars is derivable; fill it when the producer omitted it so
-        # downstream length operators (q27/q47/q67) see the contract
-        .withColumn(
-            "n_chars",
-            F.coalesce(F.col("n_chars"), F.length("text").cast("long")),
-        )
+        # n_chars is ALWAYS recomputed from the normalized text
+        # (ADVICE r6): a producer-supplied count refers to the raw
+        # pre-normalization text, so keeping it would disagree with
+        # length(text) for docs containing tabs/newlines
+        .withColumn("n_chars", F.length("text").cast("long"))
     )
     quarantine = parsed.filter(bad).select("raw_line")
     return docs, quarantine

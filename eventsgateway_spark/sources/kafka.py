@@ -18,7 +18,6 @@ source, which gives the same micro-batch admission semantics
 from __future__ import annotations
 
 import os
-import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -110,35 +109,43 @@ def write_payloads_kafka(df: DataFrame, bootstrap: str, **producer_opts: str):
 
 
 class FileBus:
-    """Kafka-shaped transport over a spool directory (local testing)."""
+    """Kafka-shaped transport over a spool directory (local testing).
 
-    # Per-spool-root locks: concurrent ``mode("append")`` writes into ONE
-    # directory race on the shared ``_temporary`` committer staging dir
-    # (reproduced by parallel HTTP ingest requests — one request's commit
-    # deletes the other's staged files). A real Kafka producer has no such
-    # shared-directory hazard; for this single-process dev analog,
-    # serializing the append commit per root is the honest fix.
-    _locks: dict[str, threading.Lock] = {}
-    _locks_guard = threading.Lock()
+    Concurrency-safe across threads AND processes (ADVICE r6): a naive
+    ``mode("append")`` into the shared root races on the committer's
+    ``_temporary`` staging directory (one producer's commit deletes
+    another's staged files — reproduced by parallel HTTP ingest
+    requests in r6, and unfixable by an in-process lock when two
+    sessions share a spool). ``produce`` therefore writes into a
+    produce-private dot-prefixed staging dir (invisible to Spark
+    readers, whose default path filter skips ``.``/``_`` prefixes) and
+    atomically renames the part files into the root under unique
+    names — per-file visibility, like Kafka's per-record appends."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
-        # realpath: '/tmp/bus' and '/tmp/bus/' (or a symlinked alias)
-        # are ONE spool directory and must share one lock — keying on
-        # the raw string would let aliases race the append commit
-        with FileBus._locks_guard:
-            self._lock = FileBus._locks.setdefault(
-                os.path.realpath(root), threading.Lock()
-            )
 
     def produce(self, payloads: DataFrame) -> None:
         """Batch produce: append (topic, key, value) rows to the spool."""
-        with self._lock:
-            payloads.select("topic", "key", "value").write.mode("append").parquet(
-                self.root
-            )
+        import shutil
+        import uuid
+
+        token = uuid.uuid4().hex
+        staging = os.path.join(self.root, f".staging-{token}")
+        try:
+            payloads.select("topic", "key", "value").write.mode(
+                "overwrite"
+            ).parquet(staging)
+            for fname in sorted(os.listdir(staging)):
+                if fname.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(staging, fname),
+                        os.path.join(self.root, f"{token}-{fname}"),
+                    )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     def consume_batch(self, topic: str | None = None) -> DataFrame:
         df = self.spark.read.schema(PAYLOAD_SCHEMA).parquet(self.root)

@@ -192,3 +192,38 @@ def test_gateway_drain_chunks_oversized_buffer(spark, monkeypatch):
     waves = [res.payloads.count() for res in gw.drain()]
     assert waves == [3, 3, 2]
     assert gw._buffer == []
+
+
+def test_filebus_concurrent_produce_loses_nothing(spark, tmp_path):
+    """ADVICE r6: parallel produce() calls — the multi-session hazard
+    was two writers racing the shared _temporary committer dir. The
+    staging+rename design must land every row with no lock, and the
+    in-flight staging dirs must stay invisible to readers."""
+    import threading
+
+    from eventsgateway_spark.sources.kafka import FileBus
+
+    root = str(tmp_path / "bus")
+    bus = FileBus(spark, root)
+
+    def _produce(tag: str) -> None:
+        rows = [(f"t-{tag}", f"k{i}", bytearray(b"v")) for i in range(50)]
+        df = spark.createDataFrame(
+            rows, "topic string, key string, value binary"
+        )
+        FileBus(spark, root).produce(df)
+
+    threads = [
+        threading.Thread(target=_produce, args=(str(i),)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    got = bus.consume_batch()
+    assert got.count() == 200
+    assert got.groupBy("topic").count().count() == 4
+    # no staging debris left behind, nothing hidden from the reader
+    import os
+
+    assert not [d for d in os.listdir(root) if d.startswith(".staging")]

@@ -43,6 +43,8 @@ def test_batch_read_splits_valid_and_quarantine(spark, tmp_path):
     assert set(got) == {1, 2}
     assert got[1].n_chars == 10
     assert got[2].n_chars == len("gamma")  # derived when omitted
+    # producer-supplied n_chars computed on RAW text is overridden by
+    # the post-normalization length (ADVICE r6)
     assert [f.name for f in docs.schema.fields] == [
         "doc_id", "text", "lang", "source", "n_chars",
     ]
@@ -73,14 +75,19 @@ def test_whitespace_normalized_at_boundary(spark, tmp_path):
 
     line = json.dumps(
         {"doc_id": 9, "text": "alpha\nbeta\tgamma  delta", "lang": "en",
-         "source": "s"}
+         "source": "s", "n_chars": 24}  # producer count on the RAW text
     )
     p = tmp_path / "ws.jsonl"
     p.write_text(line + "\n")
     docs, q = read_documents_jsonl(spark, str(p))
     assert q.count() == 0
-    row = docs.select("text", F.size(tokens("text")).alias("n")).collect()[0]
+    row = docs.select(
+        "text", "n_chars", F.size(tokens("text")).alias("n")
+    ).collect()[0]
     assert row.text == "alpha beta gamma delta" and row.n == 4
+    # n_chars always agrees with the normalized text (ADVICE r6), never
+    # with the producer's pre-normalization count
+    assert row.n_chars == len("alpha beta gamma delta")
 
 
 def test_roundtrip_partitioned_writer(spark, tmp_path):
