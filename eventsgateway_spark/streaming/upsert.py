@@ -105,6 +105,47 @@ def merge_batch(
     )
 
 
+def merge_batch_delta(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    path: str,
+    key_cols: tuple[str, ...] = ("id",),
+    order_col: str = "serverTimestamp",
+    tiebreak: str = "name",
+) -> None:
+    """Native Delta MERGE — the reference's actual landing semantics
+    (.ipynb:119-135) for clusters where ``delta_available`` is true and
+    the delta-spark Python package is installed. Same newest-per-key
+    contract as :func:`merge_batch`, executed as one transactional
+    MERGE instead of a partition rewrite; unlike the parquet analog it
+    has no same-partition precondition (Delta's file index handles
+    key movement)."""
+    from delta.tables import DeltaTable  # delta-spark package
+
+    batch = derive_date_partitions(batch_df)
+    winners = dedup_exact_batch(batch, list(key_cols), order_col, tiebreak)
+    if not DeltaTable.isDeltaTable(spark, path):
+        (
+            winners.write.format("delta")
+            .partitionBy(*PARTITION_COLS)
+            .save(path)
+        )
+        return
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    newer = (
+        f"s.{order_col} > t.{order_col} OR "
+        f"(s.{order_col} = t.{order_col} AND s.{tiebreak} >= t.{tiebreak})"
+    )
+    (
+        DeltaTable.forPath(spark, path)
+        .alias("t")
+        .merge(winners.alias("s"), cond)
+        .whenMatchedUpdateAll(condition=newer)
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+
+
 def upsert_events_stream(
     events: DataFrame,
     path: str,
@@ -114,11 +155,20 @@ def upsert_events_stream(
     tiebreak: str = "name",
     sort_within: str | None = "name",
     trigger_once: bool = False,
+    fmt: str = "parquet",
 ) -> StreamingQuery:
     """Streaming upsert sink: checkpointed ``foreachBatch`` over
-    :func:`merge_batch`."""
+    :func:`merge_batch` (``fmt="parquet"``, the partition-rewrite
+    analog) or :func:`merge_batch_delta` (``fmt="delta"``, native
+    transactional MERGE on a Delta-enabled cluster)."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if fmt == "delta":
+            merge_batch_delta(
+                batch_df.sparkSession, batch_df, path, key_cols,
+                order_col, tiebreak,
+            )
+            return
         merge_batch(
             batch_df.sparkSession,
             batch_df,
