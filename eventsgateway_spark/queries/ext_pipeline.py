@@ -215,6 +215,41 @@ def prefix_bucket_docs(df) -> int:
     return int(max(PACK_BUCKET_DOCS, est_docs // _MAX_PREFIX_BUCKETS))
 
 
+def pack_projection(packed: DataFrame, base_off: int = 0) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, seq_id, seq_pos, crosses_boundary)
+    from a frame carrying the inclusive running token sum ``_cum`` —
+    THE single copy of the q73 cut math, shared with the streaming
+    incremental packer (streaming/packing.py) so the two can never
+    drift. ``base_off`` shifts the global offset (the stream's carried
+    token count; 0 for a batch run).
+
+    Integer ``div`` throughout: off can exceed 2^53 on a real corpus
+    (>9e15 tokens), where double-division floor would drift; both
+    engines truncate positive integer division identically."""
+    return (
+        packed.withColumn(
+            "_off",
+            (F.col("_cum") - F.col("n_tokens") + F.lit(base_off)).cast("bigint"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "n_tokens",
+            F.expr(f"_off div {SEQ_LEN}").alias("seq_id"),
+            (F.col("_off") % SEQ_LEN).cast("bigint").alias("seq_pos"),
+            F.when(
+                F.expr(f"(_off + n_tokens - 1) div {SEQ_LEN}")
+                != F.expr(f"_off div {SEQ_LEN}"),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("crosses_boundary"),
+        )
+    )
+
+
+
 @query(
     "q73_sequence_packing",
     declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
@@ -268,25 +303,4 @@ def q73_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=F.expr(f"doc_id div {prefix_bucket_docs(docs)}"),
         sum_col="_cum",
     )
-    # integer `div` throughout: off can exceed 2^53 on a real corpus
-    # (>9e15 tokens), where double-division floor would drift; both
-    # engines truncate positive integer division identically
-    return (
-        packed.withColumn("_off", (F.col("_cum") - F.col("n_tokens")).cast("bigint"))
-        .select(
-            "doc_id",
-            "chunk_id",
-            "n_tokens",
-            F.expr(f"_off div {SEQ_LEN}").alias("seq_id"),
-            (F.col("_off") % SEQ_LEN).cast("bigint").alias("seq_pos"),
-            F.when(
-                F.expr(f"(_off + n_tokens - 1) div {SEQ_LEN}")
-                != F.expr(f"_off div {SEQ_LEN}"),
-                1,
-            )
-            .otherwise(0)
-            .cast("bigint")
-            .alias("crosses_boundary"),
-        )
-        .orderBy("doc_id", "chunk_id")
-    )
+    return pack_projection(packed).orderBy("doc_id", "chunk_id")

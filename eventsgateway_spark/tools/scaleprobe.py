@@ -50,6 +50,7 @@ PROBE_QUERIES = (
     "q74_token_budget_sample",
     "q75_domain_mixture",
     "q76_training_order",
+    "q77_leakage_safe_split",
 )
 
 
@@ -127,6 +128,13 @@ def run_probe(mults: tuple[int, ...] = (1, 10, 100), runs: int = 2,
         for name in probe_queries:
             samples = []
             for _ in range(runs):
+                # q77's cluster-label table is cached per (session,
+                # fixture) by design (shared with q32); a cached run
+                # would time the ~0 s reuse path and fake the growth
+                # exponent — clear it so every sample pays the build
+                from eventsgateway_spark.queries import ext_dedup
+
+                ext_dedup._LABELS_CACHE.clear()
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"

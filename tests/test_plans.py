@@ -386,3 +386,22 @@ def test_decontamination_broadcasts_eval_grams(spark):
     plan = _plan(spark, "q53_decontaminate")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q33_norms_precomputed_below_join(spark):
+    """q33's 0.66 s rewrite (BASELINE.md round-6): per-vector norms are
+    folded ONCE in the projections BELOW the broadcast join, never
+    per-pair above it — inline cosine() would re-fold the norm
+    |queries|x|candidates| times (interpreted HOF, not codegen). Pin:
+    exactly two SQRT folds in the optimized plan, both on the join's
+    child side, and the join itself is the broadcast nested-loop scan
+    (one pass over the big side, no shuffle)."""
+    opt = _logical(spark, "q33_cosine_top3")
+    lines = opt.splitlines()
+    join_at = min(i for i, l in enumerate(lines) if "Join" in l)
+    sqrt_at = [i for i, l in enumerate(lines) if "SQRT" in l]
+    assert len(sqrt_at) == 2, f"expected 2 norm folds, plan has {len(sqrt_at)}"
+    assert all(i > join_at for i in sqrt_at), (
+        "norm fold appears ABOVE the join (per-pair recompute)"
+    )
+    assert "BroadcastNestedLoopJoin" in _plan(spark, "q33_cosine_top3")
