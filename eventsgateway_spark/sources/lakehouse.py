@@ -84,21 +84,40 @@ def read_events_table(
     """Read the events table with the reference's schema: year/month/day
     are *strings* (.ipynb:97-107). Partition-column type inference would
     silently turn the zero-padded directory values ("01") into ints, so
-    it is pinned off — and deliberately NOT restored: a set-and-restore
-    around the read would race concurrent readers on the same session
-    (an interleaved restore re-enables inference mid-read elsewhere,
-    yielding month=1 vs month=01 split partitions on the next write).
-    String partition columns are engine policy session-wide.
+    the read supplies an explicit schema instead: an analysis-only pass
+    resolves the data columns from the file footers, the partition
+    columns are re-declared as strings, and the real read casts each
+    directory value to the declared type — "01" stays "01". No session
+    conf is touched (a session-global toggle leaks string partition
+    types into every OTHER table read on the same session, and a
+    set-and-restore races concurrent readers).
 
     ``fmt`` mirrors the writers: parquet (default), orc (the
     reference's at-rest deployment — ORC on S3, Makefile:23-24,
     hive/hive-site.xml), or delta on an enabled cluster. Both parquet
     and ORC scans are vectorized with predicate pushdown + partition
-    pruning; the layout contract is identical."""
-    spark.conf.set(
-        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    pruning; the layout contract is identical. The extra analysis pass
+    costs one file listing + footer read (driver metadata only, no data
+    scan) — a per-table-open cost, not per-query."""
+    from pyspark.sql import types as T
+
+    if fmt == "delta":
+        # Delta resolves schema + partition types from its transaction
+        # log (no directory inference), and rejects user-specified
+        # read schemas — load directly.
+        return spark.read.format(fmt).load(path)
+    inferred = spark.read.format(fmt).load(path).schema
+    declared = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.StringType() if f.name in PARTITION_COLS else f.dataType,
+                f.nullable,
+            )
+            for f in inferred
+        ]
     )
-    return spark.read.format(fmt).load(path)
+    return spark.read.format(fmt).schema(declared).load(path)
 
 
 def compact_partition(
