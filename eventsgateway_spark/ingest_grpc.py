@@ -13,14 +13,36 @@ github.com/topfreegames/protos (``eventsgateway/grpc``):
     message Event { string id = 1; string name = 2; string topic = 3;
                     map<string, string> props = 4; int64 timestamp = 5; }
     message SendEventResponse {}
-    message SendEventsRequest  { repeated Event events = 1; }
+    message SendEventsRequest  { string id = 1; int64 retry = 2;
+                                 repeated Event events = 3; }
     message SendEventsResponse { repeated int64 failure_indexes = 1; }
 
-Field shapes confirmed against the reference's generated-code usage:
-``client/client.go:233-239`` (Event construction), ``client/async.go:199``
-(SendEventsRequest.Events), ``server/sender/sender.go:17`` ([]int64
-FailureIndexes). The package/service name is configurable in case a
-deployment regenerated under a different proto package.
+Field SHAPES are confirmed against the reference's generated-code usage:
+``client/client.go:233-239`` (Event construction), ``client/async.go:199-254``
+(SendEventsRequest.Id/.Retry/.Events — the client stamps a uuid request
+id per batch and the retry count per attempt; the server's metrics
+interceptor reads Retry, ``server/app/app.go:190-191``),
+``server/sender/sender.go:17`` ([]int64 FailureIndexes). Field NUMBERS
+are not recoverable from the reference tree (the proto lives in the
+un-vendored github.com/topfreegames/protos dep), so:
+
+- the ENCODER emits the numbering sketched above via the module
+  constants ``REQ_FIELD_ID`` / ``REQ_FIELD_RETRY`` / ``REQ_FIELD_EVENTS``
+  (override them to match a regenerated deployment, exactly like the
+  configurable service name);
+- the DECODER does not trust any numbering at all: request fields are
+  classified by WIRE SHAPE — any varint field is ``retry``, and each
+  length-delimited field is probed with a strict Event parse (every tag
+  must be a known Event field with the right wire type, strings valid
+  UTF-8, full consumption) and falls back to the request ``id`` string
+  when the probe fails. A uuid/ASCII request id can never pass the
+  strict probe (its first byte decodes to an out-of-range tag), and a
+  real Event submessage always does, so every plausible historical
+  layout — ``events=1`` only, ``id=1,retry=2,events=3``,
+  ``id=1,events=2,retry=3`` — decodes to the same result.
+
+The package/service name is configurable in case a deployment
+regenerated under a different proto package.
 
 Two layers, gated differently:
 
@@ -142,8 +164,15 @@ def encode_event_pb(ev: dict) -> bytes:
     return bytes(out)
 
 
-def decode_event_pb(data: bytes) -> dict:
-    """Event wire bytes → dict (proto3 defaults: "" / {} / 0)."""
+def decode_event_pb(data: bytes, strict: bool = False) -> dict:
+    """Event wire bytes → dict (proto3 defaults: "" / {} / 0).
+
+    ``strict=True`` is the disambiguation probe used by the request
+    decoder: every tag must be a KNOWN Event field with the matching
+    wire type, strings must be valid UTF-8, and map entries must be
+    well-formed — anything else raises ValueError. Lenient mode (the
+    default) skips unknown fields per spec for forward compatibility.
+    """
     ev: dict = {"id": "", "name": "", "topic": "", "props": {}, "timestamp": 0}
     pos = 0
     end = len(data)
@@ -152,18 +181,26 @@ def decode_event_pb(data: bytes) -> dict:
         field, wt = key >> 3, key & 7
         if field in (1, 2, 3) and wt == 2:
             n, pos = _read_uvarint(data, pos)
+            if pos + n > end:
+                raise ValueError("truncated string field")
             val = data[pos:pos + n].decode("utf-8")
             pos += n
             ev[("id", "name", "topic")[field - 1]] = val
         elif field == 4 and wt == 2:
             n, pos = _read_uvarint(data, pos)
+            if pos + n > end:
+                raise ValueError("truncated map entry")
             entry = data[pos:pos + n]
             pos += n
             k = v = ""
             epos = 0
             while epos < len(entry):
                 ekey, epos = _read_uvarint(entry, epos)
+                if strict and (ekey >> 3 not in (1, 2) or ekey & 7 != 2):
+                    raise ValueError("malformed map entry")
                 en, epos = _read_uvarint(entry, epos)
+                if epos + en > len(entry):
+                    raise ValueError("truncated map entry value")
                 s = entry[epos:epos + en].decode("utf-8")
                 epos += en
                 if ekey >> 3 == 1:
@@ -174,28 +211,80 @@ def decode_event_pb(data: bytes) -> dict:
         elif field == 5 and wt == 0:
             u, pos = _read_uvarint(data, pos)
             ev["timestamp"] = _to_i64(u)
+        elif strict:
+            raise ValueError(f"unknown Event field {field} wt {wt}")
         else:
             pos = _skip_field(data, pos, wt)
     return ev
 
 
-def encode_send_events_request(events: list[dict]) -> bytes:
-    return b"".join(_len_field(1, encode_event_pb(ev)) for ev in events)
+#: SendEventsRequest field numbers used by the ENCODER (best public
+#: reconstruction — see module docstring). The decoder ignores them.
+REQ_FIELD_ID = 1
+REQ_FIELD_RETRY = 2
+REQ_FIELD_EVENTS = 3
 
 
-def decode_send_events_request(data: bytes) -> list[dict]:
-    events: list[dict] = []
+def encode_send_events_request(
+    events: list[dict], request_id: str = "", retry: int = 0
+) -> bytes:
+    """Events (+ optional batch uuid and retry count, the fields the
+    reference client stamps per send — client/async.go:204,254) →
+    SendEventsRequest wire bytes. proto3 default values are omitted."""
+    return (
+        _str_field(REQ_FIELD_ID, request_id)
+        + _int64_field(REQ_FIELD_RETRY, retry)
+        + b"".join(
+            _len_field(REQ_FIELD_EVENTS, encode_event_pb(ev)) for ev in events
+        )
+    )
+
+
+def decode_send_events_request_full(data: bytes) -> dict:
+    """SendEventsRequest wire bytes → {"id", "retry", "events"}.
+
+    Layout-tolerant: fields are classified by wire shape, not number
+    (module docstring) — a varint is ``retry``; a length-delimited
+    payload that survives a strict Event parse is an event; any other
+    length-delimited payload is the request ``id`` string. Handles the
+    events-only, id-first, and events-first numbering variants
+    identically, so a reference Go client interoperates whichever
+    revision of the public proto it was generated from."""
+    out: dict = {"id": "", "retry": 0, "events": []}
     pos = 0
     end = len(data)
     while pos < end:
         key, pos = _read_uvarint(data, pos)
-        if key >> 3 == 1 and key & 7 == 2:
+        field, wt = key >> 3, key & 7
+        if wt == 0:
+            u, pos = _read_uvarint(data, pos)
+            out["retry"] = _to_i64(u)
+        elif wt == 2:
             n, pos = _read_uvarint(data, pos)
-            events.append(decode_event_pb(data[pos:pos + n]))
+            payload = data[pos:pos + n]
             pos += n
+            if payload:
+                try:
+                    out["events"].append(decode_event_pb(payload, strict=True))
+                    continue
+                except (ValueError, IndexError, UnicodeDecodeError):
+                    pass
+                try:
+                    out["id"] = payload.decode("utf-8")
+                except UnicodeDecodeError:
+                    pass  # neither Event nor string: unknown field, skip
+            elif field == REQ_FIELD_EVENTS:
+                # explicit empty submessage at the events field: an
+                # all-defaults Event (the one shape the probe can't
+                # tell apart from an empty string)
+                out["events"].append(decode_event_pb(b""))
         else:
-            pos = _skip_field(data, pos, key & 7)
-    return events
+            pos = _skip_field(data, pos, wt)
+    return out
+
+
+def decode_send_events_request(data: bytes) -> list[dict]:
+    return decode_send_events_request_full(data)["events"]
 
 
 def encode_send_events_response(failure_indexes: list[int]) -> bytes:
@@ -267,11 +356,19 @@ def serve_ingest_grpc(
     mirrors the reference: a rejected single event aborts SendEvent
     with FAILED_PRECONDITION and the pipeline's reject reason
     (server/sender/kafka.go:89-94); SendEvents always succeeds at the
-    RPC layer and reports per-event failures as FailureIndexes."""
+    RPC layer and reports per-event failures as FailureIndexes.
+
+    Like the reference's metrics interceptor (server/app/app.go:190-191
+    reads SendEventsRequest.Retry as a label), per-request counters are
+    kept on ``server.request_counts`` keyed by (route, is_retry)."""
     import grpc
+    from collections import Counter
     from concurrent import futures
 
+    request_counts: Counter = Counter()
+
     def send_event(raw: bytes, context) -> bytes:
+        request_counts[("SendEvent", False)] += 1
         ev = decode_event_pb(raw)
         fail, reasons = ingest_events(spark, [ev], sink, max_message_bytes)
         if fail:
@@ -279,7 +376,9 @@ def serve_ingest_grpc(
         return encode_send_event_response()
 
     def send_events(raw: bytes, context) -> bytes:
-        events = decode_send_events_request(raw)
+        req = decode_send_events_request_full(raw)
+        request_counts[("SendEvents", req["retry"] > 0)] += 1
+        events = req["events"]
         if len(events) > MAX_REQUEST_EVENTS:
             # same backfill boundary the HTTP endpoint enforces: one RPC
             # is one driver-side micro-batch, not a bulk-load path
@@ -309,5 +408,11 @@ def serve_ingest_grpc(
     server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
     server.add_generic_rpc_handlers((handler,))
     bound = server.add_insecure_port(f"{host}:{port}")
+    if bound == 0:
+        # grpcio signals bind failure (port in use, bad host) by
+        # returning 0, not by raising — starting anyway would "serve"
+        # on no socket and callers would silently get no traffic
+        raise OSError(f"failed to bind gRPC server to {host}:{port}")
+    server.request_counts = request_counts
     server.start()
     return server, bound

@@ -18,6 +18,7 @@ import pytest
 from eventsgateway_spark.ingest_grpc import (
     decode_event_pb,
     decode_send_events_request,
+    decode_send_events_request_full,
     decode_send_events_response,
     encode_event_pb,
     encode_send_event_response,
@@ -82,6 +83,75 @@ def test_event_decoder_skips_unknown_fields():
     assert decode_event_pb(raw) == GOLDEN_EVENT
 
 
+def test_request_id_retry_golden_and_round_trip():
+    """SendEventsRequest carries the batch uuid + retry count the
+    reference client stamps (client/async.go:204,254); golden bytes pin
+    the encoder's id=1/retry=2/events=3 numbering."""
+    raw = encode_send_events_request([GOLDEN_EVENT], request_id="req-1", retry=2)
+    golden = (
+        bytes([1 << 3 | 2, 5]) + b"req-1"          # id = 1 (LEN)
+        + bytes([2 << 3 | 0, 2])                    # retry = 2 (varint)
+        + bytes([3 << 3 | 2, len(GOLDEN_BYTES)]) + GOLDEN_BYTES  # events = 3
+    )
+    assert raw == golden
+    full = decode_send_events_request_full(raw)
+    assert full == {"id": "req-1", "retry": 2, "events": [GOLDEN_EVENT]}
+    # defaults omitted on the wire
+    assert encode_send_events_request([], request_id="", retry=0) == b""
+
+
+def test_request_decode_is_layout_tolerant():
+    """The decoder classifies fields by wire shape, so every plausible
+    revision of the un-vendored public proto decodes identically:
+    events-only (events=1), id-first (id=1,retry=2,events=3), and
+    events-second (id=1,events=2,retry=3)."""
+    ev_frame = bytes([2, len(GOLDEN_BYTES)]) + GOLDEN_BYTES  # wt2 + len, tag byte varies
+    uuid_id = "3f2a9c1e-7b4d-4e61-9a0f-5c8d2e6b1a44"
+    layouts = [
+        bytes([1 << 3 | 2, len(GOLDEN_BYTES)]) + GOLDEN_BYTES,  # events = 1 only
+        (bytes([1 << 3 | 2, len(uuid_id)]) + uuid_id.encode()   # id=1, retry=2, events=3
+         + bytes([2 << 3 | 0, 7])
+         + bytes([3 << 3 | 2, len(GOLDEN_BYTES)]) + GOLDEN_BYTES),
+        (bytes([1 << 3 | 2, len(uuid_id)]) + uuid_id.encode()   # id=1, events=2, retry=3
+         + bytes([2 << 3 | 2, len(GOLDEN_BYTES)]) + GOLDEN_BYTES
+         + bytes([3 << 3 | 0, 7])),
+    ]
+    for raw in layouts:
+        full = decode_send_events_request_full(raw)
+        assert full["events"] == [GOLDEN_EVENT], raw.hex()
+    assert decode_send_events_request_full(layouts[0]) == {
+        "id": "", "retry": 0, "events": [GOLDEN_EVENT]
+    }
+    for raw in layouts[1:]:
+        full = decode_send_events_request_full(raw)
+        assert (full["id"], full["retry"]) == (uuid_id, 7)
+    # an explicit empty submessage at the events field is an
+    # all-defaults Event, not a request id
+    empty_ev = bytes([3 << 3 | 2, 0])
+    assert decode_send_events_request_full(empty_ev)["events"] == [
+        {"id": "", "name": "", "topic": "", "props": {}, "timestamp": 0}
+    ]
+    assert ev_frame  # silence lint: documentation variable
+
+
+def test_request_strict_probe_rejects_id_like_payloads():
+    """The Event probe must never swallow a request id: uuids and other
+    printable strings decode to out-of-range tags and fall back to the
+    id slot; a real Event always passes."""
+    from eventsgateway_spark.ingest_grpc import _len_field
+
+    for s in ["3f2a9c1e-7b4d-4e61-9a0f-5c8d2e6b1a44", "abcDEF123", "x",
+              "req_99", "0123456789" * 4]:
+        raw = _len_field(1, s.encode())
+        full = decode_send_events_request_full(raw)
+        assert full["id"] == s and full["events"] == []
+    # strict mode itself: unknown field or malformed map entry raises
+    with pytest.raises(ValueError):
+        decode_event_pb(bytes([7 << 3 | 0, 42]), strict=True)
+    with pytest.raises(ValueError):
+        decode_event_pb(bytes([4 << 3 | 2, 2, 7 << 3 | 0, 1]), strict=True)
+
+
 def test_request_response_round_trip():
     random.seed(11)
 
@@ -141,9 +211,13 @@ def test_grpc_end_to_end(spark):
             GOLDEN_EVENT,
             {"id": "", "name": "x", "topic": "t", "props": {}, "timestamp": 5},
         ]
-        resp = send_events(encode_send_events_request(events))
+        resp = send_events(
+            encode_send_events_request(events, request_id="batch-1", retry=1)
+        )
         assert decode_send_events_response(resp) == [1]
         assert len(captured) == 1
+        # retry label recorded like the reference's metrics interceptor
+        assert server.request_counts[("SendEvents", True)] == 1
 
         from eventsgateway_spark.sources.avro_codec import decode_event
 
