@@ -60,8 +60,20 @@ def query(name: str, oracle: str | None = None, *, declared: bool = True):
             )
 
             unpin_others(name)
+            # Owner is tagged only for the duration of this build and
+            # reset in finally (ADVICE r7): without the reset, pin()
+            # calls made later by NON-registry code would be
+            # attributed to the last-run query and then survive that
+            # query's own unpin_others forever. Single-threaded-build
+            # assumption: concurrent registry builds in threads would
+            # cross-tag each other's pins (premature unpersist =>
+            # recompute, never corruption) — the driver, bench, and
+            # pytest all build queries sequentially.
             set_pin_owner(name)
-            return fn(spark, sf_dir)
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                set_pin_owner(None)
 
         QUERIES[name] = run
         if oracle is not None:

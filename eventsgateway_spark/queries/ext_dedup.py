@@ -409,11 +409,34 @@ def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q32 — duplicate clustering: connected components
 # ---------------------------------------------------------------------------
 
-# (applicationId, realpath(sf_dir)) -> materialized (doc_id, cluster_id)
-# frame. Session-scoped on purpose: a durable saved table would go stale
-# if the fixture were regenerated between runs, while the bench/driver
-# reuse we need (q32 then q77 in ONE session) is exactly session-scoped.
-_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# (applicationId, realpath(sf_dir), documents.parquet fingerprint) ->
+# materialized (doc_id, cluster_id) frame. Session-scoped on purpose: a
+# durable saved table would go stale if the fixture were regenerated
+# between runs, while the bench/driver reuse we need (q32 then q77 in
+# ONE session) is exactly session-scoped. The fingerprint (mtime+size
+# of the fixture's parquet files, ADVICE r7) means a fixture
+# regenerated IN-PLACE mid-session misses the cache instead of serving
+# stale labels; the superseded entry is unpersisted on eviction so its
+# localCheckpoint blocks free immediately rather than waiting for GC.
+_LABELS_CACHE: dict[tuple[str, str], tuple[str, DataFrame]] = {}
+
+
+def _fixture_fingerprint(sf_dir: str) -> str:
+    """Cheap identity of the documents fixture: sorted (name, mtime_ns,
+    size) of documents*.parquet under sf_dir (file or directory)."""
+    import os as _os
+
+    target = _os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if _os.path.isdir(target):
+        for dp, _, files in _os.walk(target):
+            for f in sorted(files):
+                st = _os.stat(_os.path.join(dp, f))
+                parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+    elif _os.path.exists(target):
+        st = _os.stat(target)
+        parts.append(f"documents.parquet:{st.st_mtime_ns}:{st.st_size}")
+    return ";".join(parts)
 
 
 def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,9 +461,19 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventsgateway_spark.queries._util import is_fixture_scale
 
     key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
-    cached = _LABELS_CACHE.get(key)
-    if cached is not None:
-        return cached
+    fp = _fixture_fingerprint(sf_dir)
+    hit = _LABELS_CACHE.get(key)
+    if hit is not None:
+        cached_fp, cached = hit
+        if cached_fp == fp:
+            return cached
+        # fixture regenerated in-place: evict and reclaim the stale
+        # entry's checkpoint blocks now, not at GC time
+        del _LABELS_CACHE[key]
+        try:
+            cached.unpersist()
+        except Exception:
+            pass  # session torn down mid-eviction
     docs = table(spark, sf_dir, "documents")
     edges = jaccard_pairs(doc_shingles(docs), 0.5).select(
         F.col("d1").alias("u"), F.col("d2").alias("v")
@@ -450,7 +483,7 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not is_fixture_scale(docs):
         labels = labels.localCheckpoint()
-        _LABELS_CACHE[key] = labels
+        _LABELS_CACHE[key] = (fp, labels)
     return labels
 
 

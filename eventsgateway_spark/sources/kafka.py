@@ -118,9 +118,14 @@ class FileBus:
     requests in r6, and unfixable by an in-process lock when two
     sessions share a spool). ``produce`` therefore writes into a
     produce-private dot-prefixed staging dir (invisible to Spark
-    readers, whose default path filter skips ``.``/``_`` prefixes) and
-    atomically renames the part files into the root under unique
-    names — per-file visibility, like Kafka's per-record appends."""
+    readers, whose default path filter skips ``.``/``_`` prefixed
+    paths — directories included — at every listing level) and
+    publishes with ONE atomic directory rename, so a produce is
+    all-or-nothing (ADVICE r7: the previous per-file renames could
+    crash mid-loop and publish a prefix of the batch while the finally
+    deleted the rest). Consumers list the spool with
+    ``recursiveFileLookup`` so the per-batch subdirectories are
+    visible; pre-existing flat part files keep working."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -138,24 +143,27 @@ class FileBus:
             payloads.select("topic", "key", "value").write.mode(
                 "overwrite"
             ).parquet(staging)
-            for fname in sorted(os.listdir(staging)):
-                if fname.endswith(".parquet"):
-                    os.rename(
-                        os.path.join(staging, fname),
-                        os.path.join(self.root, f"{token}-{fname}"),
-                    )
+            # single rename = atomic publish: either the whole batch
+            # directory becomes visible or none of it does
+            os.rename(staging, os.path.join(self.root, f"batch-{token}"))
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
     def consume_batch(self, topic: str | None = None) -> DataFrame:
-        df = self.spark.read.schema(PAYLOAD_SCHEMA).parquet(self.root)
+        df = (
+            self.spark.read.schema(PAYLOAD_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(self.root)
+        )
         return df.filter(F.col("topic") == topic) if topic else df
 
     def consume_stream(self, topic: str | None = None, max_files_per_trigger: int | None = None) -> DataFrame:
         """Streaming consume — file source micro-batches stand in for
         Kafka offset ranges; ``maxFilesPerTrigger`` is the backpressure
         bound (reference channelBuffer, client/async.go:62-65)."""
-        reader = self.spark.readStream.schema(PAYLOAD_SCHEMA)
+        reader = self.spark.readStream.schema(PAYLOAD_SCHEMA).option(
+            "recursiveFileLookup", "true"
+        )
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
         df = reader.parquet(self.root)

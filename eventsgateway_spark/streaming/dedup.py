@@ -34,11 +34,21 @@ def dedup_by_id(
     return df.dropDuplicates(id_cols)
 
 
-def dedup_exact_batch(df: DataFrame, id_cols: list[str], order_col: str, tiebreak: str) -> DataFrame:
+def dedup_exact_batch(
+    df: DataFrame,
+    id_cols: list[str],
+    order_col: str,
+    tiebreak: str,
+    extra_order: list | None = None,
+) -> DataFrame:
     """Deterministic batch dedup: keep the newest row per key (the
     row_number()==1 pattern; see queries/events.py q16 for the
-    oracle-checked version)."""
+    oracle-checked version). ``extra_order`` appends lower-priority
+    sort expressions for callers whose rows can tie on BOTH
+    (order_col, tiebreak) — e.g. the upsert merge's source-beats-
+    incumbent rule."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(*id_cols).orderBy(F.col(order_col).desc(), F.col(tiebreak).desc())
+    order = [F.col(order_col).desc(), F.col(tiebreak).desc()] + (extra_order or [])
+    w = W.partitionBy(*id_cols).orderBy(*order)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -74,7 +74,7 @@ def merge_batch(
     except AnalysisException:  # first batch: table does not exist yet
         existing = None
     if existing is None:
-        merged = batch
+        winners = dedup_exact_batch(batch, list(key_cols), order_col, tiebreak)
     else:
         in_touched = reduce(
             lambda a, b: a | b,
@@ -83,8 +83,20 @@ def merge_batch(
                 for y, m, d in touched
             ],
         )
-        merged = batch.unionByName(existing.filter(in_touched).select(batch.columns))
-    winners = dedup_exact_batch(merged, list(key_cols), order_col, tiebreak)
+        # Source-beats-incumbent on an exact (order_col, tiebreak)
+        # tie: matches the Delta MERGE path's `s.x >= t.x` update
+        # condition (merge_batch_delta) so the two "same contract"
+        # sinks cannot diverge on ties (ADVICE r7). Batch rows carry
+        # _src=1, pre-existing rows 0; the flag is the LAST sort key,
+        # so it only decides full ties.
+        merged = batch.withColumn("_src", F.lit(1)).unionByName(
+            existing.filter(in_touched).select(batch.columns)
+            .withColumn("_src", F.lit(0))
+        )
+        winners = dedup_exact_batch(
+            merged, list(key_cols), order_col, tiebreak,
+            extra_order=[F.col("_src").desc()],
+        ).drop("_src")
     # Materialize before overwriting: the winners' lineage reads the
     # same path being replaced, which Spark (correctly) refuses for a
     # lazy plan ("Cannot overwrite a path that is also being read from").
@@ -160,7 +172,24 @@ def upsert_events_stream(
     """Streaming upsert sink: checkpointed ``foreachBatch`` over
     :func:`merge_batch` (``fmt="parquet"``, the partition-rewrite
     analog) or :func:`merge_batch_delta` (``fmt="delta"``, native
-    transactional MERGE on a Delta-enabled cluster)."""
+    transactional MERGE on a Delta-enabled cluster).
+
+    ``sort_within`` applies only to the parquet path, whose partition
+    rewrite controls physical row order; a Delta MERGE updates rows in
+    place inside existing files, so there is no layout to sort — on a
+    Delta table, cluster with OPTIMIZE/ZORDER instead. Passing a
+    non-default value with ``fmt="delta"`` warns rather than silently
+    dropping the request (ADVICE r7). Tie semantics are identical on
+    both paths: the source row beats the incumbent on an exact
+    (order_col, tiebreak) tie."""
+    if fmt == "delta" and sort_within != "name":
+        import warnings
+
+        warnings.warn(
+            "sort_within is a parquet-path layout control; the Delta "
+            "MERGE path ignores it (use OPTIMIZE/ZORDER on the table)",
+            stacklevel=2,
+        )
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if fmt == "delta":

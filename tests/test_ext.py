@@ -919,6 +919,31 @@ def test_asof_null_timestamps_match_nothing(spark):
     assert got == {1: None, 2: None}
 
 
+def test_dedup_cluster_labels_cache_evicts_on_fixture_change(spark, monkeypatch):
+    """A fixture regenerated IN-PLACE mid-session must miss the cache
+    (ADVICE r7): the key includes a mtime/size fingerprint of
+    documents.parquet, so a changed fingerprint evicts and rebuilds
+    instead of serving stale labels."""
+    import os
+
+    import eventsgateway_spark.queries.ext_dedup as ed
+
+    sf_big = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf_big, "documents.parquet")):
+        pytest.skip("sf0.1 fixture absent")
+    ed._LABELS_CACHE.clear()
+    try:
+        first = ed.dedup_cluster_labels(spark, sf_big)
+        assert ed.dedup_cluster_labels(spark, sf_big) is first
+        monkeypatch.setattr(ed, "_fixture_fingerprint", lambda _: "regenerated")
+        rebuilt = ed.dedup_cluster_labels(spark, sf_big)
+        assert rebuilt is not first
+        # the rebuilt entry is now the cached one
+        assert ed.dedup_cluster_labels(spark, sf_big) is rebuilt
+    finally:
+        ed._LABELS_CACHE.clear()
+
+
 def test_dedup_cluster_labels_shared_and_cached(spark):
     """q32 and q77 must ride ONE materialization of the cluster-label
     lineage (the round-6 driver bench ran the identical lineage twice,

@@ -18,7 +18,11 @@ def test_loadtest_report_and_bus_roundtrip(spark, tmp_path):
     assert rep["props_pairs"] == PROPS_SIZES["medium"] == 17
     assert rep["events_per_sec"] > 0
     # payloads landed on the bus, topics drawn from the reference set
-    payloads = spark.read.parquet(bus)
+    # (consume via the bus API: producers publish per-batch
+    # subdirectories, which a flat root read would not see)
+    from eventsgateway_spark.sources.kafka import FileBus
+
+    payloads = FileBus(spark, bus).consume_batch()
     assert payloads.count() == rep["sent"]
     topics = {r["topic"] for r in payloads.select("topic").distinct().collect()}
     allowed = {f"sv-uploads-{t}" for t in RANDOM_TOPICS} | {"sv-uploads-loadtest"}

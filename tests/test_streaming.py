@@ -392,6 +392,20 @@ def test_streaming_upsert_merges_and_replays_idempotently(spark, tmp_path):
     assert {
         r["id"]: r["name"] for r in read_events_table(spark, tbl).collect()
     }["b"] == "click_v2"
+    # exact (order_col, tiebreak) tie: the SOURCE row beats the
+    # incumbent — same rule as the Delta MERGE path's `s.x >= t.x`
+    # condition, so the two sinks agree on ties (ADVICE r7). Same
+    # serverTimestamp and name as the stored b row, different props
+    # column (clientTimestamp here): the new row must land.
+    merge_batch(
+        spark,
+        spark.createDataFrame([("b", "click_v2", _mins(7), _mins(9))], schema),
+        tbl,
+    )
+    assert {
+        r["id"]: r["clientTimestamp"]
+        for r in read_events_table(spark, tbl).collect()
+    }["b"] == _mins(7)
 
 
 def test_compact_partition_shrinks_files_keeps_rows(spark, tmp_path):
