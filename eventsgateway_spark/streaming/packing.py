@@ -19,12 +19,18 @@ with q73, so the two cannot drift; parity is pinned by
 tests/test_streaming.py.
 
 Replay protocol (foreachBatch is at-least-once): the state file
-records (batch_id, offset_before, offset_after). A re-delivered
-batch_id (crash between sink write and checkpoint commit — only the
-LAST batch can replay) is packed again from ``offset_before`` and
-rewrites its own batch_id partition via dynamic overwrite, converging
-to the identical output; state publication is an ``os.replace`` of a
-single JSON file, atomic on POSIX."""
+records (batch_id, offset_before, offset_after) plus the max doc_id
+before/after the batch. A re-delivered batch_id (crash between sink
+write and checkpoint commit — only the LAST batch can replay) is
+packed again from ``offset_before`` and rewrites its own batch_id
+partition via dynamic overwrite, converging to the identical output;
+state publication is an ``os.replace`` of a single JSON file, atomic
+on POSIX.
+
+The ordering contract is ENFORCED, not assumed (VERDICT r7): each
+batch's min(doc_id) must exceed the carried max doc_id watermark, so
+an out-of-order source fails the stream loudly instead of silently
+producing packing that no longer equals batch q73."""
 
 from __future__ import annotations
 
@@ -46,9 +52,20 @@ STATE_FILE = "PACK_STATE.json"
 def _read_state(root: str) -> dict:
     path = os.path.join(root, STATE_FILE)
     if not os.path.exists(path):
-        return {"batch_id": -1, "offset_before": 0, "offset_after": 0}
+        return {
+            "batch_id": -1,
+            "offset_before": 0,
+            "offset_after": 0,
+            "max_doc_before": None,
+            "max_doc_after": None,
+        }
     with open(path) as f:
-        return json.load(f)
+        state = json.load(f)
+    # state files written before the ordering guard lack the doc
+    # watermark: treat as unknown (guard arms from the next batch on)
+    state.setdefault("max_doc_before", None)
+    state.setdefault("max_doc_after", None)
+    return state
 
 
 def _write_state(root: str, state: dict) -> None:
@@ -98,9 +115,27 @@ def stream_pack(
             return  # stale replay older than the last applied batch
         if batch_id == state["batch_id"]:
             base = state["offset_before"]  # re-delivered last batch
+            high = state["max_doc_before"]
         else:
             base = state["offset_after"]
+            high = state["max_doc_after"]
         batch = batch_df.localCheckpoint()  # packed sink + token count
+        # Ordering guard (VERDICT r7): exactness vs batch q73 requires
+        # cross-batch arrival in the global doc_id order. An
+        # out-of-order source would silently produce non-q73-equal
+        # packing, so fail LOUDLY instead — the caller either fixes the
+        # source ordering or accepts arrival-order packing by routing
+        # through a fresh state_root per epoch.
+        lo, hi = batch.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+        if lo is None:
+            return  # empty batch: nothing to pack, state unchanged
+        if high is not None and lo <= high:
+            raise ValueError(
+                f"stream_pack ordering contract violated: batch {batch_id} "
+                f"contains doc_id {lo} <= already-packed max doc_id {high}; "
+                "the packed output would no longer equal batch q73 over the "
+                "concatenated corpus (see module docstring)"
+            )
         packed = pack_batch(batch, base).localCheckpoint()
         (
             packed.withColumn("batch_id", F.lit(batch_id))
@@ -116,6 +151,8 @@ def stream_pack(
                 "batch_id": batch_id,
                 "offset_before": base,
                 "offset_after": base + int(n_tokens),
+                "max_doc_before": high,
+                "max_doc_after": int(hi),
             },
         )
 

@@ -1200,3 +1200,53 @@ def test_stream_packing_replay_converges(spark, tmp_path):
     apply(b1, 1)  # replay the last batch
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == snap
     assert P._read_state(state_root)["offset_after"] == after
+
+
+def test_stream_packing_rejects_out_of_order_batches(spark, tmp_path):
+    """The exactness contract (cross-batch arrival in global doc_id
+    order) is ENFORCED: a source delivering a later batch with earlier
+    doc_ids fails the stream loudly instead of silently producing
+    packing that no longer equals batch q73 (VERDICT r7)."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from eventsgateway_spark.streaming.packing import stream_pack
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 40) for i in range(8)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 0 carries the HIGH doc_ids, batch 1 the LOW ones — the
+    # mtimes order the file source so the violation lands in batch 1
+    import time as _time
+
+    parts = [docs.filter(F.col("doc_id") >= 4), docs.filter(F.col("doc_id") < 4)]
+    for i, part in enumerate(parts):
+        tmp = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.parquet(tmp)
+        (pf,) = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        dst = os.path.join(src, f"part-{i}.parquet")
+        os.rename(os.path.join(tmp, pf), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_pack(
+        stream,
+        str(tmp_path / "packed"),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    with pytest.raises(StreamingQueryException, match="ordering contract"):
+        q.awaitTermination(300)
+    # batch 0 landed before the guard tripped; batch 1 never did
+    batches = {
+        r.batch_id
+        for r in spark.read.parquet(str(tmp_path / "packed"))
+        .select("batch_id").distinct().collect()
+    }
+    assert batches == {0}
