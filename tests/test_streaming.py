@@ -1250,3 +1250,154 @@ def test_stream_packing_rejects_out_of_order_batches(spark, tmp_path):
         .select("batch_id").distinct().collect()
     }
     assert batches == {0}
+
+
+def test_stream_training_order_equals_batch_q76(spark, tmp_path):
+    """VERDICT r7 #6: stream-accumulated training order must equal
+    batch q76 on the same corpus when each source's docs arrive in the
+    batch query's per-source (md5, doc_id) order — the carried
+    per-source rank counters are exact, not approximate."""
+    import hashlib
+
+    from eventsgateway_spark.queries import QUERIES
+    from eventsgateway_spark.queries._util import table as _table
+    from eventsgateway_spark.queries.ext_sampling import mixture_weights
+    from eventsgateway_spark.streaming.interleave import stream_training_order
+
+    docs_full = _table(spark, SF_ORACLE, "documents")
+    weights = {
+        r["source"]: int(r["weight_ppm"])
+        for r in mixture_weights(docs_full).collect()
+    }
+    rows = sorted(
+        [(r["source"], r["doc_id"]) for r in
+         docs_full.select("source", "doc_id").collect()],
+        key=lambda t: (hashlib.md5(str(t[1]).encode()).hexdigest(), t[1]),
+    )
+    # global (h, doc_id) order => every source's subsequence is in its
+    # per-source hash order; cut into 3 future micro-batches
+    n = len(rows)
+    parts = [rows[: n // 3], rows[n // 3 : 2 * n // 3], rows[2 * n // 3 :]]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, part in enumerate(parts):
+        tmp = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(part, "source string, doc_id long").coalesce(
+            1
+        ).write.parquet(tmp)
+        (pf,) = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        dst = os.path.join(src, f"part-{i}.parquet")
+        os.rename(os.path.join(tmp, pf), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("source string, doc_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_training_order(
+        stream,
+        weights,
+        str(tmp_path / "ordered"),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.source, r.doc_id): (r.rk, r.vt)
+        for r in spark.read.parquet(str(tmp_path / "ordered")).collect()
+    }
+    want = {
+        (r.source, r.doc_id): (r.rk, r.vt)
+        for r in QUERIES["q76_training_order"](spark, SF_ORACLE).collect()
+    }
+    assert got == want
+    batches = {
+        r.batch_id
+        for r in spark.read.parquet(str(tmp_path / "ordered"))
+        .select("batch_id").distinct().collect()
+    }
+    assert batches == {0, 1, 2}
+
+
+def test_stream_training_order_rejects_out_of_order(spark, tmp_path):
+    """A later batch carrying a doc that sorts at-or-below its source's
+    high-water mark fails the stream loudly (enforced contract, not
+    silent drift)."""
+    import hashlib
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from eventsgateway_spark.streaming.interleave import stream_training_order
+
+    rows = sorted(
+        [("a", i) for i in range(8)],
+        key=lambda t: (hashlib.md5(str(t[1]).encode()).hexdigest(), t[1]),
+    )
+    # batch 0 gets the LATER half of the hash order, batch 1 the earlier
+    parts = [rows[4:], rows[:4]]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, part in enumerate(parts):
+        tmp = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(part, "source string, doc_id long").coalesce(
+            1
+        ).write.parquet(tmp)
+        (pf,) = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        dst = os.path.join(src, f"part-{i}.parquet")
+        os.rename(os.path.join(tmp, pf), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("source string, doc_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_training_order(
+        stream,
+        {"a": 500_000},
+        str(tmp_path / "ordered"),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    with pytest.raises(StreamingQueryException, match="ordering contract"):
+        q.awaitTermination(300)
+    batches = {
+        r.batch_id
+        for r in spark.read.parquet(str(tmp_path / "ordered"))
+        .select("batch_id").distinct().collect()
+    }
+    assert batches == {0}
+
+
+def test_stream_training_order_replay_converges(spark, tmp_path):
+    """At-least-once replay of the LAST batch re-ranks from the
+    ``before`` counters/marks and rewrites its own partition —
+    identical output, no double-advance of any source's rank."""
+    import hashlib
+
+    from eventsgateway_spark.streaming import interleave as I
+
+    rows = sorted(
+        [("a", i) for i in range(6)] + [("b", i) for i in range(100, 104)],
+        key=lambda t: (hashlib.md5(str(t[1]).encode()).hexdigest(), t[1]),
+    )
+    b0 = spark.createDataFrame(rows[:5], "source string, doc_id long")
+    b1 = spark.createDataFrame(rows[5:], "source string, doc_id long")
+    weights = {"a": 600_000, "b": 400_000}
+    out = str(tmp_path / "out")
+    state_root = str(tmp_path / "state")
+
+    I.apply_interleave_batch(b0, 0, weights, out, state_root)
+    I.apply_interleave_batch(b1, 1, weights, out, state_root)
+    snap = sorted(map(tuple, spark.read.parquet(out).collect()))
+    after = I._read_state(state_root)["ranks_after"]
+    I.apply_interleave_batch(b1, 1, weights, out, state_root)  # replay
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == snap
+    assert I._read_state(state_root)["ranks_after"] == after
+    # a stale replay older than the last batch is ignored outright
+    I.apply_interleave_batch(b0, 0, weights, out, state_root)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == snap
