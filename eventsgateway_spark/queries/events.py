@@ -713,7 +713,9 @@ def q55_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM w LEFT JOIN events e ON e.user_id = w.user_id
                 AND e.event_type = 'error' AND e.ts > w.t1 AND e.ts < w.t3
              GROUP BY 1)
-    SELECT w.user_id, w.t1 AS signup_ts, w.t3 AS purchase_ts,
+    SELECT w.user_id,
+           strftime(w.t1, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts,
+           strftime(w.t3, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
            (epoch_us(w.t3) - epoch_us(w.t1)) // 1000000 AS secs_to_convert
     FROM w JOIN errs ON w.user_id = errs.user_id
     WHERE errs.n_err = 0
@@ -728,7 +730,11 @@ def q59_clean_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (t1, t3) window — the anti-pattern scan stays an equi-join on
     user_id with a time-range predicate, never a sequence explode.
     Conversion latency is exact integer seconds (µs difference, both
-    engines integer-divide)."""
+    engines integer-divide). Timestamps are projected as formatted
+    strings (_util contract: no bare TIMESTAMP outputs — collect()
+    renders TimestampType through the PROCESS timezone, so a bare
+    column drifts under a non-UTC driver TZ; date_format runs JVM-side
+    under the pinned UTC session zone and is TZ-independent)."""
     ev = table(spark, sf_dir, "events")
     s = (
         ev.filter(F.col("event_type") == "signup")
@@ -761,8 +767,8 @@ def q59_clean_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_err") == 0)
         .select(
             "user_id",
-            F.col("t1").alias("signup_ts"),
-            F.col("t3").alias("purchase_ts"),
+            F.date_format("t1", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("signup_ts"),
+            F.date_format("t3", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
             F.expr("(unix_micros(t3) - unix_micros(t1)) div 1000000").alias(
                 "secs_to_convert"
             ),

@@ -140,3 +140,27 @@ def test_rotated_members_run_first():
     order = list(Q.DECLARED_QUERIES)
     rotated = {g[Q.current_round() % len(g)] for g in Q.ROTATION}
     assert set(order[: len(rotated)]) == rotated
+
+
+def test_no_bare_timestamp_output_columns(spark):
+    """_util contract: no registered query may project a bare
+    TIMESTAMP — collect() renders TimestampType through the PROCESS
+    timezone (not the session zone), so a bare column silently drifts
+    from the DuckDB oracle whenever the driver runs under a non-UTC
+    TZ. Caught live by the round-8 hostile-TZ sweep (q59); this pins
+    the contract for every query, declared or not."""
+    from pyspark.sql.types import TimestampType
+
+    from tests.conftest import SF_SMALL
+
+    offenders = []
+    for name, fn in sorted(Q.QUERIES.items()):
+        schema = fn(spark, SF_SMALL).schema
+        bad = [f.name for f in schema.fields
+               if isinstance(f.dataType, TimestampType)]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, (
+        "bare TIMESTAMP output columns (project DATE or a "
+        f"date_format string instead): {offenders}"
+    )
