@@ -155,9 +155,140 @@ def run_pipeline_throughput(
     return report
 
 
+# metrics/metrics.go:53 — the reference's response-time histogram
+# buckets (ms); reported cumulatively (Prometheus `le` semantics).
+LATENCY_BUCKETS_MS = (10.0, 30.0, 50.0, 100.0, 500.0)
+
+
+def run_grpc_loadtest(
+    spark: SparkSession,
+    threads: int = 15,
+    duration_s: float = 60.0,
+    sleep_ceiling_ms: int = 500,
+    props_size: str = "small",
+    batch_size: int = 50,  # client/async.go:59 default
+    bus_root: str | None = None,
+    seed: int = 0,
+    transport: str = "auto",
+) -> dict:
+    """Reference workload through the served gRPC surface, reported as
+    the reference's per-RPC latency histogram ({10,30,50,100,500} ms,
+    metrics/metrics.go:53) plus events/sec.
+
+    Each batch is a real ``SendEventsRequest`` on the proto3 wire —
+    uuid request id + retry=0 + ``batch_size`` events, exactly what the
+    reference async client flushes (client/async.go:199-254) — and each
+    response's FailureIndexes are decoded off the wire. Transports:
+
+    - ``"socket"`` — serve_ingest_grpc + a grpcio channel (requires the
+      public grpcio package; ImportError where absent).
+    - ``"inproc"`` — dependency-free: client-encode -> server-decode ->
+      real ingest pipeline -> response-encode -> client-decode. Same
+      bytes, same handlers, no socket; what this container can run.
+    - ``"auto"`` — socket when grpcio is importable, else inproc.
+    """
+    from eventsgateway_spark import ingest_grpc
+    from eventsgateway_spark.ingest_http import ingest_events
+
+    rng = random.Random(seed)
+    n_pairs = PROPS_SIZES[props_size]
+    per_thread = max(1, int(duration_s * 1000 / (max(sleep_ceiling_ms, 1) / 2)))
+    base_ts = 1_690_000_000_000
+    events: list[dict] = []
+    for _ in range(threads):
+        for _ in range(per_thread):
+            events.append({
+                # client.go:231-240 buildEvent: uuid id, client-side topic
+                "id": str(uuid.UUID(int=rng.getrandbits(128), version=4)),
+                "name": "load test event",
+                "topic": ("loadtest" if rng.random() < 0.5
+                          else rng.choice(RANDOM_TOPICS)),
+                "props": {
+                    str(uuid.UUID(int=rng.getrandbits(128), version=4)):
+                    str(uuid.UUID(int=rng.getrandbits(128), version=4))
+                    for _ in range(n_pairs)
+                },
+                "timestamp": base_ts + len(events),
+            })
+    requests = [
+        ingest_grpc.encode_send_events_request(
+            events[i:i + batch_size],
+            request_id=str(uuid.UUID(int=rng.getrandbits(128), version=4)),
+            retry=0,
+        )
+        for i in range(0, len(events), batch_size)
+    ]
+
+    sink = None
+    bus = None
+    if bus_root is not None:
+        bus = FileBus(spark, bus_root)
+        sink = bus.produce
+
+    if transport == "auto":
+        transport = "socket" if ingest_grpc.grpc_available() else "inproc"
+
+    latencies_ms: list[float] = []
+    n_failed = 0
+    if transport == "socket":
+        import grpc
+
+        server, port = ingest_grpc.serve_ingest_grpc(spark, sink=sink)
+        try:
+            channel = grpc.insecure_channel(f"127.0.0.1:{port}")
+            call = channel.unary_unary(
+                f"/{ingest_grpc.DEFAULT_SERVICE}/SendEvents",
+                request_serializer=lambda b: b,
+                response_deserializer=lambda b: b,
+            )
+            t_all = time.perf_counter()
+            for raw in requests:
+                t0 = time.perf_counter()
+                resp = call(raw)
+                latencies_ms.append((time.perf_counter() - t0) * 1000)
+                n_failed += len(ingest_grpc.decode_send_events_response(resp))
+            wall = time.perf_counter() - t_all
+            channel.close()
+        finally:
+            server.stop(0)
+    elif transport == "inproc":
+        t_all = time.perf_counter()
+        for raw in requests:
+            t0 = time.perf_counter()
+            req = ingest_grpc.decode_send_events_request_full(raw)
+            fail, _ = ingest_events(spark, req["events"], sink)
+            resp = ingest_grpc.encode_send_events_response(fail)
+            latencies_ms.append((time.perf_counter() - t0) * 1000)
+            n_failed += len(ingest_grpc.decode_send_events_response(resp))
+        wall = time.perf_counter() - t_all
+    else:
+        raise ValueError(f"unknown transport {transport!r}")
+
+    hist = {f"{b:g}": sum(1 for m in latencies_ms if m <= b)
+            for b in LATENCY_BUCKETS_MS}
+    hist["+Inf"] = len(latencies_ms)
+    report = {
+        "transport": transport,
+        "sent": len(events),
+        "requests": len(requests),
+        "batch_size": batch_size,
+        "ingested_ok": len(events) - n_failed,
+        "rejected": n_failed,
+        "duration_s": round(wall, 3),
+        "events_per_sec": round((len(events) - n_failed) / wall, 1)
+        if wall > 0 else float("inf"),
+        "latency_ms_buckets": hist,
+        "props_pairs": n_pairs,
+    }
+    print(f"Sent {len(events)} events in {wall:.2f}s over "
+          f"{len(requests)} {transport} RPCs")
+    return report
+
+
 if __name__ == "__main__":
     from eventsgateway_spark.session import get_spark
 
     s = get_spark("loadtest")
     print(run_loadtest(s, duration_s=5.0))
+    print(run_grpc_loadtest(s, duration_s=5.0))
     s.stop()

@@ -50,3 +50,47 @@ def test_pipeline_throughput_probe(spark, tmp_path):
     rec = decode_event(bytes(one["value"]))
     assert rec["name"] == "load test event" and len(rec["props"]) == 11
     assert one["topic"].startswith("sv-uploads-")
+
+
+def test_grpc_loadtest_inproc_histogram_and_bus(spark, tmp_path):
+    """run_grpc_loadtest drives real SendEventsRequest wire bytes
+    through the server-side codec + pipeline and reports the
+    reference's {10,30,50,100,500} ms latency histogram
+    (metrics/metrics.go:53). transport="auto" resolves to the
+    dependency-free in-proc path in this container."""
+    from eventsgateway_spark.sources.kafka import FileBus
+    from eventsgateway_spark.tools.loadtest import run_grpc_loadtest
+
+    bus = str(tmp_path / "bus")
+    rep = run_grpc_loadtest(
+        spark, threads=3, duration_s=1.0, props_size="small",
+        batch_size=5, bus_root=bus, seed=11,
+    )
+    assert rep["transport"] == "inproc"  # grpcio absent here
+    assert rep["sent"] == 3 * 4 and rep["requests"] == 3  # ceil(12/5)
+    assert rep["ingested_ok"] == rep["sent"] and rep["rejected"] == 0
+    # cumulative buckets: monotone, +Inf == total requests
+    hist = rep["latency_ms_buckets"]
+    counts = [hist["10"], hist["30"], hist["50"], hist["100"],
+              hist["500"], hist["+Inf"]]
+    assert counts == sorted(counts) and counts[-1] == rep["requests"]
+    # payloads really landed (wire id survived the full path)
+    payloads = FileBus(spark, bus).consume_batch()
+    assert payloads.count() == rep["sent"]
+
+
+def test_grpc_loadtest_counts_rejects(spark):
+    """A request whose decoded events include an invalid one reports it
+    via FailureIndexes, and the report separates ok from rejected."""
+    from eventsgateway_spark import ingest_grpc
+    from eventsgateway_spark.ingest_http import ingest_events
+
+    events = [
+        {"id": "a", "name": "ok", "topic": "t", "props": {}, "timestamp": 1},
+        {"id": "b", "name": "", "topic": "t", "props": {}, "timestamp": 1},
+    ]
+    raw = ingest_grpc.encode_send_events_request(events, request_id="r", retry=1)
+    req = ingest_grpc.decode_send_events_request_full(raw)
+    assert req["retry"] == 1 and len(req["events"]) == 2
+    fail, reasons = ingest_events(spark, req["events"], None)
+    assert fail == [1] and reasons[1]
