@@ -150,6 +150,10 @@ ROTATION: list[tuple[str, ...]] = [
     # q77 (leakage-safe split) debuts even-phase; slot-mate q29 is a
     # demoted Q19 static (q30/q31/q32 keep the family declared).
     ("q77_leakage_safe_split", "q29_exact_dedup_groups"),
+    # q78 (Gopher char-fraction repetition filters) debuts even-phase
+    # (round 8); slot-mate q67 is a demoted Q21 static (q66/q68/q69
+    # keep the curation family declared every phase).
+    ("q78_repetition_filters", "q67_quality_rules"),
 ]
 
 # Approximate by nature (approx_count_distinct / HLL) — can never

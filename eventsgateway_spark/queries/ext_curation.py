@@ -196,6 +196,7 @@ _EN_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
 @query(
     "q67_quality_rules",
+    declared=False,  # rotation-pool member (pair with q78, odd phase)
     oracle=f"""
     WITH t AS (
         SELECT lang, {_DUCK_TOKS} AS toks FROM documents
@@ -487,4 +488,134 @@ def q69_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         top10.withColumn("rank", F.row_number().over(w))
         .select("rank", "doc_id", "score")
         .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q78 — Gopher repetition filters (char-fraction rules + keep verdict)
+# ---------------------------------------------------------------------------
+# The two character-weighted repetition rules from the public Gopher
+# corpus-filtering recipe (Rae et al. 2021, "Scaling Language Models",
+# table A1): drop a document when the single most frequent 2-gram
+# covers > 20% of its characters, or when 5-grams occurring more than
+# once cover > 15% of its characters. Distinct from q56's trigram
+# dup-RATIO: these weight by characters (so one long repeated phrase
+# trips the rule even when the distinct-gram ratio looks healthy) and
+# produce a keep/drop verdict at the published thresholds. Coverage is
+# computed over occurrences (count x gram length) — the deterministic
+# integer form of the rule; both engines integer-divide to ppm, so the
+# comparison is exact. Most-frequent-gram ties break by (count desc,
+# gram length desc, gram asc) in both engines.
+
+TOP2_MAX_PPM = 200_000  # 0.20 — Gopher top-2-gram char fraction
+DUP5_MAX_PPM = 150_000  # 0.15 — Gopher dup-5-gram char fraction
+
+
+@query(
+    "q78_repetition_filters",
+    declared=False,  # rotation-pool member (pair with q67, even phase)
+    oracle=f"""
+    WITH t AS (SELECT doc_id, length(text) AS n_chars, {_DUCK_TOKS} AS toks
+               FROM documents),
+    g2 AS (SELECT doc_id, n_chars,
+                  unnest(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1])) AS g
+           FROM t),
+    c2 AS (SELECT doc_id, n_chars, g, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2, 3),
+    top2 AS (SELECT doc_id,
+                    CAST(cnt * length(g) * 1000000 // n_chars AS BIGINT) AS top2_ppm
+             FROM (SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY cnt DESC, length(g) DESC, g) AS rn
+                   FROM c2)
+             WHERE rn = 1),
+    g5 AS (SELECT doc_id, n_chars,
+                  unnest(list_transform(range(1, len(toks) - 3),
+                                        i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                                             toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                                             toks[i+4])) AS g
+           FROM t),
+    c5 AS (SELECT doc_id, n_chars, g, COUNT(*) AS cnt FROM g5 GROUP BY 1, 2, 3),
+    dup5 AS (SELECT doc_id,
+                    CAST(COALESCE(SUM(CASE WHEN cnt > 1
+                                           THEN cnt * length(g) END), 0)
+                         * 1000000 // MAX(n_chars) AS BIGINT) AS dup5_ppm
+             FROM c5 GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_toks,
+           COALESCE(top2.top2_ppm, 0) AS top2_ppm,
+           COALESCE(dup5.dup5_ppm, 0) AS dup5_ppm,
+           (COALESCE(top2.top2_ppm, 0) <= {TOP2_MAX_PPM}
+            AND COALESCE(dup5.dup5_ppm, 0) <= {DUP5_MAX_PPM}) AS keep
+    FROM documents d
+    JOIN t ON t.doc_id = d.doc_id
+    LEFT JOIN top2 ON top2.doc_id = d.doc_id
+    LEFT JOIN dup5 ON dup5.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q78_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher char-fraction repetition rules per document (docstring
+    above the @query block). Shape: one tokenization, two explode →
+    (doc, gram) hash-aggregates — the same scalable explode/agg spine
+    as q24/q56, never a self-join; the per-doc top-1 window partitions
+    by doc_id (bounded by document length, skew-free). Left joins keep
+    short docs (no 2-grams / 5-grams) with zero coverage. All integer
+    math (ppm via integer division) — exact cross-engine."""
+    from eventsgateway_spark.functions.text import ngrams
+
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        tokens("text").alias("toks"),
+    )
+    # cache-free: base is re-read per branch but the scan+split is
+    # cheaper than a shuffle-backed materialization at fixture scale,
+    # and at cluster scale the two branches pipeline off one shuffle
+    # stage each (explode feeds straight into its own hash aggregate)
+    c2 = (
+        base.select("doc_id", "n_chars", F.explode(ngrams(F.col("toks"), 2)).alias("g"))
+        .groupBy("doc_id", "n_chars", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("cnt"), F.desc(F.length("g")), F.asc("g")
+    )
+    top2 = (
+        c2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.expr("CAST(cnt * length(g) * 1000000 div n_chars AS BIGINT)").alias(
+                "top2_ppm"
+            ),
+        )
+    )
+    c5 = (
+        base.select("doc_id", "n_chars", F.explode(ngrams(F.col("toks"), 5)).alias("g"))
+        .groupBy("doc_id", "n_chars", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dup5 = c5.groupBy("doc_id").agg(
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt * length(g) END), 0)"
+            " * 1000000 div MAX(n_chars) AS BIGINT)"
+        ).alias("dup5_ppm")
+    )
+    return (
+        base.select("doc_id", F.size("toks").cast("bigint").alias("n_toks"))
+        .join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce("top2_ppm", F.lit(0)).alias("top2_ppm"),
+            F.coalesce("dup5_ppm", F.lit(0)).alias("dup5_ppm"),
+            (
+                (F.coalesce("top2_ppm", F.lit(0)) <= TOP2_MAX_PPM)
+                & (F.coalesce("dup5_ppm", F.lit(0)) <= DUP5_MAX_PPM)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
     )

@@ -57,6 +57,7 @@ FAMILIES: dict[str, list[str]] = {
         "q67_quality_rules",
         "q68_shard_manifest",
         "q69_bm25_topk",
+        "q78_repetition_filters",
     ],
     "sampling": [
         "q47_hash_split",
