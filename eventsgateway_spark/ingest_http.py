@@ -127,7 +127,20 @@ def ingest_events(
         return [], {}
     rows, reasons = _wire_rows(events)
     if rows:
-        wire = spark.createDataFrame(rows, _HTTP_WIRE_SCHEMA)
+        # ONE partition per request: the default createDataFrame slices
+        # a request's handful of rows across defaultParallelism (32
+        # locally), so every serving action schedules 32 tasks — each
+        # with a Python-worker round for the Avro encode — and the bus
+        # write commits 32 part files. A single explicit slice makes
+        # each request one task and one part file end-to-end (measured
+        # 4.1-6.7 s -> 1.6-1.9 s per 50-event RPC on an idle local[32];
+        # coalesce(1) is NOT equivalent — its unioned parent locality
+        # preferences stall task placement on spark.locality.wait,
+        # measured ~5 s/action). Backfill stays on the partitioned
+        # file/Kafka source path (module docstring), never this one.
+        wire = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), _HTTP_WIRE_SCHEMA
+        )
         res: IngestResult = ingest(spark, wire, max_message_bytes=max_message_bytes)
         side = res.quarantine.select("_idx", "reject_reason").unionByName(
             res.oversized.select("_idx", "reject_reason")
