@@ -37,6 +37,24 @@ RANDOM_TOPICS = ["clemente", "sussie", "fay", "mallie", "vern", "kramer", "costa
 PROPS_SIZES = {"small": 11, "medium": 17, "large": 29, "jumbo": 37}
 
 
+def _workload(rng, threads: int, duration_s: float, sleep_ceiling_ms: int,
+              n_pairs: int):
+    """Yield (topic_or_None, props) for the reference workload — the
+    ONE definition both load tests draw from, so their event streams
+    cannot drift apart: ``threads`` producers × duration/mean-sleep
+    events each (U(0, ceiling)/2; ceiling 0 is a legal "no pacing"
+    config → 1 ms floor instead of dividing by zero, runner.go), uuid→
+    uuid props pairs, and a 50/50 split between the default topic
+    (None) and the reference's 7 random topics (runner.go:92-136)."""
+    per_thread = max(1, int(duration_s * 1000 / (max(sleep_ceiling_ms, 1) / 2)))
+    for _ in range(threads):
+        for _ in range(per_thread):
+            props = {str(uuid.UUID(int=rng.getrandbits(128), version=4)):
+                     str(uuid.UUID(int=rng.getrandbits(128), version=4))
+                     for _ in range(n_pairs)}
+            yield (None if rng.random() < 0.5 else rng.choice(RANDOM_TOPICS)), props
+
+
 def run_loadtest(
     spark: SparkSession,
     threads: int = 15,  # config/local.yaml:30
@@ -51,24 +69,14 @@ def run_loadtest(
     (also printed in the reference's format)."""
     rng = random.Random(seed)
     n_pairs = PROPS_SIZES[props_size]
-    # events per producer = duration / mean sleep (U(0, ceiling)/2);
-    # randSleepCeilingMs: 0 is a legal config meaning "no pacing" —
-    # treat it as a 1 ms floor instead of dividing by zero
-    per_thread = max(1, int(duration_s * 1000 / (max(sleep_ceiling_ms, 1) / 2)))
     gw = Gateway(spark, default_topic="loadtest")
     n_sent = 0
-    for _ in range(threads):
-        for _ in range(per_thread):
-            props = {str(uuid.UUID(int=rng.getrandbits(128), version=4)):
-                     str(uuid.UUID(int=rng.getrandbits(128), version=4))
-                     for _ in range(n_pairs)}
-            if rng.random() < 0.5:
-                gw.send("load test event", props)
-            else:
-                gw.send_to_topic(
-                    "load test event", rng.choice(RANDOM_TOPICS), props
-                )
-            n_sent += 1
+    for topic, props in _workload(rng, threads, duration_s, sleep_ceiling_ms, n_pairs):
+        if topic is None:
+            gw.send("load test event", props)
+        else:
+            gw.send_to_topic("load test event", topic, props)
+        n_sent += 1
     if bus_root is not None:
         # produce materializes the pipeline ONCE inside the timed
         # window; the verification COUNT runs after the clock stops
@@ -192,24 +200,18 @@ def run_grpc_loadtest(
 
     rng = random.Random(seed)
     n_pairs = PROPS_SIZES[props_size]
-    per_thread = max(1, int(duration_s * 1000 / (max(sleep_ceiling_ms, 1) / 2)))
     base_ts = 1_690_000_000_000
     events: list[dict] = []
-    for _ in range(threads):
-        for _ in range(per_thread):
-            events.append({
-                # client.go:231-240 buildEvent: uuid id, client-side topic
-                "id": str(uuid.UUID(int=rng.getrandbits(128), version=4)),
-                "name": "load test event",
-                "topic": ("loadtest" if rng.random() < 0.5
-                          else rng.choice(RANDOM_TOPICS)),
-                "props": {
-                    str(uuid.UUID(int=rng.getrandbits(128), version=4)):
-                    str(uuid.UUID(int=rng.getrandbits(128), version=4))
-                    for _ in range(n_pairs)
-                },
-                "timestamp": base_ts + len(events),
-            })
+    for topic, props in _workload(rng, threads, duration_s, sleep_ceiling_ms, n_pairs):
+        events.append({
+            # client.go:231-240 buildEvent: uuid id, client-side topic
+            # (the gRPC client stamps the topic itself; None = default)
+            "id": str(uuid.UUID(int=rng.getrandbits(128), version=4)),
+            "name": "load test event",
+            "topic": topic or "loadtest",
+            "props": props,
+            "timestamp": base_ts + len(events),
+        })
     requests = [
         ingest_grpc.encode_send_events_request(
             events[i:i + batch_size],
@@ -235,20 +237,23 @@ def run_grpc_loadtest(
 
         server, port = ingest_grpc.serve_ingest_grpc(spark, sink=sink)
         try:
-            channel = grpc.insecure_channel(f"127.0.0.1:{port}")
-            call = channel.unary_unary(
-                f"/{ingest_grpc.DEFAULT_SERVICE}/SendEvents",
-                request_serializer=lambda b: b,
-                response_deserializer=lambda b: b,
-            )
-            t_all = time.perf_counter()
-            for raw in requests:
-                t0 = time.perf_counter()
-                resp = call(raw)
-                latencies_ms.append((time.perf_counter() - t0) * 1000)
-                n_failed += len(ingest_grpc.decode_send_events_response(resp))
-            wall = time.perf_counter() - t_all
-            channel.close()
+            # `with` closes the channel even when an RPC raises mid-loop
+            # (RESOURCE_EXHAUSTED abort, transient UNAVAILABLE) — a bare
+            # close() after the loop would leak the channel's threads
+            # into the driver process on every failed bench invocation
+            with grpc.insecure_channel(f"127.0.0.1:{port}") as channel:
+                call = channel.unary_unary(
+                    f"/{ingest_grpc.DEFAULT_SERVICE}/SendEvents",
+                    request_serializer=lambda b: b,
+                    response_deserializer=lambda b: b,
+                )
+                t_all = time.perf_counter()
+                for raw in requests:
+                    t0 = time.perf_counter()
+                    resp = call(raw)
+                    latencies_ms.append((time.perf_counter() - t0) * 1000)
+                    n_failed += len(ingest_grpc.decode_send_events_response(resp))
+                wall = time.perf_counter() - t_all
         finally:
             server.stop(0)
     elif transport == "inproc":

@@ -56,17 +56,19 @@ def test_grpc_loadtest_inproc_histogram_and_bus(spark, tmp_path):
     """run_grpc_loadtest drives real SendEventsRequest wire bytes
     through the server-side codec + pipeline and reports the
     reference's {10,30,50,100,500} ms latency histogram
-    (metrics/metrics.go:53). transport="auto" resolves to the
-    dependency-free in-proc path in this container."""
+    (metrics/metrics.go:53). transport="inproc" is requested
+    explicitly so the codec path under test is deterministic even in
+    an environment where grpcio happens to be installed (the socket
+    transport has its own gated coverage in test_ingest_grpc)."""
     from eventsgateway_spark.sources.kafka import FileBus
     from eventsgateway_spark.tools.loadtest import run_grpc_loadtest
 
     bus = str(tmp_path / "bus")
     rep = run_grpc_loadtest(
         spark, threads=3, duration_s=1.0, props_size="small",
-        batch_size=5, bus_root=bus, seed=11,
+        batch_size=5, bus_root=bus, seed=11, transport="inproc",
     )
-    assert rep["transport"] == "inproc"  # grpcio absent here
+    assert rep["transport"] == "inproc"
     assert rep["sent"] == 3 * 4 and rep["requests"] == 3  # ceil(12/5)
     assert rep["ingested_ok"] == rep["sent"] and rep["rejected"] == 0
     # cumulative buckets: monotone, +Inf == total requests

@@ -149,16 +149,29 @@ def test_no_bare_timestamp_output_columns(spark):
     timezone (not the session zone), so a bare column silently drifts
     from the DuckDB oracle whenever the driver runs under a non-UTC
     TZ. Caught live by the round-8 hostile-TZ sweep (q59); this pins
-    the contract for every query, declared or not."""
-    from pyspark.sql.types import TimestampType
+    the contract for every query, declared or not. The check recurses
+    into arrays/structs/maps — collect() renders a NESTED
+    TimestampType element (e.g. collect_list('ts')) through the
+    process timezone exactly like a bare column."""
+    from pyspark.sql.types import ArrayType, MapType, StructType, TimestampType
 
     from tests.conftest import SF_SMALL
+
+    def has_ts(dt) -> bool:
+        if isinstance(dt, TimestampType):
+            return True
+        if isinstance(dt, ArrayType):
+            return has_ts(dt.elementType)
+        if isinstance(dt, MapType):
+            return has_ts(dt.keyType) or has_ts(dt.valueType)
+        if isinstance(dt, StructType):
+            return any(has_ts(f.dataType) for f in dt.fields)
+        return False
 
     offenders = []
     for name, fn in sorted(Q.QUERIES.items()):
         schema = fn(spark, SF_SMALL).schema
-        bad = [f.name for f in schema.fields
-               if isinstance(f.dataType, TimestampType)]
+        bad = [f.name for f in schema.fields if has_ts(f.dataType)]
         if bad:
             offenders.append((name, bad))
     assert not offenders, (
