@@ -156,10 +156,15 @@ ROTATION: list[tuple[str, ...]] = [
     ("q78_repetition_filters", "q67_quality_rules"),
 ]
 
-# Approximate by nature (approx_count_distinct / HLL) — can never
-# hash-match a DuckDB oracle, so they never burn a driver slot; their
-# correctness lives in pytest tolerance tests (tests/test_approx.py).
-ALWAYS_LOCAL = {"q23_approx_distinct_users", "q50_hll_sketch_rollup"}
+# Approximate by nature (approx_count_distinct / HLL / Bloom false
+# positives) — can never hash-match a DuckDB oracle, so they never burn
+# a driver slot; their correctness lives in pytest tolerance/invariant
+# tests (tests/test_approx.py, tests/test_bloom.py).
+ALWAYS_LOCAL = {
+    "q23_approx_distinct_users",
+    "q50_hll_sketch_rollup",
+    "q79_bloom_decontaminate",
+}
 
 # Used when neither the ROUND file nor any CORRECTNESS_r*.json is
 # present (should not happen on a committed checkout — ROUND is in git).

@@ -497,6 +497,52 @@ def q53_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q79 — Bloom-filter decontamination screen (q53's 100 TB form)
+# ---------------------------------------------------------------------------
+
+BLOOM_FPP = 1e-4  # gram-level false-positive probability
+
+
+@query("q79_bloom_decontaminate", declared=False)  # approximate (FP > 0) — invariant-tested in tests/test_bloom.py, never hash-declared
+def q79_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination via a broadcast BLOOM FILTER instead of
+    q53's broadcast string join — the form that survives a 100M-gram
+    eval set (18 MB of bits at 0.1% FPP vs 3+ GB of strings; see
+    operators/bloom.py). Guarantees: zero false negatives — the flagged
+    set is a SUPERSET of q53's and per-doc ``n_flagged_grams >=``
+    q53's ``n_shared_grams`` (pinned by test_bloom.py); a ~BLOOM_FPP
+    fraction of clean grams over-flag, the safe direction for
+    decontamination. Corpus-side plan: one JVM projection (tokens ->
+    distinct 5-gram xxhash64, codegen) + one Arrow-batched numpy probe
+    — no explode, no join, NO shuffle at all (q53 shuffles nothing
+    either, but ships the gram strings; here the executors receive
+    only the bitset). Eval side: one distinct-hash aggregate, 8 bytes
+    per gram to the driver."""
+    from eventsgateway_spark.operators.bloom import (
+        bloom_probe_count_udf,
+        build_bloom,
+    )
+
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    with_toks = docs.select("doc_id", "source", tokens("text").alias("toks"))
+    gram_hashes = F.array_distinct(
+        F.transform(ngrams(F.col("toks"), DECON_N), lambda g: F.xxhash64(g))
+    )
+    eval_grams = (
+        with_toks.filter(F.col("source") == EVAL_SOURCE)
+        .select(F.explode(ngrams(F.col("toks"), DECON_N)).alias("g"))
+    )
+    bf = build_bloom(eval_grams, "g", fpp=BLOOM_FPP)
+    probe = bloom_probe_count_udf(spark, bf)
+    return (
+        with_toks.filter(F.col("source") != EVAL_SOURCE)
+        .select("doc_id", "source", probe(gram_hashes).alias("n_flagged_grams"))
+        .filter(F.col("n_flagged_grams") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q56 — within-document repetition (C4-style boilerplate signal)
 # ---------------------------------------------------------------------------
 
