@@ -55,6 +55,22 @@ def eval_gram_set(eval_docs: DataFrame) -> DataFrame:
     )
 
 
+def eval_gram_bloom(eval_docs: DataFrame, fpp: float = 1e-4):
+    """Bloom form of :func:`eval_gram_set` — the q79 posture for eval
+    sets too large to broadcast as strings (operators/bloom.py): build
+    once, pass as ``eval_bloom``. Zero false negatives, so a stream
+    screened through the bitset never leaks a contaminated document;
+    a ~fpp fraction of clean grams over-flags (safe direction)."""
+    from eventsgateway_spark.functions.text import ngrams, tokens
+    from eventsgateway_spark.operators.bloom import build_bloom
+    from eventsgateway_spark.queries.ext_text import DECON_N
+
+    grams = eval_docs.select(
+        F.explode(F.array_distinct(ngrams(tokens("text"), DECON_N))).alias("g")
+    )
+    return build_bloom(grams, "g", fpp=fpp)
+
+
 def corpus_prep_stream(
     doc_stream: DataFrame,
     corpus_docs: DataFrame | None,
@@ -64,16 +80,30 @@ def corpus_prep_stream(
     trigger_once: bool = False,
     index: CorpusIndex | None = None,
     eval_grams: DataFrame | None = None,
+    eval_bloom=None,
 ) -> StreamingQuery:
     """Run the curate → dedup-screen [→ decontaminate] pipeline on a
     document stream (columns ``doc_id``, ``text``); outputs land under
     ``{out_root}/{kept,quarantine,dups[,contaminated]}`` partitioned
-    by batch_id."""
+    by batch_id.
+
+    Decontamination takes exactly one of ``eval_grams`` (exact
+    broadcast gram join — q53) or ``eval_bloom`` (broadcast Bloom
+    bitset — q79's 100 TB posture; superset of the exact flag set)."""
+    if eval_grams is not None and eval_bloom is not None:
+        raise ValueError("pass eval_grams OR eval_bloom, not both")
     if index is None:
         if corpus_docs is None:
             raise ValueError("need corpus_docs or a prebuilt index")
         index = build_corpus_index(corpus_docs)
     idx = index
+    # Build the probe UDF ONCE — it broadcasts the bitset; per-batch
+    # construction would re-broadcast every micro-batch.
+    bloom_probe = None
+    if eval_bloom is not None:
+        from eventsgateway_spark.operators.bloom import bloom_probe_count_udf
+
+        bloom_probe = bloom_probe_count_udf(doc_stream.sparkSession, eval_bloom)
 
     def _route(batch_df: DataFrame, batch_id: int) -> None:
         from eventsgateway_spark.functions.text import tokens
@@ -154,6 +184,28 @@ def corpus_prep_stream(
             )
             contaminated = kept.join(dirty_ids, "doc_id")
             kept = kept.join(dirty_ids, "doc_id", "left_anti")
+            _idempotent_append(
+                contaminated, batch_id, f"{out_root}/contaminated"
+            )
+        elif bloom_probe is not None:
+            from eventsgateway_spark.functions.text import ngrams, tokens
+            from eventsgateway_spark.queries.ext_text import DECON_N
+
+            gram_hashes = F.array_distinct(
+                F.transform(
+                    ngrams(tokens("text"), DECON_N), lambda g: F.xxhash64(g)
+                )
+            )
+            # checkpointed so the probe evaluates once, not once per
+            # consuming split (same pattern as the other two-consumer
+            # frames in this batch function)
+            flagged = kept.withColumn(
+                "n_flagged", bloom_probe(gram_hashes)
+            ).localCheckpoint()
+            contaminated = flagged.filter(F.col("n_flagged") > 0).drop(
+                "n_flagged"
+            )
+            kept = flagged.filter(F.col("n_flagged") == 0).drop("n_flagged")
             _idempotent_append(
                 contaminated, batch_id, f"{out_root}/contaminated"
             )

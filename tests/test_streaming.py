@@ -969,6 +969,65 @@ def test_streaming_corpus_prep_decontaminates(spark, tmp_path):
     assert kept == {201} and cont == {200}
 
 
+def test_streaming_corpus_prep_bloom_decontaminates(spark, tmp_path):
+    """eval_bloom variant (q79's posture): same routing as the exact
+    eval_grams screen on the same corpus — the Bloom filter has zero
+    false negatives, so the dirty doc MUST route to contaminated/, and
+    at fpp=1e-4 with one clean doc the kept split stays clean. Also
+    pins the exclusivity contract (eval_grams + eval_bloom -> error)."""
+    import pytest
+
+    from eventsgateway_spark.streaming.corpus_prep import (
+        corpus_prep_stream,
+        eval_gram_bloom,
+        eval_gram_set,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "an unrelated corpus document that has a sufficient number of "
+             "tokens the a of and to is in it with many extra distinct words "
+             "for the quality floor")],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(900, "the secret benchmark question about spark shuffles appears here")],
+        "doc_id long, text string",
+    )
+    dirty = ("this training doc quotes the secret benchmark question about "
+             "spark shuffles appears here verbatim and the a of and to is in "
+             "it plus more filler words to pass quality")
+    clean = ("a perfectly ordinary clean document of more than twenty tokens "
+             "containing the a of and to is in it stopwords plus plenty of "
+             "distinct other words")
+    incoming = spark.createDataFrame(
+        [(200, dirty), (201, clean)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "in")
+    incoming.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(incoming.schema).parquet(src)
+    with pytest.raises(ValueError, match="not both"):
+        corpus_prep_stream(
+            stream,
+            corpus,
+            out_root=str(tmp_path / "out0"),
+            checkpoint=str(tmp_path / "ckpt0"),
+            eval_grams=eval_gram_set(eval_docs),
+            eval_bloom=eval_gram_bloom(eval_docs),
+        )
+    q = corpus_prep_stream(
+        stream,
+        corpus,
+        out_root=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_once=True,
+        eval_bloom=eval_gram_bloom(eval_docs),
+    )
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out/kept")).collect()}
+    cont = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out/contaminated")).collect()}
+    assert kept == {201} and cont == {200}
+
+
 def test_streaming_corpus_prep_within_batch_dedup(spark, tmp_path):
     """Stage-for-stage q60 parity (VERDICT r5 #6): near-dups and exact
     dups arriving INSIDE one micro-batch are deduped keep-first, not
