@@ -451,6 +451,25 @@ EVAL_SOURCE = "src0"  # the held-out "benchmark" corpus
 _DECON_GRAM = " || ' ' || ".join(f"toks[i+{j}]" for j in range(DECON_N))
 
 
+def decon_grams(text: F.Column | str) -> F.Column:
+    """Per-doc DISTINCT decontamination n-grams of a text column — THE
+    single definition of the contamination gram universe. Every screen
+    (batch q53/q79, streaming corpus_prep exact + Bloom variants) must
+    derive grams through this or :func:`decon_gram_hashes`; a screen
+    probing a different universe than the one its filter/set was built
+    from silently loses the zero-false-negative guarantee."""
+    return F.array_distinct(ngrams(tokens(text), DECON_N))
+
+
+def decon_gram_hashes(text: F.Column | str) -> F.Column:
+    """``xxhash64`` (default seed) of :func:`decon_grams` — the hash
+    universe the Bloom screen builds and probes. Hashing after the
+    per-doc distinct keeps the two derivations element-for-element
+    aligned (distinct-then-hash == hash-then-distinct for xxhash64's
+    practical collision-free range, and is cheaper)."""
+    return F.transform(decon_grams(text), lambda g: F.xxhash64(g))
+
+
 @query(
     "q53_decontaminate",
     oracle=f"""
@@ -478,11 +497,10 @@ def q53_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the eval gram set stays a broadcast (it scales with
     benchmark size, not corpus size)."""
     docs = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
-    with_toks = docs.select("doc_id", "source", tokens("text").alias("toks"))
-    grams = with_toks.select(
+    grams = docs.select(
         "doc_id",
         "source",
-        F.explode(F.array_distinct(ngrams(F.col("toks"), DECON_N))).alias("g"),
+        F.explode(decon_grams("text")).alias("g"),
     )
     eval_grams = (
         grams.filter(F.col("source") == EVAL_SOURCE).select("g").distinct()
@@ -524,19 +542,18 @@ def q79_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
-    with_toks = docs.select("doc_id", "source", tokens("text").alias("toks"))
-    gram_hashes = F.array_distinct(
-        F.transform(ngrams(F.col("toks"), DECON_N), lambda g: F.xxhash64(g))
-    )
-    eval_grams = (
-        with_toks.filter(F.col("source") == EVAL_SOURCE)
-        .select(F.explode(ngrams(F.col("toks"), DECON_N)).alias("g"))
+    eval_grams = docs.filter(F.col("source") == EVAL_SOURCE).select(
+        F.explode(decon_grams("text")).alias("g")
     )
     bf = build_bloom(eval_grams, "g", fpp=BLOOM_FPP)
     probe = bloom_probe_count_udf(spark, bf)
     return (
-        with_toks.filter(F.col("source") != EVAL_SOURCE)
-        .select("doc_id", "source", probe(gram_hashes).alias("n_flagged_grams"))
+        docs.filter(F.col("source") != EVAL_SOURCE)
+        .select(
+            "doc_id",
+            "source",
+            probe(decon_gram_hashes("text")).alias("n_flagged_grams"),
+        )
         .filter(F.col("n_flagged_grams") > 0)
         .orderBy("doc_id")
     )

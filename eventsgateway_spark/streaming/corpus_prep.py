@@ -40,16 +40,13 @@ from eventsgateway_spark.streaming.near_dup import (
 def eval_gram_set(eval_docs: DataFrame) -> DataFrame:
     """Distinct decontamination n-grams of a held-out eval corpus —
     benchmark-sized, so it broadcasts into every batch screen (q53's
-    posture). Build once, pass to :func:`corpus_prep_stream`."""
-    from eventsgateway_spark.functions.text import ngrams, tokens
-    from eventsgateway_spark.queries.ext_text import DECON_N
+    posture). Build once, pass to :func:`corpus_prep_stream`. Grams
+    derive from the ONE shared definition (ext_text.decon_grams) so
+    the screen and the set always cover the same universe."""
+    from eventsgateway_spark.queries.ext_text import decon_grams
 
     return (
-        eval_docs.select(
-            F.explode(
-                F.array_distinct(ngrams(tokens("text"), DECON_N))
-            ).alias("g")
-        )
+        eval_docs.select(F.explode(decon_grams("text")).alias("g"))
         .distinct()
         .localCheckpoint()
     )
@@ -61,13 +58,10 @@ def eval_gram_bloom(eval_docs: DataFrame, fpp: float = 1e-4):
     once, pass as ``eval_bloom``. Zero false negatives, so a stream
     screened through the bitset never leaks a contaminated document;
     a ~fpp fraction of clean grams over-flags (safe direction)."""
-    from eventsgateway_spark.functions.text import ngrams, tokens
     from eventsgateway_spark.operators.bloom import build_bloom
-    from eventsgateway_spark.queries.ext_text import DECON_N
+    from eventsgateway_spark.queries.ext_text import decon_grams
 
-    grams = eval_docs.select(
-        F.explode(F.array_distinct(ngrams(tokens("text"), DECON_N))).alias("g")
-    )
+    grams = eval_docs.select(F.explode(decon_grams("text")).alias("g"))
     return build_bloom(grams, "g", fpp=fpp)
 
 
@@ -167,14 +161,11 @@ def corpus_prep_stream(
         )
         kept = kept_all.join(best.select("doc_id"), "doc_id", "left_anti")
         if eval_grams is not None:
-            from eventsgateway_spark.functions.text import ngrams, tokens
-            from eventsgateway_spark.queries.ext_text import DECON_N
+            from eventsgateway_spark.queries.ext_text import decon_grams
 
             doc_grams = kept.select(
                 "doc_id",
-                F.explode(
-                    F.array_distinct(ngrams(tokens("text"), DECON_N))
-                ).alias("g"),
+                F.explode(decon_grams("text")).alias("g"),
             )
             dirty_ids = (
                 doc_grams.join(F.broadcast(eval_grams), "g")
@@ -188,19 +179,13 @@ def corpus_prep_stream(
                 contaminated, batch_id, f"{out_root}/contaminated"
             )
         elif bloom_probe is not None:
-            from eventsgateway_spark.functions.text import ngrams, tokens
-            from eventsgateway_spark.queries.ext_text import DECON_N
+            from eventsgateway_spark.queries.ext_text import decon_gram_hashes
 
-            gram_hashes = F.array_distinct(
-                F.transform(
-                    ngrams(tokens("text"), DECON_N), lambda g: F.xxhash64(g)
-                )
-            )
             # checkpointed so the probe evaluates once, not once per
             # consuming split (same pattern as the other two-consumer
             # frames in this batch function)
             flagged = kept.withColumn(
-                "n_flagged", bloom_probe(gram_hashes)
+                "n_flagged", bloom_probe(decon_gram_hashes("text"))
             ).localCheckpoint()
             contaminated = flagged.filter(F.col("n_flagged") > 0).drop(
                 "n_flagged"

@@ -97,6 +97,24 @@ def test_probe_udf_matches_driver_probe(spark):
         assert got[rid] == want, rid
 
 
+def test_probe_udf_reuses_broadcast_for_identical_filters(spark):
+    """Rebuilding the same filter (bench warm-up/timed runs, notebook
+    re-runs) must reuse ONE broadcast, not stack bitset copies."""
+    from eventsgateway_spark.operators import bloom as B
+
+    items = np.arange(1000, dtype=np.int64)
+    bf1 = B.bloom_from_hashes(items, fpp=1e-3)
+    bf2 = B.bloom_from_hashes(items, fpp=1e-3)  # equal content, new object
+    bc1 = B._broadcast_words(spark, bf1)
+    bc2 = B._broadcast_words(spark, bf2)
+    assert bc1 is bc2
+    # a different filter gets its own broadcast
+    bf3 = B.bloom_from_hashes(items[:500], fpp=1e-3)
+    assert B._broadcast_words(spark, bf3) is not bc1
+    # and the cache stays bounded
+    assert len(B._BCAST_CACHE) <= B._BCAST_KEEP
+
+
 def test_q79_flags_superset_of_exact_q53(spark):
     """The load-bearing invariant: zero false negatives vs the exact
     broadcast-join decontamination, and per-doc flagged-gram counts

@@ -3,7 +3,7 @@
 The driver evaluates at most 50 queries per round; the rotation must
 guarantee (a) the cap is met every round, (b) every query gets a
 driver correctness row with a gap of at most 2 rounds (except the
-by-nature-approximate ALWAYS_LOCAL pair), and (c) every §2 operator
+by-nature-approximate ALWAYS_LOCAL set), and (c) every §2 operator
 family keeps >=1 declared representative in every rotation phase.
 These are pure-registry tests — no Spark session needed.
 """
