@@ -26,8 +26,10 @@ stream. The hot-shingle prune is applied to BOTH sides (the q30
 semantics): batch shingles are anti-joined against the same hot list,
 so Jaccard numerator and denominators count the same shingle universe.
 New docs admitted to the corpus do NOT update the index mid-stream
-(batch-boundary consistency); rebuild or append to the index on the
-compaction cadence.
+(batch-boundary consistency); on the compaction cadence, admit them
+with :func:`append_corpus_index` (incremental, frozen hot list,
+per-doc idempotent, reports hot-list drift) and rebuild with
+:func:`save_corpus_index` when the reported drift grows.
 """
 
 from __future__ import annotations
@@ -93,7 +95,13 @@ def save_corpus_index(
     ``s``, so every micro-batch's candidate equi-join co-locates
     against the bucket layout and only the (small) batch side
     shuffles; the corpus is never reshuffled, never pinned in the
-    block manager, and survives session restarts."""
+    block manager, and survives session restarts.
+
+    Alongside the three query-side tables, ``{prefix}_df`` keeps
+    APPEND-ONLY partial document-frequency counts per shingle (bucketed
+    on ``s`` like the index). The query path never reads it; it exists
+    so :func:`append_corpus_index` can measure hot-list drift without
+    rescanning the corpus."""
     idx = build_corpus_index(corpus_docs, n, max_df)
     (
         idx.shingles.write.bucketBy(buckets, "s")
@@ -103,6 +111,108 @@ def save_corpus_index(
     )
     idx.hot.write.mode("overwrite").saveAsTable(f"{table_prefix}_hot")
     idx.sizes.write.mode("overwrite").saveAsTable(f"{table_prefix}_sizes")
+    # raw (pre-prune) df partials: the hot list's own counts must be
+    # included so drift math can compare future totals against the cap
+    raw_df = (
+        batch_shingles(corpus_docs, n)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_part"))
+    )
+    (
+        raw_df.write.bucketBy(buckets, "s")
+        .sortBy("s")
+        .mode("overwrite")
+        .saveAsTable(f"{table_prefix}_df")
+    )
+
+
+def append_corpus_index(
+    spark,
+    table_prefix: str,
+    new_docs: DataFrame,
+    buckets: int = 32,
+    n: int = SHINGLE_N,
+    max_df: int = MAX_SHINGLE_DF,
+) -> dict:
+    """Admit new documents into a SAVED index incrementally — the
+    "append on the compaction cadence" path the module contract names:
+    novel docs accepted by the stream accumulate in the index without
+    rebuilding it, so the next batches dedup against them too.
+
+    Semantics vs a full rebuild: the HOT LIST IS FROZEN at build time.
+    New shingles are pruned with the existing hot list (both sides of
+    every future Jaccard keep counting the same universe — the q30
+    consistency requirement), and shingles whose total df crosses the
+    cap only AFTER the freeze stay in the index until the next
+    :func:`save_corpus_index` rebuild. That staleness only adds
+    candidate-join work; it never splits the universe between the two
+    Jaccard sides. The returned ``n_drifted_hot`` counts such shingles
+    (computed from the ``_df`` partials, no corpus rescan) — rebuild
+    when it grows past tolerance.
+
+    Idempotent per document: doc_ids already present in ``_sizes`` are
+    dropped before any write, so replaying an append (crash between
+    the three table writes, at-least-once upstream) converges instead
+    of double-counting shingles. Appends use the SAME bucket spec as
+    the save, so the bucket co-location the query path relies on is
+    preserved (Spark refuses a mismatched ``buckets``)."""
+    existing = spark.table(f"{table_prefix}_sizes").select(
+        F.col("corpus_id").alias("doc_id")
+    )
+    docs = new_docs.join(existing, "doc_id", "left_anti").localCheckpoint()
+    n_new_docs = docs.count()
+    if n_new_docs == 0:
+        return {"n_new_docs": 0, "n_new_shingles": 0, "n_drifted_hot": _drifted_hot(spark, table_prefix, max_df)}
+    raw = batch_shingles(docs, n).localCheckpoint()
+    hot = spark.table(f"{table_prefix}_hot")
+    pruned = raw.join(F.broadcast(hot), "s", "left_anti").localCheckpoint()
+    n_new_shingles = pruned.count()
+    (
+        pruned.write.bucketBy(buckets, "s")
+        .sortBy("s")
+        .mode("append")
+        .saveAsTable(f"{table_prefix}_shingles")
+    )
+    (
+        pruned.groupBy(F.col("doc_id").alias("corpus_id"))
+        .agg(F.count(F.lit(1)).alias("sz_corp"))
+        # docs whose every shingle is hot still need a sizes row (sz 0):
+        # it is the idempotence ledger, so absence would re-admit them
+        .join(docs.select(F.col("doc_id").alias("corpus_id")), "corpus_id", "right")
+        .fillna(0, subset=["sz_corp"])
+        .write.mode("append")
+        .saveAsTable(f"{table_prefix}_sizes")
+    )
+    (
+        raw.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_part"))
+        .write.bucketBy(buckets, "s")
+        .sortBy("s")
+        .mode("append")
+        .saveAsTable(f"{table_prefix}_df")
+    )
+    return {
+        "n_new_docs": n_new_docs,
+        "n_new_shingles": n_new_shingles,
+        "n_drifted_hot": _drifted_hot(spark, table_prefix, max_df),
+    }
+
+
+def _drifted_hot(spark, table_prefix: str, max_df: int) -> int:
+    """Shingles over the df cap that the frozen hot list does not
+    prune — the staleness metric appends report. One aggregate over
+    the bucketed ``_df`` partials (no shuffle on the corpus index)."""
+    totals = (
+        spark.table(f"{table_prefix}_df")
+        .groupBy("s")
+        .agg(F.sum("df_part").alias("df"))
+        .filter(F.col("df") > max_df)
+    )
+    return (
+        totals.join(
+            F.broadcast(spark.table(f"{table_prefix}_hot")), "s", "left_anti"
+        ).count()
+    )
 
 
 def load_corpus_index(spark, table_prefix: str) -> CorpusIndex:

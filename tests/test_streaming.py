@@ -719,7 +719,104 @@ def test_stream_dedup_with_table_backed_index(spark, tmp_path):
         assert [(r["doc_id"], r["matched_corpus_id"]) for r in dups] == [(100, 0)]
         assert [r["doc_id"] for r in novel] == [101]
     finally:
-        for t in ("t7_corpus_shingles", "t7_corpus_hot", "t7_corpus_sizes"):
+        for t in ("t7_corpus_shingles", "t7_corpus_hot", "t7_corpus_sizes",
+                  "t7_corpus_df"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_append_corpus_index_incremental_admission(spark):
+    """append_corpus_index admits novel docs into a saved index without
+    a rebuild: matching vs the appended index equals matching vs a
+    full rebuild of the union (no drift case), re-appending the same
+    batch is a no-op (per-doc idempotence ledger), and hot-list drift
+    is reported instead of silently re-pruning."""
+    from eventsgateway_spark.streaming.near_dup import (
+        append_corpus_index,
+        build_corpus_index,
+        flag_near_dups,
+        load_corpus_index,
+        save_corpus_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (1, "spark shuffles partitions across executors during wide joins"),
+        ],
+        "doc_id long, text string",
+    )
+    admitted = spark.createDataFrame(
+        [
+            (2, "new corpus knowledge about tuning adaptive query execution plans"),
+            (1, "doc id one already lives in the index and must be dropped"),
+        ],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(200, "new corpus knowledge about tuning adaptive query execution modes")],
+        "doc_id long, text string",
+    )
+    try:
+        save_corpus_index(corpus, "t8_corpus", buckets=4)
+        r1 = append_corpus_index(spark, "t8_corpus", admitted, buckets=4)
+        assert r1["n_new_docs"] == 1  # doc 1 dropped by the ledger
+        assert r1["n_new_shingles"] > 0
+        assert r1["n_drifted_hot"] == 0
+        sizes_after = spark.table("t8_corpus_sizes").count()
+        sh_after = spark.table("t8_corpus_shingles").count()
+        # replay converges: nothing double-counted
+        r2 = append_corpus_index(spark, "t8_corpus", admitted, buckets=4)
+        assert r2["n_new_docs"] == 0
+        assert spark.table("t8_corpus_sizes").count() == sizes_after
+        assert spark.table("t8_corpus_shingles").count() == sh_after
+
+        # the probe near-matches ONLY the appended doc — and the match
+        # set equals a full rebuild of the union (no drift here)
+        idx = load_corpus_index(spark, "t8_corpus")
+        got = {
+            (r.doc_id, r.corpus_id, round(r.jaccard, 9))
+            for r in flag_near_dups(probe, idx, 0.5).collect()
+        }
+        rebuilt = build_corpus_index(
+            corpus.unionByName(admitted.filter("doc_id = 2"))
+        )
+        want = {
+            (r.doc_id, r.corpus_id, round(r.jaccard, 9))
+            for r in flag_near_dups(probe, rebuilt, 0.5).collect()
+        }
+        assert got == want
+        assert {c for _, c, _ in got} == {2}
+    finally:
+        for t in ("t8_corpus_shingles", "t8_corpus_hot", "t8_corpus_sizes",
+                  "t8_corpus_df"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_append_corpus_index_reports_hot_drift(spark):
+    """A shingle whose total df crosses the cap only after appends is
+    NOT re-pruned (frozen hot list — both Jaccard sides keep one
+    universe) but IS counted in n_drifted_hot."""
+    from eventsgateway_spark.streaming.near_dup import append_corpus_index, save_corpus_index
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    twin = spark.createDataFrame(
+        [(5, "alpha beta gamma delta epsilon eta")],  # shares shingles with doc 0
+        "doc_id long, text string",
+    )
+    try:
+        save_corpus_index(corpus, "t9_corpus", buckets=2, max_df=1)
+        r = append_corpus_index(spark, "t9_corpus", twin, buckets=2, max_df=1)
+        assert r["n_new_docs"] == 1
+        # shared shingles now have df=2 > cap=1 but were frozen unpruned
+        assert r["n_drifted_hot"] > 0
+        # and they are still IN the index (not silently removed)
+        assert spark.table("t9_corpus_shingles").count() > 0
+    finally:
+        for t in ("t9_corpus_shingles", "t9_corpus_hot", "t9_corpus_sizes",
+                  "t9_corpus_df"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
