@@ -86,6 +86,57 @@ def load_ivf_index(spark, table_prefix: str) -> IvfIndex:
     )
 
 
+def append_ivf_index(
+    spark, table_prefix: str, new_emb: DataFrame, buckets: int = 32
+) -> dict:
+    """Admit new vectors into a SAVED IVF index incrementally — the
+    vector sibling of ``near_dup.append_corpus_index``, run on the
+    compaction cadence so lookups/semantic-dedup start seeing newly
+    accepted corpus vectors without retraining or rebuilding.
+
+    Semantics vs a rebuild: the CENTROIDS ARE FROZEN. New vectors are
+    assigned to the existing cells (broadcast centroids, map-only) and
+    appended under the SAME ``cell_id`` bucket spec, so the per-batch
+    candidate join keeps its co-location and recall within a probed
+    cell is exact, same as at build time. What degrades under
+    distribution drift is cell BALANCE (a runaway cell makes its
+    probes expensive), so each append reports ``cell_skew`` —
+    max/mean occupancy over the appended table, computed with one
+    bucket-local aggregate — as the retrain/rebuild gate; the
+    centroids themselves are retrained with ``operators.kmeans`` and
+    re-saved when it grows past tolerance.
+
+    Idempotent per vector: vec_ids already assigned are dropped first
+    (anti-join against the pruned ``vec_id`` column — a narrow
+    corpus-side shuffle, which is why this belongs on the compaction
+    cadence, not per micro-batch), so replaying an append converges.
+
+    ``new_emb`` has the raw embeddings-table shape
+    ``(vec_id, embedding)``."""
+    existing = spark.table(f"{table_prefix}_assign").select("vec_id")
+    fresh = new_emb.join(existing, "vec_id", "left_anti").localCheckpoint()
+    n_new = fresh.count()
+    if n_new:
+        cents = spark.table(f"{table_prefix}_centroids")
+        (
+            ivf_assign_with(norm_view(fresh), cents)
+            .write.bucketBy(buckets, "cell_id")
+            .mode("append")
+            .saveAsTable(f"{table_prefix}_assign")
+        )
+    occ = (
+        spark.table(f"{table_prefix}_assign")
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.avg("n").alias("avg"))
+        .collect()[0]
+    )
+    return {
+        "n_new_vecs": n_new,
+        "cell_skew": float(occ["mx"]) / float(occ["avg"]) if occ["avg"] else 0.0,
+    }
+
+
 def ann_lookup_batch(
     queries: DataFrame, assign: DataFrame, cents: DataFrame,
     nprobe: int = IVF_NPROBE, topk: int = 3,

@@ -881,6 +881,52 @@ def test_streaming_ann_lookup_with_table_backed_index(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_append_ivf_index_incremental_admission(spark):
+    """append_ivf_index admits new vectors under the frozen centroids:
+    lookups then find them exactly as a full rebuild would (same
+    assignment function, same cells), re-appends converge, and the
+    occupancy-skew rebuild gate is reported."""
+    from eventsgateway_spark.streaming.ann_lookup import (
+        ann_lookup_batch,
+        append_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") < 40)
+    extra = emb.filter(F.col("vec_id").between(40, 49))
+    # query = an appended vector: only findable post-append
+    queries = emb.filter(F.col("vec_id") == 45).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    save_ivf_index(corpus, "t10_ivf", buckets=4)
+    try:
+        idx = load_ivf_index(spark, "t10_ivf")
+        before = ann_lookup_batch(queries, idx.assign, idx.cents, topk=1)
+        assert [r.neighbor_id for r in before.collect()] != [45]
+
+        # idempotence: the overlap (vec_id < 40) must be dropped
+        r1 = append_ivf_index(spark, "t10_ivf", emb.filter(F.col("vec_id") < 50), buckets=4)
+        assert r1["n_new_vecs"] == 10
+        assert r1["cell_skew"] >= 1.0
+        n_assigned = spark.table("t10_ivf_assign").count()
+        r2 = append_ivf_index(spark, "t10_ivf", extra, buckets=4)
+        assert r2["n_new_vecs"] == 0
+        assert spark.table("t10_ivf_assign").count() == n_assigned
+
+        idx = load_ivf_index(spark, "t10_ivf")
+        after = {r.qid: (r.neighbor_id, r.cos_sim) for r in ann_lookup_batch(
+            queries, idx.assign, idx.cents, topk=1
+        ).collect()}
+        assert after == {1045: (45, 1.0)}
+    finally:
+        for t in ("t10_ivf_assign", "t10_ivf_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_trained_ivf_index_end_to_end(spark, tmp_path):
     """The full IVF lifecycle: Lloyd-train centroids → assign corpus →
     persist as bucketed tables → load → serve lookups. Training must
