@@ -77,6 +77,10 @@ def save_ivf_index(
         .saveAsTable(f"{table_prefix}_assign")
     )
     idx.cents.write.mode("overwrite").saveAsTable(f"{table_prefix}_centroids")
+    spark = idx.assign.sparkSession
+    spark.createDataFrame(
+        [(int(buckets),)], "buckets int"
+    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
 
 
 def load_ivf_index(spark, table_prefix: str) -> IvfIndex:
@@ -86,9 +90,7 @@ def load_ivf_index(spark, table_prefix: str) -> IvfIndex:
     )
 
 
-def append_ivf_index(
-    spark, table_prefix: str, new_emb: DataFrame, buckets: int = 32
-) -> dict:
+def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
     """Admit new vectors into a SAVED IVF index incrementally — the
     vector sibling of ``near_dup.append_corpus_index``, run on the
     compaction cadence so lookups/semantic-dedup start seeing newly
@@ -106,15 +108,27 @@ def append_ivf_index(
     centroids themselves are retrained with ``operators.kmeans`` and
     re-saved when it grows past tolerance.
 
-    Idempotent per vector: vec_ids already assigned are dropped first
+    Idempotent per vector: ``new_emb`` is deduplicated by vec_id within
+    the call (at-least-once upstream can deliver a vector twice in one
+    compaction batch), then vec_ids already assigned are dropped
     (anti-join against the pruned ``vec_id`` column — a narrow
     corpus-side shuffle, which is why this belongs on the compaction
-    cadence, not per micro-batch), so replaying an append converges.
+    cadence, not per micro-batch). The index mutation is ONE table
+    append, so a replay after a crash either sees the ids (no-op) or
+    re-appends the whole batch — never a partial duplicate. The bucket
+    count comes from the index's ``_meta`` table, pinned at save time.
 
     ``new_emb`` has the raw embeddings-table shape
     ``(vec_id, embedding)``."""
+    buckets = int(
+        spark.table(f"{table_prefix}_meta").collect()[0]["buckets"]
+    )
     existing = spark.table(f"{table_prefix}_assign").select("vec_id")
-    fresh = new_emb.join(existing, "vec_id", "left_anti").localCheckpoint()
+    fresh = (
+        new_emb.dropDuplicates(["vec_id"])
+        .join(existing, "vec_id", "left_anti")
+        .localCheckpoint()
+    )
     n_new = fresh.count()
     if n_new:
         cents = spark.table(f"{table_prefix}_centroids")

@@ -60,12 +60,12 @@ class CorpusIndex(NamedTuple):
     sizes: DataFrame  # (corpus_id, sz_corp) — post-prune shingle counts
 
 
-def build_corpus_index(
-    corpus_docs: DataFrame, n: int = SHINGLE_N, max_df: int = MAX_SHINGLE_DF
-) -> CorpusIndex:
-    """In-session index: localCheckpoint pins (block manager). Fine for
-    one streaming job over a modest corpus; the durable/100 TB form is
-    :func:`save_corpus_index` + :func:`load_corpus_index`."""
+def _index_frames(
+    corpus_docs: DataFrame, n: int, max_df: int
+) -> tuple[DataFrame, CorpusIndex]:
+    """(raw shingles, index) from ONE tokenize/shingle pass — raw is
+    localCheckpointed so callers that also need the pre-prune frame
+    (save_corpus_index's df partials) don't rescan the corpus."""
     raw = batch_shingles(corpus_docs, n).localCheckpoint()
     hot = (
         raw.groupBy("s")
@@ -75,12 +75,31 @@ def build_corpus_index(
         .localCheckpoint()
     )
     sh = raw.join(F.broadcast(hot), "s", "left_anti").localCheckpoint()
+    # EVERY corpus doc gets a sizes row (0 when all its shingles are
+    # hot, or the doc is shorter than the shingle width): sizes doubles
+    # as append_corpus_index's admission ledger, so a missing row would
+    # re-admit the doc later
     sizes = (
         sh.groupBy(F.col("doc_id").alias("corpus_id"))
         .agg(F.count(F.lit(1)).alias("sz_corp"))
+        .join(
+            corpus_docs.select(F.col("doc_id").alias("corpus_id")).distinct(),
+            "corpus_id",
+            "right",
+        )
+        .fillna(0, subset=["sz_corp"])
         .localCheckpoint()
     )
-    return CorpusIndex(shingles=sh, hot=hot, sizes=sizes)
+    return raw, CorpusIndex(shingles=sh, hot=hot, sizes=sizes)
+
+
+def build_corpus_index(
+    corpus_docs: DataFrame, n: int = SHINGLE_N, max_df: int = MAX_SHINGLE_DF
+) -> CorpusIndex:
+    """In-session index: localCheckpoint pins (block manager). Fine for
+    one streaming job over a modest corpus; the durable/100 TB form is
+    :func:`save_corpus_index` + :func:`load_corpus_index`."""
+    return _index_frames(corpus_docs, n, max_df)[1]
 
 
 def save_corpus_index(
@@ -99,10 +118,12 @@ def save_corpus_index(
 
     Alongside the three query-side tables, ``{prefix}_df`` keeps
     APPEND-ONLY partial document-frequency counts per shingle (bucketed
-    on ``s`` like the index). The query path never reads it; it exists
+    on ``s`` like the index; the query path never reads it — it exists
     so :func:`append_corpus_index` can measure hot-list drift without
-    rescanning the corpus."""
-    idx = build_corpus_index(corpus_docs, n, max_df)
+    rescanning the corpus), and ``{prefix}_meta`` pins the build
+    parameters (n, max_df, buckets) so appends can never silently use
+    a different shingle width or cap than the index was built with."""
+    raw, idx = _index_frames(corpus_docs, n, max_df)
     (
         idx.shingles.write.bucketBy(buckets, "s")
         .sortBy("s")
@@ -111,33 +132,36 @@ def save_corpus_index(
     )
     idx.hot.write.mode("overwrite").saveAsTable(f"{table_prefix}_hot")
     idx.sizes.write.mode("overwrite").saveAsTable(f"{table_prefix}_sizes")
-    # raw (pre-prune) df partials: the hot list's own counts must be
+    # raw (pre-prune) df partials — reusing the checkpointed raw frame,
+    # not a second corpus scan: the hot list's own counts must be
     # included so drift math can compare future totals against the cap
-    raw_df = (
-        batch_shingles(corpus_docs, n)
-        .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df_part"))
-    )
     (
-        raw_df.write.bucketBy(buckets, "s")
+        raw.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_part"))
+        .write.bucketBy(buckets, "s")
         .sortBy("s")
         .mode("overwrite")
         .saveAsTable(f"{table_prefix}_df")
     )
+    spark = corpus_docs.sparkSession
+    spark.createDataFrame(
+        [(int(n), int(max_df), int(buckets))], "n int, max_df int, buckets int"
+    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
 
 
-def append_corpus_index(
-    spark,
-    table_prefix: str,
-    new_docs: DataFrame,
-    buckets: int = 32,
-    n: int = SHINGLE_N,
-    max_df: int = MAX_SHINGLE_DF,
-) -> dict:
+def _index_meta(spark, table_prefix: str) -> tuple[int, int, int]:
+    r = spark.table(f"{table_prefix}_meta").collect()[0]
+    return int(r["n"]), int(r["max_df"]), int(r["buckets"])
+
+
+def append_corpus_index(spark, table_prefix: str, new_docs: DataFrame) -> dict:
     """Admit new documents into a SAVED index incrementally — the
     "append on the compaction cadence" path the module contract names:
     novel docs accepted by the stream accumulate in the index without
-    rebuilding it, so the next batches dedup against them too.
+    rebuilding it, so the next batches dedup against them too. Shingle
+    width, df cap, and bucket count come from the index's own
+    ``_meta`` table (pinned at save time), never from the caller — a
+    mismatched width would make appended docs silently undetectable.
 
     Semantics vs a full rebuild: the HOT LIST IS FROZEN at build time.
     New shingles are pruned with the existing hot list (both sides of
@@ -150,19 +174,50 @@ def append_corpus_index(
     (computed from the ``_df`` partials, no corpus rescan) — rebuild
     when it grows past tolerance.
 
-    Idempotent per document: doc_ids already present in ``_sizes`` are
-    dropped before any write, so replaying an append (crash between
-    the three table writes, at-least-once upstream) converges instead
-    of double-counting shingles. Appends use the SAME bucket spec as
-    the save, so the bucket co-location the query path relies on is
-    preserved (Spark refuses a mismatched ``buckets``)."""
-    existing = spark.table(f"{table_prefix}_sizes").select(
+    Idempotence/crash posture (three non-transactional table writes,
+    ordered _shingles → _sizes → _df): ``new_docs`` is deduplicated by
+    doc_id within the call, then doc_ids present in EITHER _sizes or
+    _shingles are dropped, so replays after a crash at any point never
+    duplicate shingle rows (the failure that would corrupt Jaccard).
+    A crash between the _shingles and _sizes writes leaves partially
+    admitted docs; the next append REPAIRS them by recomputing their
+    sizes rows from the index itself. The only non-recovered state is
+    _df partials lost to a crash after _sizes — the drift metric then
+    under-reports until the next rebuild, which is the metric's safe
+    direction (rebuild later than ideal, never wrong matches)."""
+    n, max_df, buckets = _index_meta(spark, table_prefix)
+    sizes_ids = spark.table(f"{table_prefix}_sizes").select(
         F.col("corpus_id").alias("doc_id")
     )
-    docs = new_docs.join(existing, "doc_id", "left_anti").localCheckpoint()
+    shingle_ids = (
+        spark.table(f"{table_prefix}_shingles").select("doc_id").distinct()
+    )
+    # repair partially-admitted docs from a crashed prior append:
+    # shingles landed, sizes row missing -> rebuild sizes FROM the index
+    orphans = shingle_ids.join(sizes_ids, "doc_id", "left_anti").localCheckpoint()
+    n_repaired = orphans.count()
+    if n_repaired:
+        (
+            spark.table(f"{table_prefix}_shingles")
+            .join(F.broadcast(orphans), "doc_id")
+            .groupBy(F.col("doc_id").alias("corpus_id"))
+            .agg(F.count(F.lit(1)).alias("sz_corp"))
+            .write.mode("append")
+            .saveAsTable(f"{table_prefix}_sizes")
+        )
+    docs = (
+        new_docs.dropDuplicates(["doc_id"])  # at-least-once upstream
+        .join(sizes_ids.unionByName(shingle_ids).distinct(), "doc_id", "left_anti")
+        .localCheckpoint()
+    )
     n_new_docs = docs.count()
     if n_new_docs == 0:
-        return {"n_new_docs": 0, "n_new_shingles": 0, "n_drifted_hot": _drifted_hot(spark, table_prefix, max_df)}
+        return {
+            "n_new_docs": 0,
+            "n_new_shingles": 0,
+            "n_repaired_docs": n_repaired,
+            "n_drifted_hot": _drifted_hot(spark, table_prefix, max_df),
+        }
     raw = batch_shingles(docs, n).localCheckpoint()
     hot = spark.table(f"{table_prefix}_hot")
     pruned = raw.join(F.broadcast(hot), "s", "left_anti").localCheckpoint()
@@ -194,6 +249,7 @@ def append_corpus_index(
     return {
         "n_new_docs": n_new_docs,
         "n_new_shingles": n_new_shingles,
+        "n_repaired_docs": n_repaired,
         "n_drifted_hot": _drifted_hot(spark, table_prefix, max_df),
     }
 

@@ -720,7 +720,7 @@ def test_stream_dedup_with_table_backed_index(spark, tmp_path):
         assert [r["doc_id"] for r in novel] == [101]
     finally:
         for t in ("t7_corpus_shingles", "t7_corpus_hot", "t7_corpus_sizes",
-                  "t7_corpus_df"):
+                  "t7_corpus_df", "t7_corpus_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -758,15 +758,30 @@ def test_append_corpus_index_incremental_admission(spark):
     )
     try:
         save_corpus_index(corpus, "t8_corpus", buckets=4)
-        r1 = append_corpus_index(spark, "t8_corpus", admitted, buckets=4)
+        r1 = append_corpus_index(spark, "t8_corpus", admitted.unionByName(admitted.filter("doc_id = 2")))
         assert r1["n_new_docs"] == 1  # doc 1 dropped by the ledger
         assert r1["n_new_shingles"] > 0
         assert r1["n_drifted_hot"] == 0
         sizes_after = spark.table("t8_corpus_sizes").count()
         sh_after = spark.table("t8_corpus_shingles").count()
         # replay converges: nothing double-counted
-        r2 = append_corpus_index(spark, "t8_corpus", admitted, buckets=4)
+        r2 = append_corpus_index(spark, "t8_corpus", admitted)
         assert r2["n_new_docs"] == 0
+        assert r2["n_repaired_docs"] == 0
+        assert spark.table("t8_corpus_sizes").count() == sizes_after
+        assert spark.table("t8_corpus_shingles").count() == sh_after
+
+        # crash repair: simulate a prior append dying between the
+        # _shingles and _sizes writes by dropping doc 2's sizes row;
+        # the next append must restore it from the index, not re-admit
+        st = spark.table("t8_corpus_sizes")
+        survivors = st.filter("corpus_id <> 2").collect()
+        spark.createDataFrame(survivors, st.schema).write.mode(
+            "overwrite"
+        ).saveAsTable("t8_corpus_sizes")
+        r3 = append_corpus_index(spark, "t8_corpus", admitted.filter("doc_id < 0"))
+        assert r3["n_repaired_docs"] == 1
+        assert r3["n_new_docs"] == 0
         assert spark.table("t8_corpus_sizes").count() == sizes_after
         assert spark.table("t8_corpus_shingles").count() == sh_after
 
@@ -788,7 +803,7 @@ def test_append_corpus_index_incremental_admission(spark):
         assert {c for _, c, _ in got} == {2}
     finally:
         for t in ("t8_corpus_shingles", "t8_corpus_hot", "t8_corpus_sizes",
-                  "t8_corpus_df"):
+                  "t8_corpus_df", "t8_corpus_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -808,7 +823,7 @@ def test_append_corpus_index_reports_hot_drift(spark):
     )
     try:
         save_corpus_index(corpus, "t9_corpus", buckets=2, max_df=1)
-        r = append_corpus_index(spark, "t9_corpus", twin, buckets=2, max_df=1)
+        r = append_corpus_index(spark, "t9_corpus", twin)  # n/max_df/buckets from _meta
         assert r["n_new_docs"] == 1
         # shared shingles now have df=2 > cap=1 but were frozen unpruned
         assert r["n_drifted_hot"] > 0
@@ -816,7 +831,7 @@ def test_append_corpus_index_reports_hot_drift(spark):
         assert spark.table("t9_corpus_shingles").count() > 0
     finally:
         for t in ("t9_corpus_shingles", "t9_corpus_hot", "t9_corpus_sizes",
-                  "t9_corpus_df"):
+                  "t9_corpus_df", "t9_corpus_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -877,7 +892,7 @@ def test_streaming_ann_lookup_with_table_backed_index(spark, tmp_path):
         assert top1 == {1020: (20, 1.0), 1021: (21, 1.0)}
         assert out.count() == 6
     finally:
-        for t in ("t7_ivf_assign", "t7_ivf_centroids"):
+        for t in ("t7_ivf_assign", "t7_ivf_centroids", "t7_ivf_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -909,11 +924,14 @@ def test_append_ivf_index_incremental_admission(spark):
         assert [r.neighbor_id for r in before.collect()] != [45]
 
         # idempotence: the overlap (vec_id < 40) must be dropped
-        r1 = append_ivf_index(spark, "t10_ivf", emb.filter(F.col("vec_id") < 50), buckets=4)
+        r1 = append_ivf_index(
+            spark, "t10_ivf",
+            emb.filter(F.col("vec_id") < 50).unionByName(extra),  # in-batch dups
+        )
         assert r1["n_new_vecs"] == 10
         assert r1["cell_skew"] >= 1.0
         n_assigned = spark.table("t10_ivf_assign").count()
-        r2 = append_ivf_index(spark, "t10_ivf", extra, buckets=4)
+        r2 = append_ivf_index(spark, "t10_ivf", extra)
         assert r2["n_new_vecs"] == 0
         assert spark.table("t10_ivf_assign").count() == n_assigned
 
@@ -923,7 +941,7 @@ def test_append_ivf_index_incremental_admission(spark):
         ).collect()}
         assert after == {1045: (45, 1.0)}
     finally:
-        for t in ("t10_ivf_assign", "t10_ivf_centroids"):
+        for t in ("t10_ivf_assign", "t10_ivf_centroids", "t10_ivf_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -964,7 +982,8 @@ def test_trained_ivf_index_end_to_end(spark, tmp_path):
         }
         assert top1 == {2030: (30, 1.0), 2031: (31, 1.0)}
     finally:
-        for t in ("t_trained_ivf_assign", "t_trained_ivf_centroids"):
+        for t in ("t_trained_ivf_assign", "t_trained_ivf_centroids",
+                  "t_trained_ivf_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
