@@ -336,3 +336,39 @@ def test_png_malformed_inputs_rejected():
             + chunk(b"IDAT", short)
             + chunk(b"IEND", b"")
         )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (operators/bloom.py) — the no-false-negative guarantee must
+# hold for ARBITRARY int64 hash sets and any fpp, not just the seeded
+# fixtures in test_bloom.py; all driver-side numpy, no Spark session.
+# ---------------------------------------------------------------------------
+
+i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    items=st.lists(i64, max_size=300),
+    probes=st.lists(i64, max_size=50),
+    fpp=st.sampled_from([1e-1, 1e-2, 1e-4, 1e-6]),
+)
+def test_bloom_never_false_negative_and_deterministic(items, probes, fpp):
+    import numpy as np
+
+    from eventsgateway_spark.operators.bloom import (
+        bloom_from_hashes,
+        might_contain,
+    )
+
+    arr = np.array(items, dtype=np.int64)
+    bf = bloom_from_hashes(arr, fpp=fpp)
+    bf2 = bloom_from_hashes(arr, fpp=fpp)
+    assert bf.words.tobytes() == bf2.words.tobytes()  # bit-identical rebuild
+    assert bf.m_bits & (bf.m_bits - 1) == 0
+    if len(items):
+        assert might_contain(bf, arr).all()  # inserted => positive, always
+    hits = might_contain(bf, np.array(probes, dtype=np.int64)) if probes else []
+    for h, p in zip(hits, probes):
+        if p in set(items):
+            assert h  # membership implies positive regardless of layout
