@@ -807,6 +807,62 @@ def test_append_corpus_index_incremental_admission(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_corpus_growth_loop_end_to_end(spark, tmp_path):
+    """The MIGRATION.md continuous-growth loop: stream batch 1 admits a
+    novel doc, the compaction step appends it to the durable index, and
+    stream batch 2 (same checkpoint, new files only) flags a near-dup
+    of the NEWLY ADMITTED doc against the grown index."""
+    from eventsgateway_spark.streaming.near_dup import (
+        append_corpus_index,
+        load_corpus_index,
+        save_corpus_index,
+        stream_dedup_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "an unrelated corpus document that has a sufficient number of "
+             "tokens the a of and to is in it with many extra distinct words "
+             "for the quality floor")],
+        "doc_id long, text string",
+    )
+    novel = ("a genuinely novel training document with plenty of distinct "
+             "tokens about catalysts partitions and bucketed joins at scale")
+    near = novel.replace("genuinely", "truly")  # 1-token mutation
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    save_corpus_index(corpus, "t11_corpus", buckets=4)
+    try:
+        def run_batch(df):
+            df.coalesce(1).write.mode("append").parquet(src)
+            q = stream_dedup_against_corpus(
+                spark.readStream.schema(schema).parquet(src),
+                corpus_docs=None,
+                novel_path=str(tmp_path / "novel"),
+                dup_path=str(tmp_path / "dups"),
+                checkpoint=str(tmp_path / "ckpt"),
+                trigger_once=True,
+                index=load_corpus_index(spark, "t11_corpus"),
+            )
+            q.awaitTermination(120)
+
+        run_batch(spark.createDataFrame([(100, novel)], schema))
+        kept1 = spark.read.parquet(str(tmp_path / "novel"))
+        assert [r.doc_id for r in kept1.collect()] == [100]
+
+        # compaction: admit what the stream accepted
+        r = append_corpus_index(spark, "t11_corpus", kept1.select("doc_id", "text"))
+        assert r["n_new_docs"] == 1
+
+        run_batch(spark.createDataFrame([(200, near)], schema))
+        dups = {r.doc_id: r.matched_corpus_id
+                for r in spark.read.parquet(str(tmp_path / "dups")).collect()}
+        assert dups == {200: 100}  # caught against the grown index
+    finally:
+        for t in ("t11_corpus_shingles", "t11_corpus_hot", "t11_corpus_sizes",
+                  "t11_corpus_df", "t11_corpus_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_append_corpus_index_reports_hot_drift(spark):
     """A shingle whose total df crosses the cap only after appends is
     NOT re-pruned (frozen hot list — both Jaccard sides keep one
