@@ -71,16 +71,19 @@ def save_ivf_index(
         if corpus_emb is None:
             raise ValueError("need corpus_emb or a prebuilt index")
         idx = build_ivf_index(corpus_emb)
+    # _meta first: a crashed re-save must never leave stale parameters
+    # describing a newer data generation (the bucket spec at least
+    # fails loudly on a mismatched append; parameters would not)
+    spark = idx.assign.sparkSession
+    spark.createDataFrame(
+        [(int(buckets),)], "buckets int"
+    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
     (
         idx.assign.write.bucketBy(buckets, "cell_id")
         .mode("overwrite")
         .saveAsTable(f"{table_prefix}_assign")
     )
     idx.cents.write.mode("overwrite").saveAsTable(f"{table_prefix}_centroids")
-    spark = idx.assign.sparkSession
-    spark.createDataFrame(
-        [(int(buckets),)], "buckets int"
-    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
 
 
 def load_ivf_index(spark, table_prefix: str) -> IvfIndex:
@@ -120,6 +123,12 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
 
     ``new_emb`` has the raw embeddings-table shape
     ``(vec_id, embedding)``."""
+    if not spark.catalog.tableExists(f"{table_prefix}_meta"):
+        # index saved before _meta existed: backfill once with the old
+        # save signature's default (no repo caller ever overrode it)
+        spark.createDataFrame([(32,)], "buckets int").write.mode(
+            "overwrite"
+        ).saveAsTable(f"{table_prefix}_meta")
     buckets = int(
         spark.table(f"{table_prefix}_meta").collect()[0]["buckets"]
     )

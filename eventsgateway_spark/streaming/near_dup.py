@@ -122,8 +122,21 @@ def save_corpus_index(
     so :func:`append_corpus_index` can measure hot-list drift without
     rescanning the corpus), and ``{prefix}_meta`` pins the build
     parameters (n, max_df, buckets) so appends can never silently use
-    a different shingle width or cap than the index was built with."""
+    a different shingle width or cap than the index was built with.
+
+    The six table writes are not one transaction. A crashed FIRST save
+    leaves a partial index that simply fails to load; a crashed
+    RE-SAVE over a live prefix can leave mixed generations of the data
+    tables, so re-save to a FRESH prefix and swap names (or re-run the
+    save to completion) before appending. _meta is written first so
+    the pinned parameters always describe the newest intended
+    generation, never a stale one."""
     raw, idx = _index_frames(corpus_docs, n, max_df)
+    spark = corpus_docs.sparkSession
+    spark.createDataFrame(
+        [(int(n), int(max_df), int(buckets))], "n int, max_df int, buckets int"
+    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_pending")
     (
         idx.shingles.write.bucketBy(buckets, "s")
         .sortBy("s")
@@ -143,13 +156,19 @@ def save_corpus_index(
         .mode("overwrite")
         .saveAsTable(f"{table_prefix}_df")
     )
-    spark = corpus_docs.sparkSession
-    spark.createDataFrame(
-        [(int(n), int(max_df), int(buckets))], "n int, max_df int, buckets int"
-    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
 
 
 def _index_meta(spark, table_prefix: str) -> tuple[int, int, int]:
+    """Build parameters pinned at save time. Indexes saved before the
+    _meta table existed are backfilled ONCE with the module defaults —
+    the values every pre-_meta save used (the old save signature's
+    defaults were never overridden by the repo's callers); the
+    backfill is written so the migration happens exactly once."""
+    if not spark.catalog.tableExists(f"{table_prefix}_meta"):
+        spark.createDataFrame(
+            [(int(SHINGLE_N), int(MAX_SHINGLE_DF), 32)],
+            "n int, max_df int, buckets int",
+        ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
     r = spark.table(f"{table_prefix}_meta").collect()[0]
     return int(r["n"]), int(r["max_df"]), int(r["buckets"])
 
@@ -174,40 +193,35 @@ def append_corpus_index(spark, table_prefix: str, new_docs: DataFrame) -> dict:
     (computed from the ``_df`` partials, no corpus rescan) — rebuild
     when it grows past tolerance.
 
-    Idempotence/crash posture (three non-transactional table writes,
-    ordered _shingles → _sizes → _df): ``new_docs`` is deduplicated by
-    doc_id within the call, then doc_ids present in EITHER _sizes or
-    _shingles are dropped, so replays after a crash at any point never
-    duplicate shingle rows (the failure that would corrupt Jaccard).
-    A crash between the _shingles and _sizes writes leaves partially
-    admitted docs; the next append REPAIRS them by recomputing their
-    sizes rows from the index itself. The only non-recovered state is
-    _df partials lost to a crash after _sizes — the drift metric then
+    Idempotence/crash posture: ``new_docs`` is deduplicated by doc_id
+    within the call, then doc_ids already in the _sizes ledger are
+    dropped. Each append runs a PENDING-MARKER protocol around its
+    three table writes (each individually atomic under Spark's commit
+    protocol; the sequence is not): the admitted ids are written to
+    ``_pending`` first, then _shingles → _sizes → _df, then _pending
+    is dropped. A surviving _pending at the next append triggers
+    repair — scoped to the marked ids, so the healthy-path cost stays
+    one small-ledger anti-join, never a scan of the inverted index:
+    ids whose shingles landed but whose sizes row is missing get their
+    sizes row AND their pruned-df partials recomputed from the index;
+    ids whose shingles never landed stay unadmitted and re-admittable.
+    The one non-recovered state: a crash between the _sizes and _df
+    writes loses that batch's df partials (the hot-pruned occurrences
+    are not in the index to recount) — the drift metric then
     under-reports until the next rebuild, which is the metric's safe
     direction (rebuild later than ideal, never wrong matches)."""
     n, max_df, buckets = _index_meta(spark, table_prefix)
+    pending_tbl = f"{table_prefix}_pending"
+    n_repaired = 0
+    if spark.catalog.tableExists(pending_tbl):
+        n_repaired = _repair_pending(spark, table_prefix, buckets)
+        spark.sql(f"DROP TABLE {pending_tbl}")
     sizes_ids = spark.table(f"{table_prefix}_sizes").select(
         F.col("corpus_id").alias("doc_id")
     )
-    shingle_ids = (
-        spark.table(f"{table_prefix}_shingles").select("doc_id").distinct()
-    )
-    # repair partially-admitted docs from a crashed prior append:
-    # shingles landed, sizes row missing -> rebuild sizes FROM the index
-    orphans = shingle_ids.join(sizes_ids, "doc_id", "left_anti").localCheckpoint()
-    n_repaired = orphans.count()
-    if n_repaired:
-        (
-            spark.table(f"{table_prefix}_shingles")
-            .join(F.broadcast(orphans), "doc_id")
-            .groupBy(F.col("doc_id").alias("corpus_id"))
-            .agg(F.count(F.lit(1)).alias("sz_corp"))
-            .write.mode("append")
-            .saveAsTable(f"{table_prefix}_sizes")
-        )
     docs = (
         new_docs.dropDuplicates(["doc_id"])  # at-least-once upstream
-        .join(sizes_ids.unionByName(shingle_ids).distinct(), "doc_id", "left_anti")
+        .join(sizes_ids, "doc_id", "left_anti")
         .localCheckpoint()
     )
     n_new_docs = docs.count()
@@ -218,6 +232,7 @@ def append_corpus_index(spark, table_prefix: str, new_docs: DataFrame) -> dict:
             "n_repaired_docs": n_repaired,
             "n_drifted_hot": _drifted_hot(spark, table_prefix, max_df),
         }
+    docs.select("doc_id").write.mode("overwrite").saveAsTable(pending_tbl)
     raw = batch_shingles(docs, n).localCheckpoint()
     hot = spark.table(f"{table_prefix}_hot")
     pruned = raw.join(F.broadcast(hot), "s", "left_anti").localCheckpoint()
@@ -246,12 +261,103 @@ def append_corpus_index(spark, table_prefix: str, new_docs: DataFrame) -> dict:
         .mode("append")
         .saveAsTable(f"{table_prefix}_df")
     )
+    spark.sql(f"DROP TABLE {pending_tbl}")
     return {
         "n_new_docs": n_new_docs,
         "n_new_shingles": n_new_shingles,
         "n_repaired_docs": n_repaired,
         "n_drifted_hot": _drifted_hot(spark, table_prefix, max_df),
     }
+
+
+def _repair_pending(spark, table_prefix: str, buckets: int) -> int:
+    """Finish a crashed append, scoped to the ids its ``_pending``
+    marker recorded: ids whose shingles landed but whose sizes row is
+    missing get the sizes row and the pruned portion of their df
+    partials recomputed from the index (the index scan is filtered to
+    the marked ids — never a full inverted-index pass); ids whose
+    shingles never landed are left unadmitted and re-admit naturally.
+    Returns how many docs were repaired."""
+    pending = spark.table(f"{table_prefix}_pending")
+    sizes_ids = spark.table(f"{table_prefix}_sizes").select(
+        F.col("corpus_id").alias("doc_id")
+    )
+    missing = pending.join(sizes_ids, "doc_id", "left_anti").localCheckpoint()
+    if missing.count() == 0:
+        return 0
+    sh = (
+        spark.table(f"{table_prefix}_shingles")
+        .join(F.broadcast(missing), "doc_id")
+        .localCheckpoint()  # consumed by the sizes AND df repairs
+    )
+    repaired = sh.groupBy(F.col("doc_id").alias("corpus_id")).agg(
+        F.count(F.lit(1)).alias("sz_corp")
+    ).localCheckpoint()
+    n_repaired = repaired.count()
+    if n_repaired:
+        repaired.write.mode("append").saveAsTable(f"{table_prefix}_sizes")
+        # the crashed run never reached its _df write (sizes precedes
+        # df), so re-appending the pruned counts cannot double-count;
+        # the hot-pruned occurrences are unrecoverable (docstring)
+        (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df_part"))
+            .write.bucketBy(buckets, "s")
+            .sortBy("s")
+            .mode("append")
+            .saveAsTable(f"{table_prefix}_df")
+        )
+    return n_repaired
+
+
+def compact_df_partials(spark, table_prefix: str) -> int:
+    """Fold the append-only ``_df`` partial counts into one row per
+    shingle — run on the same compaction cadence once the partials
+    outnumber the shingle universe by enough to slow the drift
+    aggregate. Sums are associative, so the rewrite changes no drift
+    math. Crash-safe via a staging table: the folded copy is committed
+    to ``_df_fold`` BEFORE ``_df`` is overwritten (a volatile
+    checkpoint alone would be the only copy mid-overwrite — a crash
+    there would silently zero the drift gate forever), and a surviving
+    ``_df_fold`` whose ``_df`` is missing restores it on the next run.
+    Returns the compacted row count."""
+    _, _, buckets = _index_meta(spark, table_prefix)
+    fold_tbl = f"{table_prefix}_df_fold"
+    df_tbl = f"{table_prefix}_df"
+    if spark.catalog.tableExists(fold_tbl) and not spark.catalog.tableExists(
+        df_tbl
+    ):
+        # prior compaction died mid-overwrite: the staged fold is the
+        # only surviving copy — restore before anything reads _df
+        (
+            spark.table(fold_tbl)
+            .write.bucketBy(buckets, "s")
+            .sortBy("s")
+            .mode("overwrite")
+            .saveAsTable(df_tbl)
+        )
+        n = spark.table(df_tbl).count()
+        spark.sql(f"DROP TABLE {fold_tbl}")
+        return n
+    (
+        spark.table(df_tbl)
+        .groupBy("s")
+        .agg(F.sum("df_part").alias("df_part"))
+        .write.bucketBy(buckets, "s")
+        .sortBy("s")
+        .mode("overwrite")
+        .saveAsTable(fold_tbl)
+    )
+    n = spark.table(fold_tbl).count()
+    (
+        spark.table(fold_tbl)
+        .write.bucketBy(buckets, "s")
+        .sortBy("s")
+        .mode("overwrite")
+        .saveAsTable(df_tbl)
+    )
+    spark.sql(f"DROP TABLE {fold_tbl}")
+    return n
 
 
 def _drifted_hot(spark, table_prefix: str, max_df: int) -> int:

@@ -772,18 +772,24 @@ def test_append_corpus_index_incremental_admission(spark):
         assert spark.table("t8_corpus_shingles").count() == sh_after
 
         # crash repair: simulate a prior append dying between the
-        # _shingles and _sizes writes by dropping doc 2's sizes row;
-        # the next append must restore it from the index, not re-admit
+        # _shingles and _sizes writes — its _pending marker survives
+        # and doc 2's sizes row is missing; the next append must
+        # restore the row from the index (scoped to the marked ids),
+        # not re-admit the doc
         st = spark.table("t8_corpus_sizes")
         survivors = st.filter("corpus_id <> 2").collect()
         spark.createDataFrame(survivors, st.schema).write.mode(
             "overwrite"
         ).saveAsTable("t8_corpus_sizes")
+        spark.createDataFrame([(2,)], "doc_id long").write.mode(
+            "overwrite"
+        ).saveAsTable("t8_corpus_pending")
         r3 = append_corpus_index(spark, "t8_corpus", admitted.filter("doc_id < 0"))
         assert r3["n_repaired_docs"] == 1
         assert r3["n_new_docs"] == 0
         assert spark.table("t8_corpus_sizes").count() == sizes_after
         assert spark.table("t8_corpus_shingles").count() == sh_after
+        assert not spark.catalog.tableExists("t8_corpus_pending")  # consumed
 
         # the probe near-matches ONLY the appended doc — and the match
         # set equals a full rebuild of the union (no drift here)
@@ -803,7 +809,8 @@ def test_append_corpus_index_incremental_admission(spark):
         assert {c for _, c, _ in got} == {2}
     finally:
         for t in ("t8_corpus_shingles", "t8_corpus_hot", "t8_corpus_sizes",
-                  "t8_corpus_df", "t8_corpus_meta"):
+                  "t8_corpus_df", "t8_corpus_meta",
+                  "t8_corpus_pending", "t8_corpus_df_fold"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -859,7 +866,8 @@ def test_corpus_growth_loop_end_to_end(spark, tmp_path):
         assert dups == {200: 100}  # caught against the grown index
     finally:
         for t in ("t11_corpus_shingles", "t11_corpus_hot", "t11_corpus_sizes",
-                  "t11_corpus_df", "t11_corpus_meta"):
+                  "t11_corpus_df", "t11_corpus_meta",
+                  "t11_corpus_pending", "t11_corpus_df_fold"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -885,9 +893,31 @@ def test_append_corpus_index_reports_hot_drift(spark):
         assert r["n_drifted_hot"] > 0
         # and they are still IN the index (not silently removed)
         assert spark.table("t9_corpus_shingles").count() > 0
+
+        # folding the append-only df partials changes no drift math
+        from eventsgateway_spark.streaming.near_dup import (
+            _drifted_hot,
+            compact_df_partials,
+        )
+
+        rows_before = spark.table("t9_corpus_df").count()
+        n = compact_df_partials(spark, "t9_corpus")
+        assert n <= rows_before
+        assert spark.table("t9_corpus_df").count() == n
+        assert _drifted_hot(spark, "t9_corpus", 1) == r["n_drifted_hot"]
+
+        # crash recovery: a compaction that died mid-overwrite leaves
+        # _df_fold as the only copy; the next run must restore _df
+        spark.table("t9_corpus_df").write.saveAsTable("t9_corpus_df_fold")
+        spark.sql("DROP TABLE t9_corpus_df")
+        assert compact_df_partials(spark, "t9_corpus") == n
+        assert spark.table("t9_corpus_df").count() == n
+        assert _drifted_hot(spark, "t9_corpus", 1) == r["n_drifted_hot"]
+        assert not spark.catalog.tableExists("t9_corpus_df_fold")
     finally:
         for t in ("t9_corpus_shingles", "t9_corpus_hot", "t9_corpus_sizes",
-                  "t9_corpus_df", "t9_corpus_meta"):
+                  "t9_corpus_df", "t9_corpus_meta",
+                  "t9_corpus_pending", "t9_corpus_df_fold"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
