@@ -71,10 +71,18 @@ def save_ivf_index(
         if corpus_emb is None:
             raise ValueError("need corpus_emb or a prebuilt index")
         idx = build_ivf_index(corpus_emb)
-    # _meta first: a crashed re-save must never leave stale parameters
-    # describing a newer data generation (the bucket spec at least
-    # fails loudly on a mismatched append; parameters would not)
     spark = idx.assign.sparkSession
+    # an in-place re-save with a DIFFERENT bucket count is refused: a
+    # crash mid-save would pair one generation's layout with the other
+    # generation's parameters (same contract as save_corpus_index)
+    if spark.catalog.tableExists(f"{table_prefix}_meta"):
+        old = int(spark.table(f"{table_prefix}_meta").collect()[0]["buckets"])
+        if old != int(buckets):
+            raise ValueError(
+                f"{table_prefix} already holds an index bucketed {old}; "
+                f"re-saving in place with buckets={buckets} is refused — "
+                "save to a fresh prefix and swap names."
+            )
     spark.createDataFrame(
         [(int(buckets),)], "buckets int"
     ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
@@ -124,9 +132,14 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
     ``new_emb`` has the raw embeddings-table shape
     ``(vec_id, embedding)``."""
     if not spark.catalog.tableExists(f"{table_prefix}_meta"):
-        # index saved before _meta existed: backfill once with the old
-        # save signature's default (no repo caller ever overrode it)
-        spark.createDataFrame([(32,)], "buckets int").write.mode(
+        # index saved before _meta existed: backfill once from the
+        # saved assignment table's OWN catalog bucket spec — a
+        # pre-upgrade index saved with a non-default count must not
+        # get appends in a mismatched layout
+        from eventsgateway_spark.streaming.near_dup import table_buckets
+
+        bk = table_buckets(spark, f"{table_prefix}_assign")
+        spark.createDataFrame([(int(bk),)], "buckets int").write.mode(
             "overwrite"
         ).saveAsTable(f"{table_prefix}_meta")
     buckets = int(

@@ -126,17 +126,35 @@ def save_corpus_index(
 
     The six table writes are not one transaction. A crashed FIRST save
     leaves a partial index that simply fails to load; a crashed
-    RE-SAVE over a live prefix can leave mixed generations of the data
-    tables, so re-save to a FRESH prefix and swap names (or re-run the
-    save to completion) before appending. _meta is written first so
-    the pinned parameters always describe the newest intended
-    generation, never a stale one."""
-    raw, idx = _index_frames(corpus_docs, n, max_df)
+    same-parameter RE-SAVE can leave mixed generations of the data
+    tables (re-run the save to completion before appending — every
+    table is a full overwrite, so completion restores consistency).
+    Re-saving over a live prefix with DIFFERENT parameters is refused
+    outright: whichever write order, a crash mid-way would pair one
+    generation's data with the other generation's parameters and make
+    appends silently shingle the wrong universe — rebuild to a FRESH
+    prefix and swap names instead."""
     spark = corpus_docs.sparkSession
+    if spark.catalog.tableExists(f"{table_prefix}_meta"):
+        old = spark.table(f"{table_prefix}_meta").collect()[0]
+        if (int(old["n"]), int(old["max_df"]), int(old["buckets"])) != (
+            int(n), int(max_df), int(buckets)
+        ):
+            raise ValueError(
+                f"{table_prefix} already holds an index built with "
+                f"(n={old['n']}, max_df={old['max_df']}, "
+                f"buckets={old['buckets']}); rebuilding in place with "
+                f"different parameters (n={n}, max_df={max_df}, "
+                f"buckets={buckets}) is refused — a crash mid-save "
+                "would mix generations. Save to a fresh prefix and "
+                "swap names."
+            )
+    raw, idx = _index_frames(corpus_docs, n, max_df)
     spark.createDataFrame(
         [(int(n), int(max_df), int(buckets))], "n int, max_df int, buckets int"
     ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
     spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_pending")
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_df_fold")
     (
         idx.shingles.write.bucketBy(buckets, "s")
         .sortBy("s")
@@ -158,19 +176,55 @@ def save_corpus_index(
     )
 
 
+def table_buckets(spark, table: str, default: int = 32) -> int:
+    """Bucket count of a saved table, read from the catalog (DESCRIBE
+    EXTENDED carries a 'Num Buckets' row for bucketed tables); falls
+    back to ``default`` when the table is unbucketed/unparseable."""
+    try:
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+            if (r["col_name"] or "").strip() == "Num Buckets":
+                return int(r["data_type"].strip())
+    except Exception:
+        pass
+    return default
+
+
 def _index_meta(spark, table_prefix: str) -> tuple[int, int, int]:
     """Build parameters pinned at save time. Indexes saved before the
-    _meta table existed are backfilled ONCE with the module defaults —
-    the values every pre-_meta save used (the old save signature's
-    defaults were never overridden by the repo's callers); the
-    backfill is written so the migration happens exactly once."""
+    _meta table existed are backfilled ONCE: n/max_df from the module
+    defaults (the shingle width is baked into the stored shingles, so
+    only the matching default can be right for an index this code
+    built), buckets from the saved table's OWN catalog bucket spec —
+    a pre-upgrade index saved with a non-default bucket count must not
+    get appends in a mismatched layout."""
     if not spark.catalog.tableExists(f"{table_prefix}_meta"):
+        bk = table_buckets(spark, f"{table_prefix}_shingles")
         spark.createDataFrame(
-            [(int(SHINGLE_N), int(MAX_SHINGLE_DF), 32)],
+            [(int(SHINGLE_N), int(MAX_SHINGLE_DF), int(bk))],
             "n int, max_df int, buckets int",
         ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
     r = spark.table(f"{table_prefix}_meta").collect()[0]
     return int(r["n"]), int(r["max_df"]), int(r["buckets"])
+
+
+def _recover_df_fold(spark, table_prefix: str, buckets: int) -> None:
+    """If a compaction died mid-overwrite, ``_df_fold`` is the only
+    surviving copy of the drift partials — restore it BEFORE anything
+    reads or appends ``_df`` (a bucketed append would silently CREATE
+    a truncated ``_df`` that the next compaction would then fold over
+    the staged copy, zeroing the drift gate forever)."""
+    fold_tbl, df_tbl = f"{table_prefix}_df_fold", f"{table_prefix}_df"
+    if spark.catalog.tableExists(fold_tbl) and not spark.catalog.tableExists(
+        df_tbl
+    ):
+        (
+            spark.table(fold_tbl)
+            .write.bucketBy(buckets, "s")
+            .sortBy("s")
+            .mode("overwrite")
+            .saveAsTable(df_tbl)
+        )
+        spark.sql(f"DROP TABLE {fold_tbl}")
 
 
 def append_corpus_index(spark, table_prefix: str, new_docs: DataFrame) -> dict:
@@ -209,10 +263,36 @@ def append_corpus_index(spark, table_prefix: str, new_docs: DataFrame) -> dict:
     writes loses that batch's df partials (the hot-pruned occurrences
     are not in the index to recount) — the drift metric then
     under-reports until the next rebuild, which is the metric's safe
-    direction (rebuild later than ideal, never wrong matches)."""
+    direction (rebuild later than ideal, never wrong matches).
+
+    Indexes written by pre-pending-protocol code get a ONE-TIME full
+    orphan sweep when their ``_meta`` table is backfilled (a crashed
+    old-style append could leave markerless orphans); thereafter the
+    marker makes orphans impossible and the sweep never reruns."""
+    legacy = not spark.catalog.tableExists(f"{table_prefix}_meta")
     n, max_df, buckets = _index_meta(spark, table_prefix)
+    _recover_df_fold(spark, table_prefix, buckets)
     pending_tbl = f"{table_prefix}_pending"
     n_repaired = 0
+    if legacy:
+        # pre-protocol crashes left no marker: one full sweep now, so
+        # a markerless orphan can neither be re-admitted (duplicate
+        # shingles) nor stay invisible to flag_near_dups forever
+        legacy_orphans = (
+            spark.table(f"{table_prefix}_shingles")
+            .select("doc_id")
+            .distinct()
+            .join(
+                spark.table(f"{table_prefix}_sizes").select(
+                    F.col("corpus_id").alias("doc_id")
+                ),
+                "doc_id",
+                "left_anti",
+            )
+            .localCheckpoint()
+        )
+        if legacy_orphans.count():
+            legacy_orphans.write.mode("overwrite").saveAsTable(pending_tbl)
     if spark.catalog.tableExists(pending_tbl):
         n_repaired = _repair_pending(spark, table_prefix, buckets)
         spark.sql(f"DROP TABLE {pending_tbl}")
@@ -324,21 +404,9 @@ def compact_df_partials(spark, table_prefix: str) -> int:
     _, _, buckets = _index_meta(spark, table_prefix)
     fold_tbl = f"{table_prefix}_df_fold"
     df_tbl = f"{table_prefix}_df"
-    if spark.catalog.tableExists(fold_tbl) and not spark.catalog.tableExists(
-        df_tbl
-    ):
-        # prior compaction died mid-overwrite: the staged fold is the
-        # only surviving copy — restore before anything reads _df
-        (
-            spark.table(fold_tbl)
-            .write.bucketBy(buckets, "s")
-            .sortBy("s")
-            .mode("overwrite")
-            .saveAsTable(df_tbl)
-        )
-        n = spark.table(df_tbl).count()
-        spark.sql(f"DROP TABLE {fold_tbl}")
-        return n
+    # a prior compaction may have died mid-overwrite (fold survives,
+    # _df missing) — the same recovery every _df reader/writer runs
+    _recover_df_fold(spark, table_prefix, buckets)
     (
         spark.table(df_tbl)
         .groupBy("s")
@@ -363,7 +431,11 @@ def compact_df_partials(spark, table_prefix: str) -> int:
 def _drifted_hot(spark, table_prefix: str, max_df: int) -> int:
     """Shingles over the df cap that the frozen hot list does not
     prune — the staleness metric appends report. One aggregate over
-    the bucketed ``_df`` partials (no shuffle on the corpus index)."""
+    the bucketed ``_df`` partials (no shuffle on the corpus index).
+    A pre-_df legacy index reports 0 until a rebuild establishes the
+    partials — drift under-report is the metric's safe direction."""
+    if not spark.catalog.tableExists(f"{table_prefix}_df"):
+        return 0
     totals = (
         spark.table(f"{table_prefix}_df")
         .groupBy("s")

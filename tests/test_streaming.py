@@ -771,16 +771,28 @@ def test_append_corpus_index_incremental_admission(spark):
         assert spark.table("t8_corpus_sizes").count() == sizes_after
         assert spark.table("t8_corpus_shingles").count() == sh_after
 
-        # crash repair: simulate a prior append dying between the
-        # _shingles and _sizes writes — its _pending marker survives
-        # and doc 2's sizes row is missing; the next append must
-        # restore the row from the index (scoped to the marked ids),
-        # not re-admit the doc
+        # crash repair: construct the REAL w1 state a crash between the
+        # _shingles and _sizes writes leaves — doc 2's shingles in the
+        # index, its sizes row missing, its df partials NEVER written
+        # (sizes precedes df), _pending surviving. The next append must
+        # restore BOTH the sizes row and the pruned df partials from
+        # the index, converging _df to exactly its pre-crash totals.
+        from eventsgateway_spark.streaming.near_dup import batch_shingles
+
+        df_sum_before = spark.table("t8_corpus_df").agg(
+            F.sum("df_part")
+        ).collect()[0][0]
         st = spark.table("t8_corpus_sizes")
         survivors = st.filter("corpus_id <> 2").collect()
         spark.createDataFrame(survivors, st.schema).write.mode(
             "overwrite"
         ).saveAsTable("t8_corpus_sizes")
+        d2_shingles = batch_shingles(admitted.filter("doc_id = 2")).select("s")
+        dft = spark.table("t8_corpus_df")
+        kept_df = dft.join(d2_shingles, "s", "left_anti").collect()
+        spark.createDataFrame(kept_df, dft.schema).write.bucketBy(4, "s").sortBy(
+            "s"
+        ).mode("overwrite").saveAsTable("t8_corpus_df")
         spark.createDataFrame([(2,)], "doc_id long").write.mode(
             "overwrite"
         ).saveAsTable("t8_corpus_pending")
@@ -790,6 +802,10 @@ def test_append_corpus_index_incremental_admission(spark):
         assert spark.table("t8_corpus_sizes").count() == sizes_after
         assert spark.table("t8_corpus_shingles").count() == sh_after
         assert not spark.catalog.tableExists("t8_corpus_pending")  # consumed
+        # df partials restored exactly (nothing hot here, pruned == raw)
+        assert spark.table("t8_corpus_df").agg(F.sum("df_part")).collect()[0][
+            0
+        ] == df_sum_before
 
         # the probe near-matches ONLY the appended doc — and the match
         # set equals a full rebuild of the union (no drift here)
@@ -979,6 +995,60 @@ def test_streaming_ann_lookup_with_table_backed_index(spark, tmp_path):
         assert out.count() == 6
     finally:
         for t in ("t7_ivf_assign", "t7_ivf_centroids", "t7_ivf_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_append_corpus_index_legacy_migration_and_resave_guard(spark):
+    """A pre-upgrade index (no _meta, markerless crash orphan) gets a
+    one-time sweep on its first append: _meta backfills with the
+    table's OWN catalog bucket count (not the default 32), the orphan
+    doc becomes matchable instead of being re-admitted or staying
+    invisible; and an in-place re-save with changed parameters is
+    refused."""
+    import pytest
+
+    from eventsgateway_spark.streaming.near_dup import (
+        append_corpus_index,
+        batch_shingles,
+        save_corpus_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    orphan = spark.createDataFrame(
+        [(7, "an orphaned document left by a crashed pre-upgrade append "
+             "with plenty of distinct tokens")],
+        "doc_id long, text string",
+    )
+    try:
+        save_corpus_index(corpus, "t12_corpus", buckets=4)
+        # degrade to the pre-upgrade on-disk state: no _meta, no _df,
+        # plus a markerless orphan (shingles landed, sizes row absent)
+        spark.sql("DROP TABLE t12_corpus_meta")
+        spark.sql("DROP TABLE t12_corpus_df")
+        batch_shingles(orphan).write.bucketBy(4, "s").sortBy("s").mode(
+            "append"
+        ).saveAsTable("t12_corpus_shingles")
+
+        r = append_corpus_index(spark, "t12_corpus", orphan.limit(0))
+        assert r["n_repaired_docs"] == 1  # legacy sweep found the orphan
+        assert r["n_new_docs"] == 0
+        meta = spark.table("t12_corpus_meta").collect()[0]
+        assert meta["buckets"] == 4  # read from the catalog, not assumed 32
+        # repaired ledger: the orphan cannot be re-admitted
+        r2 = append_corpus_index(spark, "t12_corpus", orphan)
+        assert r2["n_new_docs"] == 0 and r2["n_repaired_docs"] == 0
+
+        # same-parameter re-save is allowed; changed parameters refused
+        save_corpus_index(corpus, "t12_corpus", buckets=4)
+        with pytest.raises(ValueError, match="fresh prefix"):
+            save_corpus_index(corpus, "t12_corpus", buckets=8)
+    finally:
+        for t in ("t12_corpus_shingles", "t12_corpus_hot", "t12_corpus_sizes",
+                  "t12_corpus_df", "t12_corpus_meta",
+                  "t12_corpus_pending", "t12_corpus_df_fold"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
