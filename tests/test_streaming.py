@@ -1101,6 +1101,56 @@ def test_append_ivf_index_incremental_admission(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_ivf_growth_loop_end_to_end(spark, tmp_path):
+    """The vector growth loop (mirror of the corpus one): stream batch
+    1 sees a novel vector (kept), the compaction step appends it via
+    append_ivf_index, and stream batch 2 (same checkpoint, new files
+    only) drops the SAME vector re-arriving — a semantic duplicate of
+    the newly admitted corpus member."""
+    from eventsgateway_spark.streaming.ann_lookup import (
+        append_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+        semantic_dedup_stream,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") < 40)
+    probe = emb.filter(F.col("vec_id") == 45)
+    save_ivf_index(corpus, "t13_ivf", buckets=4)
+    src = str(tmp_path / "in")
+    try:
+        def run_batch(df):
+            df.coalesce(1).write.mode("append").parquet(src)
+            q = semantic_dedup_stream(
+                spark.readStream.schema(probe.schema).parquet(src),
+                corpus_emb=None,
+                out_path=str(tmp_path / "out"),
+                checkpoint=str(tmp_path / "ckpt"),
+                trigger_once=True,
+                index=load_ivf_index(spark, "t13_ivf"),
+            )
+            q.awaitTermination(120)
+
+        run_batch(probe)
+        out1 = {r.vec_id: r.dropped
+                for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+        assert out1 == {45: 0}  # novel against the original corpus
+
+        kept = probe  # the stream kept it; compaction admits it
+        assert append_ivf_index(spark, "t13_ivf", kept)["n_new_vecs"] == 1
+
+        run_batch(probe.select((F.col("vec_id") + 500).alias("vec_id"), "embedding"))
+        out2 = {r.vec_id: r.dropped
+                for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+        assert out2[545] == 1  # caught against the grown index (cos=1.0)
+    finally:
+        for t in ("t13_ivf_assign", "t13_ivf_centroids", "t13_ivf_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_trained_ivf_index_end_to_end(spark, tmp_path):
     """The full IVF lifecycle: Lloyd-train centroids → assign corpus →
     persist as bucketed tables → load → serve lookups. Training must
