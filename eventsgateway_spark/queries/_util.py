@@ -234,6 +234,20 @@ def arrow_scorer() -> bool:
     return os.environ.get("SPARK_GRAFT_ARROW_SCORER", "") == "1"
 
 
+def table_buckets(spark: SparkSession, table: str, default: int = 32) -> int:
+    """Bucket count of a saved catalog table, from DESCRIBE EXTENDED's
+    'Num Buckets' row. ``default`` applies ONLY to an existing but
+    unbucketed table; a missing table raises (callers decide what an
+    absent index means), and any other catalog failure propagates —
+    silently falling back there would persist a wrong bucket pin."""
+    if not spark.catalog.tableExists(table):
+        raise ValueError(f"table {table} does not exist")
+    for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+        if (r["col_name"] or "").strip() == "Num Buckets":
+            return int(r["data_type"].strip())
+    return default
+
+
 def money(col_name: str) -> F.Column:
     """Exact decimal view of a 2-decimal double column."""
     return F.col(col_name).cast(DEC)

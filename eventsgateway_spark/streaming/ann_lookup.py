@@ -83,6 +83,16 @@ def save_ivf_index(
                 f"re-saving in place with buckets={buckets} is refused — "
                 "save to a fresh prefix and swap names."
             )
+    elif spark.catalog.tableExists(f"{table_prefix}_assign"):
+        from eventsgateway_spark.queries._util import table_buckets
+
+        old = table_buckets(spark, f"{table_prefix}_assign")
+        if old != int(buckets):
+            raise ValueError(
+                f"{table_prefix} holds a pre-_meta index bucketed {old}; "
+                f"re-saving in place with buckets={buckets} is refused — "
+                "save to a fresh prefix and swap names."
+            )
     spark.createDataFrame(
         [(int(buckets),)], "buckets int"
     ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
@@ -135,9 +145,15 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
         # index saved before _meta existed: backfill once from the
         # saved assignment table's OWN catalog bucket spec — a
         # pre-upgrade index saved with a non-default count must not
-        # get appends in a mismatched layout
-        from eventsgateway_spark.streaming.near_dup import table_buckets
+        # get appends in a mismatched layout. A nonexistent prefix
+        # raises BEFORE anything is written (a phantom _meta would
+        # make the save guard refuse the first legitimate save).
+        from eventsgateway_spark.queries._util import table_buckets
 
+        if not spark.catalog.tableExists(f"{table_prefix}_assign"):
+            raise ValueError(
+                f"no IVF index at {table_prefix!r} — save_ivf_index first"
+            )
         bk = table_buckets(spark, f"{table_prefix}_assign")
         spark.createDataFrame([(int(bk),)], "buckets int").write.mode(
             "overwrite"

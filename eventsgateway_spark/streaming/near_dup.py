@@ -149,6 +149,23 @@ def save_corpus_index(
                 "would mix generations. Save to a fresh prefix and "
                 "swap names."
             )
+    elif spark.catalog.tableExists(f"{table_prefix}_shingles"):
+        # live pre-_meta index: its n/max_df cannot be read back, but
+        # every pre-_meta save used the module defaults; buckets come
+        # from the table's own catalog spec — the same refusal must
+        # protect the migration targets, not only post-_meta indexes
+        from eventsgateway_spark.queries._util import table_buckets
+
+        bk = table_buckets(spark, f"{table_prefix}_shingles")
+        if (int(n), int(max_df), int(buckets)) != (
+            int(SHINGLE_N), int(MAX_SHINGLE_DF), int(bk)
+        ):
+            raise ValueError(
+                f"{table_prefix} holds a pre-_meta index (defaults "
+                f"n={SHINGLE_N}, max_df={MAX_SHINGLE_DF}, buckets={bk}); "
+                "re-saving in place with different parameters is "
+                "refused — save to a fresh prefix and swap names."
+            )
     raw, idx = _index_frames(corpus_docs, n, max_df)
     spark.createDataFrame(
         [(int(n), int(max_df), int(buckets))], "n int, max_df int, buckets int"
@@ -176,35 +193,58 @@ def save_corpus_index(
     )
 
 
-def table_buckets(spark, table: str, default: int = 32) -> int:
-    """Bucket count of a saved table, read from the catalog (DESCRIBE
-    EXTENDED carries a 'Num Buckets' row for bucketed tables); falls
-    back to ``default`` when the table is unbucketed/unparseable."""
-    try:
-        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
-            if (r["col_name"] or "").strip() == "Num Buckets":
-                return int(r["data_type"].strip())
-    except Exception:
-        pass
-    return default
-
-
 def _index_meta(spark, table_prefix: str) -> tuple[int, int, int]:
-    """Build parameters pinned at save time. Indexes saved before the
-    _meta table existed are backfilled ONCE: n/max_df from the module
-    defaults (the shingle width is baked into the stored shingles, so
-    only the matching default can be right for an index this code
-    built), buckets from the saved table's OWN catalog bucket spec —
-    a pre-upgrade index saved with a non-default bucket count must not
-    get appends in a mismatched layout."""
-    if not spark.catalog.tableExists(f"{table_prefix}_meta"):
-        bk = table_buckets(spark, f"{table_prefix}_shingles")
-        spark.createDataFrame(
-            [(int(SHINGLE_N), int(MAX_SHINGLE_DF), int(bk))],
-            "n int, max_df int, buckets int",
-        ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
+    """Build parameters pinned at save time (pure read; legacy
+    backfill lives in :func:`_ensure_meta_and_migrate`)."""
     r = spark.table(f"{table_prefix}_meta").collect()[0]
     return int(r["n"]), int(r["max_df"]), int(r["buckets"])
+
+
+def _ensure_meta_and_migrate(spark, table_prefix: str) -> tuple[int, int, int]:
+    """Read the pinned build parameters, migrating a pre-_meta index
+    exactly once. Order is load-bearing: a nonexistent prefix raises
+    BEFORE anything is written (no phantom _meta poisoning a later
+    first save); the legacy ORPHAN SWEEP runs and durably parks its
+    findings in ``_pending`` BEFORE _meta is written, so a crash
+    mid-sweep leaves _meta absent and the sweep reruns — writing the
+    done-marker first would disable it forever with orphans still
+    loose. n/max_df backfill from the module defaults (every pre-_meta
+    save this code shipped used them — the width is baked into the
+    stored shingles); buckets from the table's own catalog spec."""
+    from eventsgateway_spark.queries._util import table_buckets
+
+    if spark.catalog.tableExists(f"{table_prefix}_meta"):
+        return _index_meta(spark, table_prefix)
+    if not spark.catalog.tableExists(f"{table_prefix}_shingles"):
+        raise ValueError(
+            f"no corpus index at {table_prefix!r} — save_corpus_index first"
+        )
+    bk = table_buckets(spark, f"{table_prefix}_shingles")
+    # one-time sweep for markerless orphans of pre-pending-protocol
+    # crashed appends; parked in _pending so the standard repair path
+    # (and a rerun after a crash right here) finishes the job
+    legacy_orphans = (
+        spark.table(f"{table_prefix}_shingles")
+        .select("doc_id")
+        .distinct()
+        .join(
+            spark.table(f"{table_prefix}_sizes").select(
+                F.col("corpus_id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        )
+        .localCheckpoint()
+    )
+    if legacy_orphans.count():
+        legacy_orphans.write.mode("overwrite").saveAsTable(
+            f"{table_prefix}_pending"
+        )
+    spark.createDataFrame(
+        [(int(SHINGLE_N), int(MAX_SHINGLE_DF), int(bk))],
+        "n int, max_df int, buckets int",
+    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
+    return int(SHINGLE_N), int(MAX_SHINGLE_DF), int(bk)
 
 
 def _recover_df_fold(spark, table_prefix: str, buckets: int) -> None:
@@ -269,30 +309,10 @@ def append_corpus_index(spark, table_prefix: str, new_docs: DataFrame) -> dict:
     orphan sweep when their ``_meta`` table is backfilled (a crashed
     old-style append could leave markerless orphans); thereafter the
     marker makes orphans impossible and the sweep never reruns."""
-    legacy = not spark.catalog.tableExists(f"{table_prefix}_meta")
-    n, max_df, buckets = _index_meta(spark, table_prefix)
+    n, max_df, buckets = _ensure_meta_and_migrate(spark, table_prefix)
     _recover_df_fold(spark, table_prefix, buckets)
     pending_tbl = f"{table_prefix}_pending"
     n_repaired = 0
-    if legacy:
-        # pre-protocol crashes left no marker: one full sweep now, so
-        # a markerless orphan can neither be re-admitted (duplicate
-        # shingles) nor stay invisible to flag_near_dups forever
-        legacy_orphans = (
-            spark.table(f"{table_prefix}_shingles")
-            .select("doc_id")
-            .distinct()
-            .join(
-                spark.table(f"{table_prefix}_sizes").select(
-                    F.col("corpus_id").alias("doc_id")
-                ),
-                "doc_id",
-                "left_anti",
-            )
-            .localCheckpoint()
-        )
-        if legacy_orphans.count():
-            legacy_orphans.write.mode("overwrite").saveAsTable(pending_tbl)
     if spark.catalog.tableExists(pending_tbl):
         n_repaired = _repair_pending(spark, table_prefix, buckets)
         spark.sql(f"DROP TABLE {pending_tbl}")
@@ -401,7 +421,7 @@ def compact_df_partials(spark, table_prefix: str) -> int:
     there would silently zero the drift gate forever), and a surviving
     ``_df_fold`` whose ``_df`` is missing restores it on the next run.
     Returns the compacted row count."""
-    _, _, buckets = _index_meta(spark, table_prefix)
+    _, _, buckets = _ensure_meta_and_migrate(spark, table_prefix)
     fold_tbl = f"{table_prefix}_df_fold"
     df_tbl = f"{table_prefix}_df"
     # a prior compaction may have died mid-overwrite (fold survives,

@@ -1045,6 +1045,16 @@ def test_append_corpus_index_legacy_migration_and_resave_guard(spark):
         save_corpus_index(corpus, "t12_corpus", buckets=4)
         with pytest.raises(ValueError, match="fresh prefix"):
             save_corpus_index(corpus, "t12_corpus", buckets=8)
+        # the legacy (no-_meta) state gets the same refusal
+        spark.sql("DROP TABLE t12_corpus_meta")
+        with pytest.raises(ValueError, match="pre-_meta"):
+            save_corpus_index(corpus, "t12_corpus", buckets=8)
+
+        # an append on a prefix with no index raises BEFORE writing
+        # anything — a phantom _meta would block the first real save
+        with pytest.raises(ValueError, match="save_corpus_index first"):
+            append_corpus_index(spark, "t12_nowhere", orphan)
+        assert not spark.catalog.tableExists("t12_nowhere_meta")
     finally:
         for t in ("t12_corpus_shingles", "t12_corpus_hot", "t12_corpus_sizes",
                   "t12_corpus_df", "t12_corpus_meta",
@@ -1096,6 +1106,14 @@ def test_append_ivf_index_incremental_admission(spark):
             queries, idx.assign, idx.cents, topk=1
         ).collect()}
         assert after == {1045: (45, 1.0)}
+
+        # phantom-prefix guard: append on a nonexistent index raises
+        # before writing anything
+        import pytest
+
+        with pytest.raises(ValueError, match="save_ivf_index first"):
+            append_ivf_index(spark, "t10_nowhere", extra)
+        assert not spark.catalog.tableExists("t10_nowhere_meta")
     finally:
         for t in ("t10_ivf_assign", "t10_ivf_centroids", "t10_ivf_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
