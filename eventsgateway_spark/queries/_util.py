@@ -242,7 +242,7 @@ def table_buckets(spark: SparkSession, table: str, default: int = 32) -> int:
     silently falling back there would persist a wrong bucket pin."""
     if not spark.catalog.tableExists(table):
         raise ValueError(f"table {table} does not exist")
-    for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+    for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():  # catalog-read
         if (r["col_name"] or "").strip() == "Num Buckets":
             return int(r["data_type"].strip())
     return default
