@@ -234,6 +234,26 @@ def arrow_scorer() -> bool:
     return os.environ.get("SPARK_GRAFT_ARROW_SCORER", "") == "1"
 
 
+def fixture_fingerprint(sf_dir: str) -> str:
+    """Cheap identity of the documents fixture: sorted (name, mtime_ns,
+    size) of documents*.parquet under sf_dir (file or directory). The
+    invalidation key for every session-scoped cache derived from the
+    fixture (ext_dedup cluster labels, ext_text eval Bloom filter) —
+    a fixture regenerated IN-PLACE mid-session must miss those caches
+    instead of serving stale results (ADVICE r7)."""
+    target = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isdir(target):
+        for dp, _, files in os.walk(target):
+            for f in sorted(files):
+                st = os.stat(os.path.join(dp, f))
+                parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+    elif os.path.exists(target):
+        st = os.stat(target)
+        parts.append(f"documents.parquet:{st.st_mtime_ns}:{st.st_size}")
+    return ";".join(parts)
+
+
 def table_buckets(spark: SparkSession, table: str, default: int = 32) -> int:
     """Bucket count of a saved catalog table, from DESCRIBE EXTENDED's
     'Num Buckets' row. ``default`` applies ONLY to an existing but

@@ -422,21 +422,10 @@ _LABELS_CACHE: dict[tuple[str, str], tuple[str, DataFrame]] = {}
 
 
 def _fixture_fingerprint(sf_dir: str) -> str:
-    """Cheap identity of the documents fixture: sorted (name, mtime_ns,
-    size) of documents*.parquet under sf_dir (file or directory)."""
-    import os as _os
+    """Shared helper — see queries/_util.fixture_fingerprint."""
+    from eventsgateway_spark.queries._util import fixture_fingerprint
 
-    target = _os.path.join(sf_dir, "documents.parquet")
-    parts = []
-    if _os.path.isdir(target):
-        for dp, _, files in _os.walk(target):
-            for f in sorted(files):
-                st = _os.stat(_os.path.join(dp, f))
-                parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
-    elif _os.path.exists(target):
-        st = _os.stat(target)
-        parts.append(f"documents.parquet:{st.st_mtime_ns}:{st.st_size}")
-    return ";".join(parts)
+    return fixture_fingerprint(sf_dir)
 
 
 def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -524,24 +524,31 @@ BLOOM_FPP = 1e-4  # gram-level false-positive probability
 # The eval-side build (scan + distinct-hash collect) depends only on
 # the fixture, so repeated q79 builds in one session (bench warm-up +
 # timed runs) reuse one filter — the same session-scoped, fingerprint-
-# invalidated pattern as ext_dedup's _LABELS_CACHE; the broadcast
-# under it is content-keyed and bounded (operators/bloom._BCAST_CACHE).
+# invalidated pattern as ext_dedup's _LABELS_CACHE. BOUNDED like the
+# broadcast cache beneath it (operators/bloom._BCAST_CACHE): bitsets
+# are hundreds of MB at the module's advertised scale, so dead-app
+# entries are dropped and live fixtures capped, never accumulated
+# toward driver OOM.
 _BLOOM_CACHE: dict[tuple[str, str], tuple[str, object]] = {}
+_BLOOM_CACHE_KEEP = 2
 
 
 def _eval_bloom_for(spark: SparkSession, sf_dir: str, eval_grams) -> object:
     import os as _os
 
     from eventsgateway_spark.operators.bloom import build_bloom
-    from eventsgateway_spark.queries.ext_dedup import _fixture_fingerprint
+    from eventsgateway_spark.queries._util import fixture_fingerprint
 
     key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
-    fp = _fixture_fingerprint(sf_dir)
+    fp = fixture_fingerprint(sf_dir)
     hit = _BLOOM_CACHE.get(key)
     if hit is not None and hit[0] == fp:
         return hit[1]
     bf = build_bloom(eval_grams, "g", fpp=BLOOM_FPP)
     _BLOOM_CACHE[key] = (fp, bf)
+    stale = [k for k in _BLOOM_CACHE if k[0] != key[0]]
+    while stale or len(_BLOOM_CACHE) > _BLOOM_CACHE_KEEP:
+        _BLOOM_CACHE.pop(stale.pop(0) if stale else next(iter(_BLOOM_CACHE)))
     return bf
 
 

@@ -166,12 +166,33 @@ def save_corpus_index(
                 "re-saving in place with different parameters is "
                 "refused — save to a fresh prefix and swap names."
             )
+        # park any markerless orphans of pre-protocol crashed appends
+        # in _pending BEFORE _meta is written: writing _meta first
+        # would take the migration fast path forever if THIS save
+        # crashes before overwriting the data tables, leaving the
+        # orphans loose; the completed save eliminates them (full
+        # overwrite) and drops the marker at the end
+        legacy_orphans = (
+            spark.table(f"{table_prefix}_shingles")
+            .select("doc_id")
+            .distinct()
+            .join(
+                spark.table(f"{table_prefix}_sizes").select(
+                    F.col("corpus_id").alias("doc_id")
+                ),
+                "doc_id",
+                "left_anti",
+            )
+            .localCheckpoint()
+        )
+        if legacy_orphans.count():
+            legacy_orphans.write.mode("overwrite").saveAsTable(
+                f"{table_prefix}_pending"
+            )
     raw, idx = _index_frames(corpus_docs, n, max_df)
     spark.createDataFrame(
         [(int(n), int(max_df), int(buckets))], "n int, max_df int, buckets int"
     ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
-    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_pending")
-    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_df_fold")
     (
         idx.shingles.write.bucketBy(buckets, "s")
         .sortBy("s")
@@ -191,6 +212,11 @@ def save_corpus_index(
         .mode("overwrite")
         .saveAsTable(f"{table_prefix}_df")
     )
+    # marker cleanup LAST: a crash before this point leaves _pending
+    # (repairable) or _df_fold (recoverable) rather than dropping them
+    # while the state they guard still needs them
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_pending")
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_df_fold")
 
 
 def _index_meta(spark, table_prefix: str) -> tuple[int, int, int]:
@@ -424,9 +450,12 @@ def compact_df_partials(spark, table_prefix: str) -> int:
     _, _, buckets = _ensure_meta_and_migrate(spark, table_prefix)
     fold_tbl = f"{table_prefix}_df_fold"
     df_tbl = f"{table_prefix}_df"
-    # a prior compaction may have died mid-overwrite (fold survives,
-    # _df missing) — the same recovery every _df reader/writer runs
     _recover_df_fold(spark, table_prefix, buckets)
+    if not spark.catalog.tableExists(df_tbl):
+        # pre-_df legacy index: nothing to compact (the drift metric
+        # reads 0 for it, _drifted_hot's documented degradation) — do
+        # not die after the migration already mutated the catalog
+        return 0
     (
         spark.table(df_tbl)
         .groupBy("s")
