@@ -65,6 +65,7 @@ def save_ivf_index(
     index survives session restarts (serving shape). Pass a prebuilt
     ``index`` (e.g. with `operators.kmeans.train_centroids` centers)
     to persist trained centers instead of the first-K seeding."""
+    built_here = index is None
     if index is not None:
         idx = index
     else:
@@ -102,6 +103,15 @@ def save_ivf_index(
         .saveAsTable(f"{table_prefix}_assign")
     )
     idx.cents.write.mode("overwrite").saveAsTable(f"{table_prefix}_centroids")
+    if built_here:
+        # reclaim the inline build's localCheckpoint blocks now — the
+        # saved tables supersede them (caller-passed indexes stay
+        # pinned: the caller may keep using the frames)
+        for frame in (idx.assign, idx.cents):
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
 
 
 def load_ivf_index(spark, table_prefix: str) -> IvfIndex:

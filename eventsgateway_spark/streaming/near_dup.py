@@ -217,6 +217,16 @@ def save_corpus_index(
     # while the state they guard still needs them
     spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_pending")
     spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_df_fold")
+    # the in-session frames are superseded by the saved tables —
+    # reclaim their localCheckpoint blocks now, not at GC time
+    # (ADVICE r7's pattern): a process that saves several indexes
+    # (scale probes, per-tenant rebuilds) otherwise accumulates every
+    # generation's blocks in the block manager for the session's life
+    for frame in (raw, idx.shingles, idx.hot, idx.sizes):
+        try:
+            frame.unpersist()
+        except Exception:
+            pass  # session torn down mid-save
 
 
 def _index_meta(spark, table_prefix: str) -> tuple[int, int, int]:
@@ -388,6 +398,11 @@ def append_corpus_index(spark, table_prefix: str, new_docs: DataFrame) -> dict:
         .saveAsTable(f"{table_prefix}_df")
     )
     spark.sql(f"DROP TABLE {pending_tbl}")
+    for frame in (docs, raw, pruned):  # reclaim checkpoint blocks now
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
     return {
         "n_new_docs": n_new_docs,
         "n_new_shingles": n_new_shingles,
