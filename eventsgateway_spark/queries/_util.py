@@ -197,17 +197,40 @@ def set_pin_owner(name: str | None) -> None:
     _PIN_OWNER = name
 
 
-def _release(df: DataFrame) -> None:
+def release_frame(df: DataFrame) -> None:
+    """Free a frame pinned by EITHER persist() or localCheckpoint().
+
+    ``Dataset.unpersist`` only uncaches CacheManager entries; a
+    localCheckpoint's RDD blocks are never registered there, so on
+    pyspark 4.1 ``df.unpersist(True)`` leaves them pinned (verified
+    empirically: getRDDStorageInfo still lists them) while unpersisting
+    the LogicalRDD's underlying RDD frees them. Run both releases; a
+    torn-down session or an unpinned frame is a no-op."""
     try:
         df.unpersist()
     except Exception:
         pass  # session gone / already unpersisted
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(True)
+    except Exception:
+        pass  # not a checkpointed frame / session gone
+
+
+def _release(df: DataFrame) -> None:
+    release_frame(df)
 
 
 def unpin_others(current: str) -> None:
     """Unpersist every pin owned by a different query (or by no query).
-    Results already materialized by the owning action are unaffected;
-    a still-running concurrent query would recompute, not corrupt."""
+    Results already materialized by the owning action are unaffected.
+    Release is REAL for checkpoint-mode pins too (release_frame): a
+    released checkpoint frame cannot be recomputed (truncated
+    lineage), which is fine under the single-threaded-build contract —
+    every driver/bench/pytest flow collects a query's result before
+    the next query's build triggers this release — but means persist-
+    mode semantics (silent recompute) do NOT extend to checkpoints."""
     keep = [(o, df) for o, df in _PINNED if o == current]
     for o, df in _PINNED:
         if o != current:

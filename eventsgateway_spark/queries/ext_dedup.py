@@ -457,12 +457,12 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cached_fp == fp:
             return cached
         # fixture regenerated in-place: evict and reclaim the stale
-        # entry's checkpoint blocks now, not at GC time
+        # entry's checkpoint blocks now, not at GC time (release_frame
+        # — plain unpersist is a no-op for localCheckpoint blocks)
         del _LABELS_CACHE[key]
-        try:
-            cached.unpersist()
-        except Exception:
-            pass  # session torn down mid-eviction
+        from eventsgateway_spark.queries._util import release_frame
+
+        release_frame(cached)
     docs = table(spark, sf_dir, "documents")
     edges = jaccard_pairs(doc_shingles(docs), 0.5).select(
         F.col("d1").alias("u"), F.col("d2").alias("v")

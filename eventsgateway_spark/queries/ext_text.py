@@ -524,11 +524,11 @@ BLOOM_FPP = 1e-4  # gram-level false-positive probability
 # The eval-side build (scan + distinct-hash collect) depends only on
 # the fixture, so repeated q79 builds in one session (bench warm-up +
 # timed runs) reuse one filter — the same session-scoped, fingerprint-
-# invalidated pattern as ext_dedup's _LABELS_CACHE. BOUNDED like the
-# broadcast cache beneath it (operators/bloom._BCAST_CACHE): bitsets
-# are hundreds of MB at the module's advertised scale, so dead-app
-# entries are dropped and live fixtures capped, never accumulated
-# toward driver OOM.
+# invalidated pattern as ext_dedup's _LABELS_CACHE. Eviction here also
+# drops the filter's broadcast (operators/bloom.drop_broadcast), so
+# the cap is a REAL memory bound on driver and executors — without
+# that, popping the dict entry would free nothing (the bitset lives on
+# in the broadcast layer, which keeps up to 4 on its own).
 _BLOOM_CACHE: dict[tuple[str, str], tuple[str, object]] = {}
 _BLOOM_CACHE_KEEP = 2
 
@@ -536,7 +536,7 @@ _BLOOM_CACHE_KEEP = 2
 def _eval_bloom_for(spark: SparkSession, sf_dir: str, eval_grams) -> object:
     import os as _os
 
-    from eventsgateway_spark.operators.bloom import build_bloom
+    from eventsgateway_spark.operators.bloom import build_bloom, drop_broadcast
     from eventsgateway_spark.queries._util import fixture_fingerprint
 
     key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
@@ -548,7 +548,10 @@ def _eval_bloom_for(spark: SparkSession, sf_dir: str, eval_grams) -> object:
     _BLOOM_CACHE[key] = (fp, bf)
     stale = [k for k in _BLOOM_CACHE if k[0] != key[0]]
     while stale or len(_BLOOM_CACHE) > _BLOOM_CACHE_KEEP:
-        _BLOOM_CACHE.pop(stale.pop(0) if stale else next(iter(_BLOOM_CACHE)))
+        old_key = stale.pop(0) if stale else next(iter(_BLOOM_CACHE))
+        _, old_bf = _BLOOM_CACHE.pop(old_key)
+        if old_key[0] == key[0]:  # same app: its broadcast may be live
+            drop_broadcast(spark, old_bf)
     return bf
 
 

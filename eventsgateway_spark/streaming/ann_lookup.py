@@ -65,17 +65,15 @@ def save_ivf_index(
     index survives session restarts (serving shape). Pass a prebuilt
     ``index`` (e.g. with `operators.kmeans.train_centroids` centers)
     to persist trained centers instead of the first-K seeding."""
-    built_here = index is None
-    if index is not None:
-        idx = index
-    else:
-        if corpus_emb is None:
-            raise ValueError("need corpus_emb or a prebuilt index")
-        idx = build_ivf_index(corpus_emb)
-    spark = idx.assign.sparkSession
-    # an in-place re-save with a DIFFERENT bucket count is refused: a
-    # crash mid-save would pair one generation's layout with the other
-    # generation's parameters (same contract as save_corpus_index)
+    if index is None and corpus_emb is None:
+        raise ValueError("need corpus_emb or a prebuilt index")
+    spark = (index.assign if index is not None else corpus_emb).sparkSession
+    # refusal guards FIRST — they need only the catalog, and a refused
+    # re-save must not pay for (and then orphan) a full inline index
+    # build over the corpus. An in-place re-save with a DIFFERENT
+    # bucket count is refused: a crash mid-save would pair one
+    # generation's layout with the other generation's parameters (same
+    # contract as save_corpus_index, incl. the pre-_meta branch).
     if spark.catalog.tableExists(f"{table_prefix}_meta"):
         old = int(spark.table(f"{table_prefix}_meta").collect()[0]["buckets"])
         if old != int(buckets):
@@ -94,6 +92,8 @@ def save_ivf_index(
                 f"re-saving in place with buckets={buckets} is refused — "
                 "save to a fresh prefix and swap names."
             )
+    built_here = index is None
+    idx = index if index is not None else build_ivf_index(corpus_emb)
     spark.createDataFrame(
         [(int(buckets),)], "buckets int"
     ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
@@ -104,14 +104,14 @@ def save_ivf_index(
     )
     idx.cents.write.mode("overwrite").saveAsTable(f"{table_prefix}_centroids")
     if built_here:
-        # reclaim the inline build's localCheckpoint blocks now — the
-        # saved tables supersede them (caller-passed indexes stay
-        # pinned: the caller may keep using the frames)
+        # reclaim the inline build's checkpoint blocks now — the saved
+        # tables supersede them (caller-passed indexes stay pinned:
+        # the caller may keep using the frames). release_frame, not
+        # df.unpersist — the latter is a no-op for localCheckpoints.
+        from eventsgateway_spark.queries._util import release_frame
+
         for frame in (idx.assign, idx.cents):
-            try:
-                frame.unpersist()
-            except Exception:
-                pass
+            release_frame(frame)
 
 
 def load_ivf_index(spark, table_prefix: str) -> IvfIndex:
@@ -177,15 +177,20 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
         .join(existing, "vec_id", "left_anti")
         .localCheckpoint()
     )
-    n_new = fresh.count()
-    if n_new:
-        cents = spark.table(f"{table_prefix}_centroids")
-        (
-            ivf_assign_with(norm_view(fresh), cents)
-            .write.bucketBy(buckets, "cell_id")
-            .mode("append")
-            .saveAsTable(f"{table_prefix}_assign")
-        )
+    try:
+        n_new = fresh.count()
+        if n_new:
+            cents = spark.table(f"{table_prefix}_centroids")
+            (
+                ivf_assign_with(norm_view(fresh), cents)
+                .write.bucketBy(buckets, "cell_id")
+                .mode("append")
+                .saveAsTable(f"{table_prefix}_assign")
+            )
+    finally:
+        from eventsgateway_spark.queries._util import release_frame
+
+        release_frame(fresh)
     occ = (
         spark.table(f"{table_prefix}_assign")
         .groupBy("cell_id")

@@ -172,23 +172,7 @@ def save_corpus_index(
         # crashes before overwriting the data tables, leaving the
         # orphans loose; the completed save eliminates them (full
         # overwrite) and drops the marker at the end
-        legacy_orphans = (
-            spark.table(f"{table_prefix}_shingles")
-            .select("doc_id")
-            .distinct()
-            .join(
-                spark.table(f"{table_prefix}_sizes").select(
-                    F.col("corpus_id").alias("doc_id")
-                ),
-                "doc_id",
-                "left_anti",
-            )
-            .localCheckpoint()
-        )
-        if legacy_orphans.count():
-            legacy_orphans.write.mode("overwrite").saveAsTable(
-                f"{table_prefix}_pending"
-            )
+        _park_legacy_orphans(spark, table_prefix)
     raw, idx = _index_frames(corpus_docs, n, max_df)
     spark.createDataFrame(
         [(int(n), int(max_df), int(buckets))], "n int, max_df int, buckets int"
@@ -218,15 +202,16 @@ def save_corpus_index(
     spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_pending")
     spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_df_fold")
     # the in-session frames are superseded by the saved tables —
-    # reclaim their localCheckpoint blocks now, not at GC time
-    # (ADVICE r7's pattern): a process that saves several indexes
-    # (scale probes, per-tenant rebuilds) otherwise accumulates every
-    # generation's blocks in the block manager for the session's life
+    # reclaim their checkpoint blocks now, not at GC time: a process
+    # that saves several indexes (scale probes, per-tenant rebuilds)
+    # otherwise accumulates every generation's blocks in the block
+    # manager for the session's life. release_frame, NOT df.unpersist:
+    # Dataset.unpersist is a no-op for localCheckpoint blocks
+    # (verified on pyspark 4.1 — queries/_util.release_frame).
+    from eventsgateway_spark.queries._util import release_frame
+
     for frame in (raw, idx.shingles, idx.hot, idx.sizes):
-        try:
-            frame.unpersist()
-        except Exception:
-            pass  # session torn down mid-save
+        release_frame(frame)
 
 
 def _index_meta(spark, table_prefix: str) -> tuple[int, int, int]:
@@ -259,6 +244,25 @@ def _ensure_meta_and_migrate(spark, table_prefix: str) -> tuple[int, int, int]:
     # one-time sweep for markerless orphans of pre-pending-protocol
     # crashed appends; parked in _pending so the standard repair path
     # (and a rerun after a crash right here) finishes the job
+    _park_legacy_orphans(spark, table_prefix)
+    spark.createDataFrame(
+        [(int(SHINGLE_N), int(MAX_SHINGLE_DF), int(bk))],
+        "n int, max_df int, buckets int",
+    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
+    return int(SHINGLE_N), int(MAX_SHINGLE_DF), int(bk)
+
+
+def _park_legacy_orphans(spark, table_prefix: str) -> None:
+    """Write doc_ids with shingles but no sizes row to ``_pending`` so
+    the standard repair path finishes them — the pre-pending-protocol
+    crash residue. Shared by the append-side migration and the save
+    path's pre-_meta branch (one copy of the sweep). A crashed FIRST
+    save has no ``_sizes`` at all — nothing to sweep; the re-run's
+    full overwrite restores consistency by itself."""
+    from eventsgateway_spark.queries._util import release_frame
+
+    if not spark.catalog.tableExists(f"{table_prefix}_sizes"):
+        return
     legacy_orphans = (
         spark.table(f"{table_prefix}_shingles")
         .select("doc_id")
@@ -272,15 +276,13 @@ def _ensure_meta_and_migrate(spark, table_prefix: str) -> tuple[int, int, int]:
         )
         .localCheckpoint()
     )
-    if legacy_orphans.count():
-        legacy_orphans.write.mode("overwrite").saveAsTable(
-            f"{table_prefix}_pending"
-        )
-    spark.createDataFrame(
-        [(int(SHINGLE_N), int(MAX_SHINGLE_DF), int(bk))],
-        "n int, max_df int, buckets int",
-    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
-    return int(SHINGLE_N), int(MAX_SHINGLE_DF), int(bk)
+    try:
+        if legacy_orphans.count():
+            legacy_orphans.write.mode("overwrite").saveAsTable(
+                f"{table_prefix}_pending"
+            )
+    finally:
+        release_frame(legacy_orphans)
 
 
 def _recover_df_fold(spark, table_prefix: str, buckets: int) -> None:
@@ -355,60 +357,74 @@ def append_corpus_index(spark, table_prefix: str, new_docs: DataFrame) -> dict:
     sizes_ids = spark.table(f"{table_prefix}_sizes").select(
         F.col("corpus_id").alias("doc_id")
     )
-    docs = (
-        new_docs.dropDuplicates(["doc_id"])  # at-least-once upstream
-        .join(sizes_ids, "doc_id", "left_anti")
-        .localCheckpoint()
-    )
-    n_new_docs = docs.count()
-    if n_new_docs == 0:
+    from eventsgateway_spark.queries._util import release_frame
+
+    # checkpoint blocks are reclaimed on EVERY exit (early return,
+    # exception, success) — the cleanup must not depend on the happy
+    # path, or a compaction loop of no-op appends leaks one `docs`
+    # frame per call
+    pins: list[DataFrame] = []
+    try:
+        docs = (
+            new_docs.dropDuplicates(["doc_id"])  # at-least-once upstream
+            .join(sizes_ids, "doc_id", "left_anti")
+            .localCheckpoint()
+        )
+        pins.append(docs)
+        n_new_docs = docs.count()
+        if n_new_docs == 0:
+            return {
+                "n_new_docs": 0,
+                "n_new_shingles": 0,
+                "n_repaired_docs": n_repaired,
+                "n_drifted_hot": _drifted_hot(spark, table_prefix, max_df),
+            }
+        docs.select("doc_id").write.mode("overwrite").saveAsTable(pending_tbl)
+        raw = batch_shingles(docs, n).localCheckpoint()
+        pins.append(raw)
+        hot = spark.table(f"{table_prefix}_hot")
+        pruned = raw.join(F.broadcast(hot), "s", "left_anti").localCheckpoint()
+        pins.append(pruned)
+        n_new_shingles = pruned.count()
+        (
+            pruned.write.bucketBy(buckets, "s")
+            .sortBy("s")
+            .mode("append")
+            .saveAsTable(f"{table_prefix}_shingles")
+        )
+        (
+            pruned.groupBy(F.col("doc_id").alias("corpus_id"))
+            .agg(F.count(F.lit(1)).alias("sz_corp"))
+            # docs whose every shingle is hot still need a sizes row
+            # (sz 0): it is the idempotence ledger, so absence would
+            # re-admit them
+            .join(
+                docs.select(F.col("doc_id").alias("corpus_id")),
+                "corpus_id",
+                "right",
+            )
+            .fillna(0, subset=["sz_corp"])
+            .write.mode("append")
+            .saveAsTable(f"{table_prefix}_sizes")
+        )
+        (
+            raw.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df_part"))
+            .write.bucketBy(buckets, "s")
+            .sortBy("s")
+            .mode("append")
+            .saveAsTable(f"{table_prefix}_df")
+        )
+        spark.sql(f"DROP TABLE {pending_tbl}")
         return {
-            "n_new_docs": 0,
-            "n_new_shingles": 0,
+            "n_new_docs": n_new_docs,
+            "n_new_shingles": n_new_shingles,
             "n_repaired_docs": n_repaired,
             "n_drifted_hot": _drifted_hot(spark, table_prefix, max_df),
         }
-    docs.select("doc_id").write.mode("overwrite").saveAsTable(pending_tbl)
-    raw = batch_shingles(docs, n).localCheckpoint()
-    hot = spark.table(f"{table_prefix}_hot")
-    pruned = raw.join(F.broadcast(hot), "s", "left_anti").localCheckpoint()
-    n_new_shingles = pruned.count()
-    (
-        pruned.write.bucketBy(buckets, "s")
-        .sortBy("s")
-        .mode("append")
-        .saveAsTable(f"{table_prefix}_shingles")
-    )
-    (
-        pruned.groupBy(F.col("doc_id").alias("corpus_id"))
-        .agg(F.count(F.lit(1)).alias("sz_corp"))
-        # docs whose every shingle is hot still need a sizes row (sz 0):
-        # it is the idempotence ledger, so absence would re-admit them
-        .join(docs.select(F.col("doc_id").alias("corpus_id")), "corpus_id", "right")
-        .fillna(0, subset=["sz_corp"])
-        .write.mode("append")
-        .saveAsTable(f"{table_prefix}_sizes")
-    )
-    (
-        raw.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df_part"))
-        .write.bucketBy(buckets, "s")
-        .sortBy("s")
-        .mode("append")
-        .saveAsTable(f"{table_prefix}_df")
-    )
-    spark.sql(f"DROP TABLE {pending_tbl}")
-    for frame in (docs, raw, pruned):  # reclaim checkpoint blocks now
-        try:
-            frame.unpersist()
-        except Exception:
-            pass
-    return {
-        "n_new_docs": n_new_docs,
-        "n_new_shingles": n_new_shingles,
-        "n_repaired_docs": n_repaired,
-        "n_drifted_hot": _drifted_hot(spark, table_prefix, max_df),
-    }
+    finally:
+        for frame in pins:
+            release_frame(frame)
 
 
 def _repair_pending(spark, table_prefix: str, buckets: int) -> int:
@@ -419,36 +435,46 @@ def _repair_pending(spark, table_prefix: str, buckets: int) -> int:
     the marked ids — never a full inverted-index pass); ids whose
     shingles never landed are left unadmitted and re-admit naturally.
     Returns how many docs were repaired."""
+    from eventsgateway_spark.queries._util import release_frame
+
     pending = spark.table(f"{table_prefix}_pending")
     sizes_ids = spark.table(f"{table_prefix}_sizes").select(
         F.col("corpus_id").alias("doc_id")
     )
-    missing = pending.join(sizes_ids, "doc_id", "left_anti").localCheckpoint()
-    if missing.count() == 0:
-        return 0
-    sh = (
-        spark.table(f"{table_prefix}_shingles")
-        .join(F.broadcast(missing), "doc_id")
-        .localCheckpoint()  # consumed by the sizes AND df repairs
-    )
-    repaired = sh.groupBy(F.col("doc_id").alias("corpus_id")).agg(
-        F.count(F.lit(1)).alias("sz_corp")
-    ).localCheckpoint()
-    n_repaired = repaired.count()
-    if n_repaired:
-        repaired.write.mode("append").saveAsTable(f"{table_prefix}_sizes")
-        # the crashed run never reached its _df write (sizes precedes
-        # df), so re-appending the pruned counts cannot double-count;
-        # the hot-pruned occurrences are unrecoverable (docstring)
-        (
-            sh.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df_part"))
-            .write.bucketBy(buckets, "s")
-            .sortBy("s")
-            .mode("append")
-            .saveAsTable(f"{table_prefix}_df")
+    pins: list[DataFrame] = []
+    try:
+        missing = pending.join(sizes_ids, "doc_id", "left_anti").localCheckpoint()
+        pins.append(missing)
+        if missing.count() == 0:
+            return 0
+        sh = (
+            spark.table(f"{table_prefix}_shingles")
+            .join(F.broadcast(missing), "doc_id")
+            .localCheckpoint()  # consumed by the sizes AND df repairs
         )
-    return n_repaired
+        pins.append(sh)
+        repaired = sh.groupBy(F.col("doc_id").alias("corpus_id")).agg(
+            F.count(F.lit(1)).alias("sz_corp")
+        ).localCheckpoint()
+        pins.append(repaired)
+        n_repaired = repaired.count()
+        if n_repaired:
+            repaired.write.mode("append").saveAsTable(f"{table_prefix}_sizes")
+            # the crashed run never reached its _df write (sizes precedes
+            # df), so re-appending the pruned counts cannot double-count;
+            # the hot-pruned occurrences are unrecoverable (docstring)
+            (
+                sh.groupBy("s")
+                .agg(F.count(F.lit(1)).alias("df_part"))
+                .write.bucketBy(buckets, "s")
+                .sortBy("s")
+                .mode("append")
+                .saveAsTable(f"{table_prefix}_df")
+            )
+        return n_repaired
+    finally:
+        for frame in pins:
+            release_frame(frame)
 
 
 def compact_df_partials(spark, table_prefix: str) -> int:
