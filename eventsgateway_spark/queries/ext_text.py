@@ -451,23 +451,45 @@ EVAL_SOURCE = "src0"  # the held-out "benchmark" corpus
 _DECON_GRAM = " || ' ' || ".join(f"toks[i+{j}]" for j in range(DECON_N))
 
 
-def decon_grams(text: F.Column | str) -> F.Column:
-    """Per-doc DISTINCT decontamination n-grams of a text column — THE
-    single definition of the contamination gram universe. Every screen
-    (batch q53/q79, streaming corpus_prep exact + Bloom variants) must
-    derive grams through this or :func:`decon_gram_hashes`; a screen
-    probing a different universe than the one its filter/set was built
-    from silently loses the zero-false-negative guarantee."""
-    return F.array_distinct(ngrams(tokens(text), DECON_N))
+def decon_toks(text: F.Column | str) -> F.Column:
+    """The contamination universe's tokenizer (currently plain
+    :func:`~eventsgateway_spark.functions.text.tokens`). Callers MUST
+    project this to a real column (``.withColumn("toks", ...)`` /
+    ``.select(... .alias("toks"))``) and hand the PROJECTED column to
+    :func:`decon_grams` / :func:`decon_gram_hashes` — never inline it.
+    ``ngrams`` references its argument ~8 times inside lambda
+    functions, and Catalyst does not common-subexpression-eliminate
+    under lambdas, so an inlined ``filter(split(text))`` re-evaluates
+    per reference (measured 26x on q53 at sf0.1 — BASELINE.md rounds
+    2 and 8/9). A projected non-cheap alias referenced many times is
+    exactly what CollapseProject refuses to re-inline, which keeps
+    tokenization at one pass per scan; ``tests/test_plans.py`` pins
+    one ``split(`` per documents scan for the whole decon family."""
+    return tokens(text)
 
 
-def decon_gram_hashes(text: F.Column | str) -> F.Column:
+def decon_grams(toks: F.Column) -> F.Column:
+    """Per-doc DISTINCT decontamination n-grams over a PRE-TOKENIZED
+    column (see :func:`decon_toks`) — THE single definition of the
+    contamination gram universe. Every screen (batch q53/q79,
+    streaming corpus_prep exact + Bloom variants) must derive grams
+    through this or :func:`decon_gram_hashes`; a screen probing a
+    different universe than the one its filter/set was built from
+    silently loses the zero-false-negative guarantee. Passing raw
+    text here fails at analysis time (``size``/``element_at`` need an
+    array), which is deliberate — the text-accepting round-8 form
+    re-tokenized per lambda reference."""
+    return F.array_distinct(ngrams(toks, DECON_N))
+
+
+def decon_gram_hashes(toks: F.Column) -> F.Column:
     """``xxhash64`` (default seed) of :func:`decon_grams` — the hash
-    universe the Bloom screen builds and probes. Hashing after the
+    universe the Bloom screen builds and probes. Takes the same
+    PRE-TOKENIZED column as :func:`decon_grams`. Hashing after the
     per-doc distinct keeps the two derivations element-for-element
     aligned (distinct-then-hash == hash-then-distinct for xxhash64's
     practical collision-free range, and is cheaper)."""
-    return F.transform(decon_grams(text), lambda g: F.xxhash64(g))
+    return F.transform(decon_grams(toks), lambda g: F.xxhash64(g))
 
 
 @query(
@@ -497,10 +519,14 @@ def q53_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the eval gram set stays a broadcast (it scales with
     benchmark size, not corpus size)."""
     docs = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
-    grams = docs.select(
+    # toks is PROJECTED before the lambda-heavy gram derivation so the
+    # split/filter runs once per row, not once per ngrams reference
+    # (decon_toks docstring; plan pinned in test_plans.py).
+    with_toks = docs.select("doc_id", "source", decon_toks("text").alias("toks"))
+    grams = with_toks.select(
         "doc_id",
         "source",
-        F.explode(decon_grams("text")).alias("g"),
+        F.explode(decon_grams(F.col("toks"))).alias("g"),
     )
     eval_grams = (
         grams.filter(F.col("source") == EVAL_SOURCE).select("g").distinct()
@@ -545,6 +571,11 @@ def _eval_bloom_for(spark: SparkSession, sf_dir: str, eval_grams) -> object:
     if hit is not None and hit[0] == fp:
         return hit[1]
     bf = build_bloom(eval_grams, "g", fpp=BLOOM_FPP)
+    if hit is not None:  # same key, stale fixture: the overwrite below
+        # would strand the old bitset in the broadcast layer's own
+        # cache — release it so eviction stays a REAL memory bound
+        # (ADVICE r8; mirrors the size-cap path beneath).
+        drop_broadcast(spark, hit[1])
     _BLOOM_CACHE[key] = (fp, bf)
     stale = [k for k in _BLOOM_CACHE if k[0] != key[0]]
     while stale or len(_BLOOM_CACHE) > _BLOOM_CACHE_KEEP:
@@ -573,17 +604,20 @@ def q79_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventsgateway_spark.operators.bloom import bloom_probe_count_udf
 
     docs = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
-    eval_grams = docs.filter(F.col("source") == EVAL_SOURCE).select(
-        F.explode(decon_grams("text")).alias("g")
+    # Same projected-toks shape as q53 — both the eval-side build and
+    # the probe side tokenize exactly once per scanned row.
+    with_toks = docs.select("doc_id", "source", decon_toks("text").alias("toks"))
+    eval_grams = with_toks.filter(F.col("source") == EVAL_SOURCE).select(
+        F.explode(decon_grams(F.col("toks"))).alias("g")
     )
     bf = _eval_bloom_for(spark, sf_dir, eval_grams)
     probe = bloom_probe_count_udf(spark, bf)
     return (
-        docs.filter(F.col("source") != EVAL_SOURCE)
+        with_toks.filter(F.col("source") != EVAL_SOURCE)
         .select(
             "doc_id",
             "source",
-            probe(decon_gram_hashes("text")).alias("n_flagged_grams"),
+            probe(decon_gram_hashes(F.col("toks"))).alias("n_flagged_grams"),
         )
         .filter(F.col("n_flagged_grams") > 0)
         .orderBy("doc_id")

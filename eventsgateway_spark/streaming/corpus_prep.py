@@ -43,13 +43,17 @@ def eval_gram_set(eval_docs: DataFrame) -> DataFrame:
     posture). Build once, pass to :func:`corpus_prep_stream`. Grams
     derive from the ONE shared definition (ext_text.decon_grams) so
     the screen and the set always cover the same universe."""
-    from eventsgateway_spark.queries.ext_text import decon_grams
+    return _eval_grams_frame(eval_docs).distinct().localCheckpoint()
 
-    return (
-        eval_docs.select(F.explode(decon_grams("text")).alias("g"))
-        .distinct()
-        .localCheckpoint()
-    )
+
+def _eval_grams_frame(eval_docs: DataFrame) -> DataFrame:
+    """UN-executed (doc-duplicated) gram frame behind both eval-side
+    builders — toks projected before the lambda-heavy gram derivation
+    (ext_text.decon_toks docstring; plan pinned by test_plans.py)."""
+    from eventsgateway_spark.queries.ext_text import decon_grams, decon_toks
+
+    toked = eval_docs.select(decon_toks("text").alias("toks"))
+    return toked.select(F.explode(decon_grams(F.col("toks"))).alias("g"))
 
 
 def eval_gram_bloom(eval_docs: DataFrame, fpp: float = 1e-4):
@@ -59,10 +63,37 @@ def eval_gram_bloom(eval_docs: DataFrame, fpp: float = 1e-4):
     screened through the bitset never leaks a contaminated document;
     a ~fpp fraction of clean grams over-flags (safe direction)."""
     from eventsgateway_spark.operators.bloom import build_bloom
-    from eventsgateway_spark.queries.ext_text import decon_grams
 
-    grams = eval_docs.select(F.explode(decon_grams("text")).alias("g"))
-    return build_bloom(grams, "g", fpp=fpp)
+    return build_bloom(_eval_grams_frame(eval_docs), "g", fpp=fpp)
+
+
+def _screen_exact_grams(kept: DataFrame) -> DataFrame:
+    """(doc_id, g) pairs for the exact decontamination screen — toks
+    PROJECTED before the lambda-heavy gram derivation so tokenization
+    runs once per kept row (ext_text.decon_toks docstring; plan pinned
+    by tests/test_plans.py::test_decon_family_tokenizes_once)."""
+    from eventsgateway_spark.queries.ext_text import decon_grams, decon_toks
+
+    kept_toks = kept.select("doc_id", decon_toks("text").alias("toks"))
+    return kept_toks.select(
+        "doc_id",
+        F.explode(decon_grams(F.col("toks"))).alias("g"),
+    )
+
+
+def _screen_bloom_flag(kept: DataFrame, bloom_probe) -> DataFrame:
+    """``kept`` plus an ``n_flagged`` Bloom-probe column — same
+    projected-toks shape as :func:`_screen_exact_grams`. Returned
+    UN-executed; the caller localCheckpoints it (two consumers)."""
+    from eventsgateway_spark.queries.ext_text import decon_gram_hashes, decon_toks
+
+    return (
+        kept.withColumn("_decon_toks", decon_toks("text"))
+        .withColumn(
+            "n_flagged", bloom_probe(decon_gram_hashes(F.col("_decon_toks")))
+        )
+        .drop("_decon_toks")
+    )
 
 
 def corpus_prep_stream(
@@ -100,13 +131,34 @@ def corpus_prep_stream(
         bloom_probe = bloom_probe_count_udf(doc_stream.sparkSession, eval_bloom)
 
     def _route(batch_df: DataFrame, batch_id: int) -> None:
+        from eventsgateway_spark.queries._util import release_frame
+
+        # Every frame this batch localCheckpoints is released in the
+        # finally below — in a long-running stream, per-batch checkpoint
+        # blocks otherwise accumulate in the BlockManagers until driver
+        # GC (ADVICE r8; same release_frame discipline as the batch
+        # query paths).
+        pinned: list[DataFrame] = []
+
+        def _pin(df: DataFrame) -> DataFrame:
+            df = df.localCheckpoint()
+            pinned.append(df)
+            return df
+
+        try:
+            _route_batch(batch_df, batch_id, _pin)
+        finally:
+            for df in pinned:
+                release_frame(df)
+
+    def _route_batch(batch_df: DataFrame, batch_id: int, _pin) -> None:
         from eventsgateway_spark.functions.text import tokens
         from eventsgateway_spark.queries.ext_dedup import jaccard_pairs
         from eventsgateway_spark.streaming.near_dup import batch_shingles
 
-        batch = batch_df.localCheckpoint()  # consumed by several sinks
+        batch = _pin(batch_df)  # consumed by several sinks
         split = curate(batch)
-        kept_all = split.kept.localCheckpoint()
+        kept_all = _pin(split.kept)
 
         # WITHIN-BATCH exact dedup (q60's s1 stage, batch-scoped): keep
         # the minimum doc_id per canonical token bag; the other members
@@ -115,7 +167,7 @@ def corpus_prep_stream(
             "k", F.array_join(F.sort_array(F.array_distinct(tokens("text"))), " ")
         )
         keep1 = canon.groupBy("k").agg(F.min("doc_id").alias("keep_id"))
-        resolved = canon.join(keep1, "k").localCheckpoint()  # 2 consumers
+        resolved = _pin(canon.join(keep1, "k"))  # 2 consumers
         exact_evid = resolved.filter(F.col("doc_id") != F.col("keep_id")).select(
             "doc_id",
             F.col("keep_id").alias("corpus_id"),
@@ -145,12 +197,11 @@ def corpus_prep_stream(
             "doc_id", "corpus_id", "jaccard", F.lit("corpus").alias("match_kind")
         )
 
-        best = (
+        best = _pin(
             exact_evid.unionByName(within_evid)
             .unionByName(corpus_evid)
             .groupBy("doc_id")
             .agg(F.max(F.struct("jaccard", "corpus_id", "match_kind")).alias("m"))
-            .localCheckpoint()
         )
         dups = kept_all.join(best, "doc_id").select(
             "doc_id",
@@ -161,17 +212,11 @@ def corpus_prep_stream(
         )
         kept = kept_all.join(best.select("doc_id"), "doc_id", "left_anti")
         if eval_grams is not None:
-            from eventsgateway_spark.queries.ext_text import decon_grams
-
-            doc_grams = kept.select(
-                "doc_id",
-                F.explode(decon_grams("text")).alias("g"),
-            )
-            dirty_ids = (
+            doc_grams = _screen_exact_grams(kept)
+            dirty_ids = _pin(
                 doc_grams.join(F.broadcast(eval_grams), "g")
                 .select("doc_id")
                 .distinct()
-                .localCheckpoint()
             )
             contaminated = kept.join(dirty_ids, "doc_id")
             kept = kept.join(dirty_ids, "doc_id", "left_anti")
@@ -179,14 +224,10 @@ def corpus_prep_stream(
                 contaminated, batch_id, f"{out_root}/contaminated"
             )
         elif bloom_probe is not None:
-            from eventsgateway_spark.queries.ext_text import decon_gram_hashes
-
             # checkpointed so the probe evaluates once, not once per
             # consuming split (same pattern as the other two-consumer
             # frames in this batch function)
-            flagged = kept.withColumn(
-                "n_flagged", bloom_probe(decon_gram_hashes("text"))
-            ).localCheckpoint()
+            flagged = _pin(_screen_bloom_flag(kept, bloom_probe))
             contaminated = flagged.filter(F.col("n_flagged") > 0).drop(
                 "n_flagged"
             )

@@ -392,6 +392,71 @@ def test_decontamination_broadcasts_eval_grams(spark):
     assert "CartesianProduct" not in plan
 
 
+def _split_per_scan(df) -> tuple[int, int]:
+    """(#split( expressions, #documents-parquet scans) in the optimized
+    plan — the decon-family single-tokenization invariant says these
+    must be EQUAL: one tokenization pass per scan."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    scans = len(re.findall(r"Relation \[.*\btext#.*parquet", plan))
+    return plan.count("split("), max(scans, 1)
+
+
+def test_decon_family_tokenizes_once(spark):
+    """The round-2 AND round-8 regression, pinned for good: `ngrams`
+    references its argument ~8 times inside lambdas, and Catalyst does
+    not CSE under lambda functions, so an inlined `split(text)`
+    re-evaluates per reference (measured 26x on q53 at sf0.1 —
+    BASELINE.md round 9). The fix projects `toks` as a real column,
+    which CollapseProject refuses to re-inline (non-cheap alias,
+    multiple references). Pin: exactly ONE `split(` per documents scan
+    in the optimized plan of every decon-family consumer — q53, q79,
+    and both streaming corpus-prep screens."""
+    import numpy as np
+
+    from eventsgateway_spark.operators.bloom import (
+        bloom_from_hashes,
+        bloom_probe_count_udf,
+    )
+    from eventsgateway_spark.streaming.corpus_prep import (
+        _eval_grams_frame,
+        _screen_bloom_flag,
+        _screen_exact_grams,
+    )
+
+    for name in ("q53_decontaminate", "q79_bloom_decontaminate"):
+        df = QUERIES[name](spark, SF_ORACLE)
+        n_split, n_scan = _split_per_scan(df)
+        assert n_split == n_scan, (
+            f"{name}: {n_split} split( for {n_scan} documents scans — "
+            "tokenization re-inlined under a lambda (see decon_toks)"
+        )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for label, frame in (
+        ("exact screen", _screen_exact_grams(docs)),
+        (
+            "bloom screen",
+            _screen_bloom_flag(
+                docs,
+                bloom_probe_count_udf(
+                    spark, bloom_from_hashes(np.arange(16, dtype=np.int64))
+                ),
+            ),
+        ),
+        ("eval gram builder", _eval_grams_frame(docs)),
+    ):
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        n = plan.count("split(")
+        assert n <= 1, (
+            f"corpus-prep {label}: {n} split( in one-scan plan — "
+            "tokenization re-inlined under a lambda (see decon_toks)"
+        )
+
+
 def test_q33_norms_precomputed_below_join(spark):
     """q33's 0.66 s rewrite (BASELINE.md round-6): per-vector norms are
     folded ONCE in the projections BELOW the broadcast join, never
