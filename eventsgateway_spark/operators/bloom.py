@@ -186,7 +186,13 @@ def _broadcast_words(spark: SparkSession, bf: BloomFilter):
         bf.k,
     )
     bc = _BCAST_CACHE.get(key)
-    if bc is None:
+    if bc is not None:
+        # refresh recency so eviction approximates LRU — without this
+        # a hot filter inserted first is evicted (and must re-ship its
+        # multi-hundred-MB bitset) as soon as _BCAST_KEEP newer ones
+        # appear, even while it is the most-used (ADVICE r8)
+        _BCAST_CACHE[key] = _BCAST_CACHE.pop(key)
+    else:
         bc = spark.sparkContext.broadcast(bf.words)
         _BCAST_CACHE[key] = bc
         stale = [k for k in _BCAST_CACHE if k[0] != key[0]]

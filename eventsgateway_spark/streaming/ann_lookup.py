@@ -74,6 +74,14 @@ def save_ivf_index(
     # bucket count is refused: a crash mid-save would pair one
     # generation's layout with the other generation's parameters (same
     # contract as save_corpus_index, incl. the pre-_meta branch).
+    if spark.catalog.tableExists(f"{table_prefix}_meta") and not spark.catalog.tableExists(
+        f"{table_prefix}_assign"
+    ):
+        # phantom _meta from a crashed FIRST save (meta written, no
+        # data table landed) — its parameters pin nothing; clear it
+        # instead of refusing a rebuild of a never-built index
+        # (ADVICE r8; mirrors save_corpus_index).
+        spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_meta")
     if spark.catalog.tableExists(f"{table_prefix}_meta"):
         old = int(spark.table(f"{table_prefix}_meta").collect()[0]["buckets"])
         if old != int(buckets):

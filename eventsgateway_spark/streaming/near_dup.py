@@ -135,6 +135,15 @@ def save_corpus_index(
     appends silently shingle the wrong universe — rebuild to a FRESH
     prefix and swap names instead."""
     spark = corpus_docs.sparkSession
+    if spark.catalog.tableExists(f"{table_prefix}_meta") and not spark.catalog.tableExists(
+        f"{table_prefix}_shingles"
+    ):
+        # phantom _meta: a FIRST save crashed between the _meta write
+        # and the first data table, so the parameters pin NOTHING —
+        # refusing a rebuild here would demand a manual DROP for an
+        # index that never existed (ADVICE r8). Clear it and fall
+        # through to a clean first save.
+        spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_meta")
     if spark.catalog.tableExists(f"{table_prefix}_meta"):
         old = spark.table(f"{table_prefix}_meta").collect()[0]
         if (int(old["n"]), int(old["max_df"]), int(old["buckets"])) != (

@@ -724,6 +724,51 @@ def test_stream_dedup_with_table_backed_index(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_save_tolerates_phantom_meta(spark):
+    """A crashed FIRST save can leave ``_meta`` with no data tables;
+    a later save with DIFFERENT parameters must clear the phantom and
+    proceed — its parameters pin nothing — rather than refuse and
+    demand a manual DROP for an index that never existed (ADVICE r8).
+    Covers both index families (corpus shingle index, IVF)."""
+    from eventsgateway_spark.streaming.ann_lookup import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from eventsgateway_spark.streaming.near_dup import (
+        load_corpus_index,
+        save_corpus_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    try:
+        # simulate the crash window: _meta landed, no data table did
+        spark.createDataFrame(
+            [(5, 99, 8)], "n int, max_df int, buckets int"
+        ).write.mode("overwrite").saveAsTable("tpm_corpus_meta")
+        save_corpus_index(corpus, "tpm_corpus", buckets=4)  # != 8: no refusal
+        assert load_corpus_index(spark, "tpm_corpus").shingles.count() > 0
+
+        spark.createDataFrame([(8,)], "buckets int").write.mode(
+            "overwrite"
+        ).saveAsTable("tpm_ivf_meta")
+        save_ivf_index(emb, "tpm_ivf", buckets=4)
+        assert load_ivf_index(spark, "tpm_ivf").assign.count() > 0
+    finally:
+        for t in (
+            "tpm_corpus_shingles", "tpm_corpus_hot", "tpm_corpus_sizes",
+            "tpm_corpus_df", "tpm_corpus_meta", "tpm_corpus_pending",
+            "tpm_corpus_df_fold", "tpm_ivf_assign", "tpm_ivf_centroids",
+            "tpm_ivf_meta",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_append_corpus_index_incremental_admission(spark):
     """append_corpus_index admits novel docs into a saved index without
     a rebuild: matching vs the appended index equals matching vs a
@@ -1412,6 +1457,71 @@ def test_streaming_corpus_prep_bloom_decontaminates(spark, tmp_path):
     kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out/kept")).collect()}
     cont = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out/contaminated")).collect()}
     assert kept == {201} and cont == {200}
+
+
+def test_streaming_bloom_screen_dominates_exact_end_to_end(spark, tmp_path):
+    """q60-composition-level parity for the BLOOM decontamination
+    variant (VERDICT r8 #8): run the FULL streaming pipeline twice on
+    the sf0.001 documents fixture — once with the exact gram set, once
+    with the Bloom bitset built from the SAME eval corpus — and pin
+    the Bloom screen's routing guarantees end-to-end, not just at the
+    standalone-probe level:
+
+    - zero false negatives ⇒ contaminated(bloom) ⊇ contaminated(exact)
+      (count dominance follows);
+    - the two variants route the same doc universe: kept ∪ contaminated
+      is identical across variants (a doc can only move kept→contam.);
+    - every other sink (quarantine, dups) is bit-identical — the
+      screen choice must not perturb upstream stages."""
+    from eventsgateway_spark.streaming.corpus_prep import (
+        corpus_prep_stream,
+        eval_gram_bloom,
+        eval_gram_set,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    eval_docs = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    incoming = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    corpus = spark.createDataFrame(
+        [(10_000_000,
+          "an unrelated corpus document that has a sufficient number of "
+          "tokens the a of and to is in it with many extra distinct words "
+          "for the quality floor")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "in")
+    incoming.coalesce(1).write.parquet(src)
+
+    outs = {}
+    for variant, kwargs in (
+        ("exact", {"eval_grams": eval_gram_set(eval_docs)}),
+        ("bloom", {"eval_bloom": eval_gram_bloom(eval_docs)}),
+    ):
+        out = str(tmp_path / f"out_{variant}")
+        q = corpus_prep_stream(
+            spark.readStream.schema(incoming.schema).parquet(src),
+            corpus,
+            out_root=out,
+            checkpoint=str(tmp_path / f"ckpt_{variant}"),
+            trigger_once=True,
+            **kwargs,
+        )
+        q.awaitTermination(240)
+        outs[variant] = {
+            sink: {r.doc_id for r in
+                   spark.read.parquet(f"{out}/{sink}").select("doc_id").collect()}
+            for sink in ("kept", "contaminated", "quarantine", "dups")
+        }
+
+    ex, bl = outs["exact"], outs["bloom"]
+    assert ex["contaminated"], "fixture produced no contamination — test is vacuous"
+    assert bl["contaminated"] >= ex["contaminated"], (
+        "Bloom screen missed exact-screen contamination (false negative)"
+    )
+    assert bl["kept"] | bl["contaminated"] == ex["kept"] | ex["contaminated"]
+    assert bl["quarantine"] == ex["quarantine"]
+    assert bl["dups"] == ex["dups"]
 
 
 def test_streaming_corpus_prep_within_batch_dedup(spark, tmp_path):
