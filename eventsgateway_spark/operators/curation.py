@@ -60,10 +60,17 @@ def pii_count(text: Column) -> Column:
     )
 
 
-def quality_metrics(text: Column) -> list[Column]:
+def quality_metrics(toks: Column) -> list[Column]:
     """Per-document metric columns the quality rules are built from:
-    n_tok, n_uniq, sum_len, stop_hits."""
-    toks = tokens(text)
+    n_tok, n_uniq, sum_len, stop_hits.
+
+    Takes a PRE-TOKENIZED column that the caller has PROJECTED to a
+    real column (``.alias(...)`` in a prior select) — the four metrics
+    each consume the token array, and an inlined ``tokens(text)``
+    expression re-evaluates once per consuming alias (4× tokenization
+    measured in q67/curate's plans; the same CollapseProject lesson as
+    ext_text.decon_toks). A projected non-cheap alias with multiple
+    references is never re-inlined."""
     return [
         F.size(toks).alias("n_tok"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),
@@ -117,7 +124,7 @@ def curate(df: DataFrame, text_col: str = "text") -> CurationSplit:
     expressions ambiguous (or silently bind the caller's column), so
     collisions fail loudly here instead."""
     reserved = {
-        "n_tok", "n_uniq", "sum_len", "stop_hits",
+        "n_tok", "n_uniq", "sum_len", "stop_hits", "_q_toks",
         "f_len", "f_word_len", "f_uniq", "f_stop", "reject_reason",
     }
     clash = reserved & set(df.columns)
@@ -126,8 +133,11 @@ def curate(df: DataFrame, text_col: str = "text") -> CurationSplit:
             f"curate() reserves column names {sorted(clash)}; rename them "
             "on the input frame"
         )
+    # tokens projected ONCE, then consumed by the four metric columns
+    # (quality_metrics docstring) — the second select drops _q_toks
+    toked = df.select(*df.columns, tokens(F.col(text_col)).alias("_q_toks"))
     flagged = (
-        df.select(*df.columns, *quality_metrics(F.col(text_col)))
+        toked.select(*df.columns, *quality_metrics(F.col("_q_toks")))
         .select(*df.columns, *quality_flags())
         .withColumn(text_col, redact_pii(F.col(text_col)))
     )

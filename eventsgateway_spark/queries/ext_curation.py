@@ -40,7 +40,7 @@ from pyspark.sql.window import Window
 
 from eventsgateway_spark.functions.text import EN_STOPWORDS, tokens
 from eventsgateway_spark.queries import query
-from eventsgateway_spark.queries._util import spread, table
+from eventsgateway_spark.queries._util import pin, spread, table
 
 from eventsgateway_spark.queries._util import DUCK_TOKS as _DUCK_TOKS
 
@@ -241,7 +241,10 @@ def q67_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     every rule passes. Map-only array math (size / array_distinct /
     aggregate / array filter) + one aggregate to |langs| rows."""
     docs = spread(table(spark, sf_dir, "documents").select("lang", "text"))
-    m = docs.select("lang", *quality_metrics(F.col("text")))
+    # tokens projected once before the four metric consumers
+    # (quality_metrics docstring; plan audit in test_plans.py)
+    toked = docs.select("lang", tokens("text").alias("toks"))
+    m = toked.select("lang", *quality_metrics(F.col("toks")))
     flags = m.select("lang", *quality_flags())
     return (
         flags.groupBy("lang")
@@ -436,15 +439,34 @@ def q69_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast scalars. The per-term scores pivot into fixed columns
     and sum left-to-right — identical fp rounding in both engines."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = spread(docs).select("doc_id", tokens("text").alias("toks"))
-    dl = toks.select("doc_id", F.size("toks").alias("dl"))
-    stats = dl.agg(
+    # ONE tokenized pass over the corpus: doc length + the query-term
+    # slice come out of a single projection, pinned (persist) because
+    # three join branches consume it — the previous shape scanned and
+    # tokenized the corpus once per branch, and Catalyst's
+    # InferFiltersFromGenerate doubled the tf branch's tokenization by
+    # pushing an inferred size() filter through the toks projection.
+    toked = spread(docs).select("doc_id", tokens("text").alias("toks"))
+    base = pin(
+        toked.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.filter("toks", lambda t: t.isin(*_QUERY_TERMS)).alias("qt"),
+        ),
+        mode="persist",
+    )
+    dl = base.select("doc_id", "dl")
+    stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     tf = (
-        toks.select("doc_id", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(_QUERY_TERMS))
+        # the `when` wrapper keeps InferFiltersFromGenerate from
+        # adding a size() probe that re-derives qt below the Generate
+        # (empty arrays yield no rows either way)
+        base.select(
+            "doc_id",
+            F.explode(F.when(F.size("qt") > 0, F.col("qt"))).alias("term"),
+        )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

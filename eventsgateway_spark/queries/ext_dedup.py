@@ -752,21 +752,26 @@ def q72_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc) aggregate. All equi-keyed; window hashes are near-unique so
     the ownership groupBy has no hot keys; linear in corpus tokens."""
     docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    toks = docs.select("doc_id", tokens("text").alias("toks")).filter(
-        F.size("toks") >= SUBSTR_W
-    )
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    # The short-doc guard lives INSIDE the generator (null -> no rows)
+    # instead of a filter: `filter(size(toks) >= W)` gets predicate-
+    # pushed below the toks projection, re-inlining the tokenization
+    # and tokenizing every document twice (plan audit, test_plans.py).
     w = toks.select(
         "doc_id",
         F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (SUBSTR_W - 1)),
-                    lambda i: F.md5(
-                        F.concat_ws(
-                            " ", F.slice("toks", i, SUBSTR_W)
-                        )
-                    ),
-                )
+            F.when(
+                F.size("toks") >= SUBSTR_W,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - (SUBSTR_W - 1)),
+                        lambda i: F.md5(
+                            F.concat_ws(
+                                " ", F.slice("toks", i, SUBSTR_W)
+                            )
+                        ),
+                    )
+                ),
             )
         ).alias("h"),
     )

@@ -380,16 +380,22 @@ def chunk_documents(docs: DataFrame) -> DataFrame:
     from eventsgateway_spark.functions.text import has_pretokenized
 
     if has_pretokenized(docs):
-        with_toks = docs.select("doc_id", "toks").filter(F.size("toks") > 0)
+        with_toks = docs.select("doc_id", "toks")
     else:
-        with_toks = docs.select("doc_id", tokens("text").alias("toks")).filter(
-            F.size("toks") > 0
-        )
+        with_toks = docs.select("doc_id", tokens("text").alias("toks"))
+    # The empty-doc guard lives INSIDE the generator (null -> no rows
+    # from a non-outer posexplode) rather than as a filter: a
+    # `filter(size(toks) > 0)` gets predicate-pushed below the toks
+    # projection, re-inlining the tokenization into the condition and
+    # tokenizing every document twice (plan audit, test_plans.py).
     starts = with_toks.select(
         "doc_id",
         "toks",
         F.posexplode(
-            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+            F.when(
+                F.size("toks") > 0,
+                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE)),
+            )
         ).alias("chunk_id", "start"),
     )
     return (

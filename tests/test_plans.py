@@ -433,6 +433,21 @@ def test_decon_family_tokenizes_once(spark):
             "tokenization re-inlined under a lambda (see decon_toks)"
         )
 
+    # registry-wide sweep: no query may tokenize more than once per
+    # documents scan. q60 is the documented exception (its MIN_TOKENS
+    # quality-floor filter gets predicate-pushed below the toks
+    # projection — a bounded 2x on the pre-pin stage, not the 7x
+    # lambda re-inline; above fixture scale its pins materialize after
+    # one pass so the fixture-scale rescans don't occur).
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, SF_ORACLE)
+        n_split, n_scan = _split_per_scan(df)
+        cap = 3 * n_scan if name == "q60_corpus_prep" else n_scan
+        assert n_split <= cap, (
+            f"{name}: {n_split} split( for {n_scan} documents scans — "
+            "tokenization re-inlined (project toks once; see decon_toks)"
+        )
+
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
         "doc_id", "text"
     )
