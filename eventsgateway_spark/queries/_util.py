@@ -218,6 +218,35 @@ def release_frame(df: DataFrame) -> None:
         pass  # not a checkpointed frame / session gone
 
 
+def released_checkpoints():
+    """Context manager scoping per-micro-batch ``localCheckpoint``s:
+    yields a pin function (``df -> checkpointed df``) and
+    :func:`release_frame`'s every pinned frame on exit. foreachBatch
+    bodies checkpoint multi-consumer frames every batch; without an
+    explicit release a long-running stream accumulates every batch's
+    checkpoint blocks in the BlockManagers until driver GC (ADVICE
+    r8). Use AFTER the batch's sinks complete — the frames are gone
+    once the scope exits."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scope():
+        pinned: list[DataFrame] = []
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            df = df.localCheckpoint()
+            pinned.append(df)
+            return df
+
+        try:
+            yield ckpt
+        finally:
+            for df in pinned:
+                release_frame(df)
+
+    return _scope()
+
+
 def _release(df: DataFrame) -> None:
     release_frame(df)
 

@@ -131,25 +131,15 @@ def corpus_prep_stream(
         bloom_probe = bloom_probe_count_udf(doc_stream.sparkSession, eval_bloom)
 
     def _route(batch_df: DataFrame, batch_id: int) -> None:
-        from eventsgateway_spark.queries._util import release_frame
+        from eventsgateway_spark.queries._util import released_checkpoints
 
-        # Every frame this batch localCheckpoints is released in the
-        # finally below — in a long-running stream, per-batch checkpoint
+        # Every frame this batch localCheckpoints is released when the
+        # scope exits — in a long-running stream, per-batch checkpoint
         # blocks otherwise accumulate in the BlockManagers until driver
         # GC (ADVICE r8; same release_frame discipline as the batch
         # query paths).
-        pinned: list[DataFrame] = []
-
-        def _pin(df: DataFrame) -> DataFrame:
-            df = df.localCheckpoint()
-            pinned.append(df)
-            return df
-
-        try:
+        with released_checkpoints() as _pin:
             _route_batch(batch_df, batch_id, _pin)
-        finally:
-            for df in pinned:
-                release_frame(df)
 
     def _route_batch(batch_df: DataFrame, batch_id: int, _pin) -> None:
         from eventsgateway_spark.functions.text import tokens

@@ -138,13 +138,22 @@ def apply_interleave_batch(
     foreachBatch body of :func:`stream_training_order`, module-level so
     the replay protocol is directly testable (same layout as
     streaming/packing.py)."""
+    from eventsgateway_spark.queries._util import released_checkpoints
+
     state = _read_state(state_root)
     if batch_id < state["batch_id"]:
         return  # stale replay older than the last applied batch
     replay = batch_id == state["batch_id"]
     base = state["ranks_before"] if replay else state["ranks_after"]
     hwm = state["hwm_before"] if replay else state["hwm_after"]
-    batch = batch_df.localCheckpoint()
+    with released_checkpoints() as ckpt:
+        _apply_interleave(batch_df, batch_id, weights, out_path,
+                          state_root, base, hwm, ckpt)
+
+
+def _apply_interleave(batch_df, batch_id, weights, out_path,
+                      state_root, base, hwm, ckpt) -> None:
+    batch = ckpt(batch_df)
     h = batch.select("source", "doc_id").withColumn(
         "h", F.md5(F.col("doc_id").cast("string"))
     )
@@ -174,7 +183,7 @@ def apply_interleave_batch(
                 "equal batch q76 over the concatenated corpus (see "
                 "module docstring)"
             )
-    out = interleave_batch(batch, weights, base).localCheckpoint()
+    out = ckpt(interleave_batch(batch, weights, base))
     (
         out.withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")

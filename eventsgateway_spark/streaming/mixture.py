@@ -145,8 +145,14 @@ def update_mixture_batch(
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
-    merged = merged.localCheckpoint()  # sever lineage from the table we replace
-    _publish_version(root, merged, weights_from_totals(merged), batch_id)
+    from eventsgateway_spark.queries._util import released_checkpoints
+
+    # sever lineage from the table we replace; released once the new
+    # version is published (long streams must not accumulate per-batch
+    # checkpoint blocks — ADVICE r8)
+    with released_checkpoints() as ckpt:
+        merged = ckpt(merged)
+        _publish_version(root, merged, weights_from_totals(merged), batch_id)
 
 
 def mixture_monitor_stream(

@@ -622,22 +622,26 @@ def stream_dedup_against_corpus(
         index = build_corpus_index(corpus_docs)
 
     def _route(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.localCheckpoint()  # consumed by 2 sinks + the join
-        best = (
-            flag_near_dups(batch, index, threshold)
-            .groupBy("doc_id")
-            .agg(F.max(F.struct("jaccard", "corpus_id")).alias("m"))
-            .localCheckpoint()  # consumed by the dup join AND the anti-join
-        )
-        dups = batch.join(best, "doc_id").select(
-            "doc_id",
-            "text",
-            F.col("m.corpus_id").alias("matched_corpus_id"),
-            F.col("m.jaccard").alias("jaccard"),
-        )
-        novel = batch.join(best.select("doc_id"), "doc_id", "left_anti")
-        _idempotent_append(dups, batch_id, dup_path)
-        _idempotent_append(novel, batch_id, novel_path)
+        from eventsgateway_spark.queries._util import released_checkpoints
+
+        # per-batch checkpoints released when the sinks complete —
+        # long-running streams must not accumulate them (ADVICE r8)
+        with released_checkpoints() as ckpt:
+            batch = ckpt(batch_df)  # consumed by 2 sinks + the join
+            best = ckpt(  # consumed by the dup join AND the anti-join
+                flag_near_dups(batch, index, threshold)
+                .groupBy("doc_id")
+                .agg(F.max(F.struct("jaccard", "corpus_id")).alias("m"))
+            )
+            dups = batch.join(best, "doc_id").select(
+                "doc_id",
+                "text",
+                F.col("m.corpus_id").alias("matched_corpus_id"),
+                F.col("m.jaccard").alias("jaccard"),
+            )
+            novel = batch.join(best.select("doc_id"), "doc_id", "left_anti")
+            _idempotent_append(dups, batch_id, dup_path)
+            _idempotent_append(novel, batch_id, novel_path)
 
     writer = stream_docs.writeStream.foreachBatch(_route).option(
         "checkpointLocation", checkpoint

@@ -110,6 +110,8 @@ def stream_pack(
     streaming/near_dup.py idempotence contract)."""
 
     def _pack(batch_df: DataFrame, batch_id: int) -> None:
+        from eventsgateway_spark.queries._util import released_checkpoints
+
         state = _read_state(state_root)
         if batch_id < state["batch_id"]:
             return  # stale replay older than the last applied batch
@@ -119,7 +121,11 @@ def stream_pack(
         else:
             base = state["offset_after"]
             high = state["max_doc_after"]
-        batch = batch_df.localCheckpoint()  # packed sink + token count
+        with released_checkpoints() as ckpt:
+            _pack_guarded(batch_df, batch_id, base, high, ckpt)
+
+    def _pack_guarded(batch_df, batch_id, base, high, ckpt) -> None:
+        batch = ckpt(batch_df)  # packed sink + token count
         # Ordering guard (VERDICT r7): exactness vs batch q73 requires
         # cross-batch arrival in the global doc_id order. An
         # out-of-order source would silently produce non-q73-equal
@@ -136,7 +142,7 @@ def stream_pack(
                 "the packed output would no longer equal batch q73 over the "
                 "concatenated corpus (see module docstring)"
             )
-        packed = pack_batch(batch, base).localCheckpoint()
+        packed = ckpt(pack_batch(batch, base))
         (
             packed.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")

@@ -57,10 +57,24 @@ def merge_batch(
     that needs a globally-indexed table format (Delta/Hudi/Iceberg
     MERGE), not this analog.
     """
+    from eventsgateway_spark.queries._util import released_checkpoints
+
+    # per-batch checkpoints released when the write completes — a
+    # long-running upsert stream must not accumulate them (ADVICE r8)
+    with released_checkpoints() as ckpt:
+        _merge_batch_pinned(
+            spark, batch_df, path, key_cols, order_col, tiebreak,
+            sort_within, ckpt,
+        )
+
+
+def _merge_batch_pinned(
+    spark, batch_df, path, key_cols, order_col, tiebreak, sort_within, ckpt
+) -> None:
     # Materialize the derived batch once: the touched-partition collect
     # and the merge union below would otherwise each re-evaluate the
     # foreachBatch source.
-    batch = derive_date_partitions(batch_df).localCheckpoint()
+    batch = ckpt(derive_date_partitions(batch_df))
     touched = [tuple(r) for r in batch.select(*PARTITION_COLS).distinct().collect()]
     if not touched:
         return
@@ -100,7 +114,7 @@ def merge_batch(
     # Materialize before overwriting: the winners' lineage reads the
     # same path being replaced, which Spark (correctly) refuses for a
     # lazy plan ("Cannot overwrite a path that is also being read from").
-    winners = winners.localCheckpoint()
+    winners = ckpt(winners)
     if sort_within and sort_within in winners.columns:
         # keep the table's cluster-column layout (min/max skipping),
         # matching write_events_batch / compact_partition

@@ -724,6 +724,62 @@ def test_stream_dedup_with_table_backed_index(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_stream_batches_release_checkpoint_blocks(spark, tmp_path):
+    """Per-batch localCheckpoints must be RELEASED when a batch's
+    sinks complete (ADVICE r8): a long-running stream otherwise
+    accumulates every batch's blocks in the BlockManagers until
+    driver GC. Run the dedup stream over several single-file
+    micro-batches against a table-backed index (no intentional
+    in-session pins) and pin that the RDD storage-block census ends
+    where it started."""
+    from eventsgateway_spark.streaming.near_dup import (
+        load_corpus_index,
+        save_corpus_index,
+        stream_dedup_against_corpus,
+    )
+
+    def n_stored_rdds() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    save_corpus_index(corpus, "trel_corpus", buckets=2)
+    try:
+        idx = load_corpus_index(spark, "trel_corpus")
+        src = str(tmp_path / "src")
+        for i in range(3):  # one file per micro-batch below
+            spark.createDataFrame(
+                [(100 + i, f"distinct document number {i} about cooking "
+                           "pasta with basil and olive oil tonight")],
+                "doc_id long, text string",
+            ).coalesce(1).write.mode("append").parquet(src)
+        before = n_stored_rdds()
+        q = stream_dedup_against_corpus(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            corpus_docs=None,
+            novel_path=str(tmp_path / "novel"),
+            dup_path=str(tmp_path / "dups"),
+            checkpoint=str(tmp_path / "ckpt"),
+            trigger_once=True,
+            index=idx,
+        )
+        q.awaitTermination(180)
+        assert spark.read.parquet(str(tmp_path / "novel")).count() == 3
+        after = n_stored_rdds()
+        assert after <= before, (
+            f"stream leaked {after - before} checkpointed RDDs into the "
+            "block manager (released_checkpoints not applied?)"
+        )
+    finally:
+        for t in ("trel_corpus_shingles", "trel_corpus_hot",
+                  "trel_corpus_sizes", "trel_corpus_df", "trel_corpus_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_save_tolerates_phantom_meta(spark):
     """A crashed FIRST save can leave ``_meta`` with no data tables;
     a later save with DIFFERENT parameters must clear the phantom and
