@@ -775,10 +775,19 @@ def q72_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    owner = w.groupBy("h").agg(F.min("doc_id").alias("owner_id"))
+    # Ownership via ONE window function over the hash partitioning
+    # (round-9 rewrite): the previous owner-groupBy + join-back shape
+    # evaluated the window explode TWICE (two full corpus explodes)
+    # and shuffled the window set by h twice; `min over (partition by
+    # h)` does it with one explode and one shuffle. Window hashes are
+    # md5 of 8-token windows — near-unique, so the per-h partitions
+    # the window sort sees are tiny (no skew; a boilerplate window
+    # repeated across many docs still only sorts its own df rows).
+    owned = w.withColumn(
+        "owner_id", F.min("doc_id").over(Window.partitionBy("h"))
+    )
     per_doc = (
-        w.join(owner, "h")
-        .groupBy("doc_id")
+        owned.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
             F.sum(F.when(F.col("owner_id") < F.col("doc_id"), 1).otherwise(0))
