@@ -120,14 +120,17 @@ def q60_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = q.withColumn(
         "k", F.array_join(F.sort_array(F.array_distinct("toks")), " ")
     )
-    keep1 = canon.groupBy("k").agg(F.min("doc_id").alias("keep_id"))
-    # pin: s1 fans out to the shingle path AND the survivor join — the
-    # exact-dedup lineage (scan → tokenize → groupBy → join) would
-    # otherwise re-execute per consumer (identity at fixture scale).
-    # Eager persist, not checkpoint: one action consumes everything
+    # keep-first via the size-aware primitive (round-9): broadcast
+    # join-back below 256 MB input, one window shuffle above — see
+    # ext_dedup.with_keep_first. pin: s1 fans out to the shingle path
+    # AND the survivor join — the exact-dedup lineage would otherwise
+    # re-execute per consumer (identity at fixture scale). Eager
+    # persist, not checkpoint: one action consumes everything
     # downstream (round-6 A/B, BASELINE.md).
+    from eventsgateway_spark.queries.ext_dedup import with_keep_first
+
     s1 = pin(
-        canon.join(keep1, "k")
+        with_keep_first(canon, "k")
         .filter(F.col("doc_id") == F.col("keep_id"))
         .select("doc_id", "source", "toks"),
         mode="persist",

@@ -153,11 +153,17 @@ def corpus_prep_stream(
         # WITHIN-BATCH exact dedup (q60's s1 stage, batch-scoped): keep
         # the minimum doc_id per canonical token bag; the other members
         # become dups with jaccard=1.0 evidence against the survivor.
+        from eventsgateway_spark.queries.ext_dedup import with_keep_first
+
         canon = kept_all.withColumn(
             "k", F.array_join(F.sort_array(F.array_distinct(tokens("text"))), " ")
         )
-        keep1 = canon.groupBy("k").agg(F.min("doc_id").alias("keep_id"))
-        resolved = _pin(canon.join(keep1, "k"))  # 2 consumers
+        # keep-first via the shared primitive, forced to the broadcast
+        # join-back branch: micro-batches arrive as checkpointed RDDs
+        # (no measurable input files -> the size heuristic would pick
+        # the window branch) but are bounded by the trigger, so the
+        # slim key table always broadcasts — ext_dedup.with_keep_first
+        resolved = _pin(with_keep_first(canon, "k", force="join"))  # 2 consumers
         exact_evid = resolved.filter(F.col("doc_id") != F.col("keep_id")).select(
             "doc_id",
             F.col("keep_id").alias("corpus_id"),

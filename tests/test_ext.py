@@ -982,3 +982,31 @@ def test_dedup_cluster_labels_shared_and_cached(spark):
                 assert cl == doc_id
     finally:
         ed._LABELS_CACHE.clear()
+
+
+def test_with_keep_first_branches_agree(spark):
+    """The size-aware keep-first primitive (ext_dedup.with_keep_first)
+    must produce row-identical results from its broadcast-join branch
+    (small inputs) and its window branch (corpus scale / unknown
+    size) — q60's exact-dedup stage and the streaming corpus-prep
+    screen switch between them by input size."""
+    from pyspark.sql import functions as F
+
+    from eventsgateway_spark.queries.ext_dedup import with_keep_first
+
+    df = spark.createDataFrame(
+        [(1, "a"), (5, "a"), (3, "a"), (2, "b"), (9, "c"), (4, "c")],
+        "doc_id long, k string",
+    )
+    out = {}
+    for mode in ("join", "window"):
+        rows = sorted(
+            (r["doc_id"], r["k"], r["keep_id"])
+            for r in with_keep_first(df, "k", force=mode).collect()
+        )
+        out[mode] = rows
+    assert out["join"] == out["window"]
+    assert out["join"] == [
+        (1, "a", 1), (2, "b", 2), (3, "a", 1),
+        (4, "c", 4), (5, "a", 1), (9, "c", 4),
+    ]
