@@ -2012,3 +2012,25 @@ def test_stream_training_order_replay_converges(spark, tmp_path):
     # a stale replay older than the last batch is ignored outright
     I.apply_interleave_batch(b0, 0, weights, out, state_root)
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == snap
+
+
+def test_released_checkpoints_releases_on_exception(spark):
+    """The per-batch checkpoint scope must release its frames on the
+    FAILURE path too — a foreachBatch body that raises (e.g. the
+    packing/interleave ordering guards) would otherwise leak that
+    batch's blocks on every failed retry."""
+    import pytest
+
+    from eventsgateway_spark.queries._util import released_checkpoints
+
+    def n_stored() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    before = n_stored()
+    with pytest.raises(RuntimeError, match="boom"):
+        with released_checkpoints() as ckpt:
+            pinned = ckpt(spark.range(100))
+            assert pinned.count() == 100
+            assert n_stored() > before  # genuinely pinned mid-scope
+            raise RuntimeError("boom")
+    assert n_stored() <= before
