@@ -159,6 +159,16 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
 
     ``new_emb`` has the raw embeddings-table shape
     ``(vec_id, embedding)``."""
+    if spark.catalog.tableExists(
+        f"{table_prefix}_meta"
+    ) and not spark.catalog.tableExists(f"{table_prefix}_assign"):
+        # phantom _meta (crashed FIRST save) — name the real state
+        # instead of a raw table-not-found on _assign (ADVICE r8)
+        raise ValueError(
+            f"no IVF index at {table_prefix!r} (only a phantom _meta "
+            "from a crashed first save) — run save_ivf_index to "
+            "completion first"
+        )
     if not spark.catalog.tableExists(f"{table_prefix}_meta"):
         # index saved before _meta existed: backfill once from the
         # saved assignment table's OWN catalog bucket spec — a

@@ -244,6 +244,15 @@ def _ensure_meta_and_migrate(spark, table_prefix: str) -> tuple[int, int, int]:
     from eventsgateway_spark.queries._util import table_buckets
 
     if spark.catalog.tableExists(f"{table_prefix}_meta"):
+        if not spark.catalog.tableExists(f"{table_prefix}_shingles"):
+            # phantom _meta (crashed FIRST save): appending would fail
+            # on the missing data table anyway — name the real state
+            # instead of surfacing a raw table-not-found (ADVICE r8)
+            raise ValueError(
+                f"no corpus index at {table_prefix!r} (only a phantom "
+                "_meta from a crashed first save) — run "
+                "save_corpus_index to completion first"
+            )
         return _index_meta(spark, table_prefix)
     if not spark.catalog.tableExists(f"{table_prefix}_shingles"):
         raise ValueError(

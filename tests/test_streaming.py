@@ -815,12 +815,30 @@ def test_save_tolerates_phantom_meta(spark):
         ).saveAsTable("tpm_ivf_meta")
         save_ivf_index(emb, "tpm_ivf", buckets=4)
         assert load_ivf_index(spark, "tpm_ivf").assign.count() > 0
+
+        # APPEND on a phantom must fail naming the real state, not
+        # with a raw table-not-found on the missing data table
+        import pytest
+
+        from eventsgateway_spark.streaming.ann_lookup import append_ivf_index
+        from eventsgateway_spark.streaming.near_dup import append_corpus_index
+
+        spark.createDataFrame(
+            [(5, 99, 8)], "n int, max_df int, buckets int"
+        ).write.mode("overwrite").saveAsTable("tpm2_corpus_meta")
+        with pytest.raises(ValueError, match="phantom"):
+            append_corpus_index(spark, "tpm2_corpus", corpus)
+        spark.createDataFrame([(8,)], "buckets int").write.mode(
+            "overwrite"
+        ).saveAsTable("tpm2_ivf_meta")
+        with pytest.raises(ValueError, match="phantom"):
+            append_ivf_index(spark, "tpm2_ivf", emb)
     finally:
         for t in (
             "tpm_corpus_shingles", "tpm_corpus_hot", "tpm_corpus_sizes",
             "tpm_corpus_df", "tpm_corpus_meta", "tpm_corpus_pending",
             "tpm_corpus_df_fold", "tpm_ivf_assign", "tpm_ivf_centroids",
-            "tpm_ivf_meta",
+            "tpm_ivf_meta", "tpm2_corpus_meta", "tpm2_ivf_meta",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
