@@ -296,8 +296,19 @@ def with_keep_first(
         )
     if mode != "join":
         raise ValueError(f"unknown keep-first mode {mode!r} (join|window)")
-    keep1 = df.groupBy(key).agg(F.min(id_col).alias("keep_id"))
-    return df.join(keep1, key)
+    # Null-safe equi-join (<=>) so a null key behaves exactly like the
+    # window branch (nulls form one group) instead of silently dropping
+    # rows — Catalyst still extracts EqualNullSafe as an equi-join key,
+    # so the slim table broadcasts the same as plain equality.
+    if "_kf_key" in df.columns:
+        raise ValueError("with_keep_first reserves column name '_kf_key'")
+    keep1 = (
+        df.groupBy(key)
+        .agg(F.min(id_col).alias("keep_id"))
+        .withColumnRenamed(key, "_kf_key")
+    )
+    joined = df.join(keep1, F.col(key).eqNullSafe(F.col("_kf_key")))
+    return joined.select(*df.columns, "keep_id")
 
 
 
@@ -832,9 +843,17 @@ def q72_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluated the window explode TWICE (two full corpus explodes)
     # and shuffled the window set by h twice; `min over (partition by
     # h)` does it with one explode and one shuffle. Window hashes are
-    # md5 of 8-token windows — near-unique, so the per-h partitions
-    # the window sort sees are tiny (no skew; a boilerplate window
-    # repeated across many docs still only sorts its own df rows).
+    # md5 of 8-token windows — near-unique on organic text, so per-h
+    # partitions are usually tiny. Caveat (skew posture, SCALE.md):
+    # unlike the old groupBy+join, a window function gets no map-side
+    # partial aggregation and AQE cannot skew-split a window partition,
+    # so a boilerplate 8-token window shared by millions of documents
+    # (license headers, templated pages — exactly this query's target
+    # content) concentrates one row per containing doc in a single
+    # task. If that bites at corpus scale, fall back to a salted
+    # two-phase min: min per (h, salt) groupBy, then min per h —
+    # map-side combinable and AQE-splittable — at the cost of the
+    # second shuffle this rewrite removed (2.2x measured at x100).
     owned = w.withColumn(
         "owner_id", F.min("doc_id").over(Window.partitionBy("h"))
     )

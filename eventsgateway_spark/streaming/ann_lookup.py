@@ -74,14 +74,20 @@ def save_ivf_index(
     # bucket count is refused: a crash mid-save would pair one
     # generation's layout with the other generation's parameters (same
     # contract as save_corpus_index, incl. the pre-_meta branch).
-    if spark.catalog.tableExists(f"{table_prefix}_meta") and not spark.catalog.tableExists(
+    complete = spark.catalog.tableExists(
         f"{table_prefix}_assign"
-    ):
-        # phantom _meta from a crashed FIRST save (meta written, no
-        # data table landed) — its parameters pin nothing; clear it
-        # instead of refusing a rebuild of a never-built index
-        # (ADVICE r8; mirrors save_corpus_index).
-        spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_meta")
+    ) and spark.catalog.tableExists(f"{table_prefix}_centroids")
+    if spark.catalog.tableExists(f"{table_prefix}_meta") and not complete:
+        # phantom/half-built FIRST save (meta written, but not BOTH
+        # data tables — a crash can land between the _centroids and
+        # _assign writes): its parameters pin nothing loadable; clear
+        # every remnant instead of refusing a rebuild of an index that
+        # never completed (ADVICE r8 + r9; mirrors save_corpus_index).
+        # A crashed RE-save leaves all three tables present (possibly
+        # mixed generations) and is NOT cleared — re-run the save to
+        # completion, as save_corpus_index documents.
+        for suffix in ("_meta", "_assign", "_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {table_prefix}{suffix}")
     if spark.catalog.tableExists(f"{table_prefix}_meta"):
         old = int(spark.table(f"{table_prefix}_meta").collect()[0]["buckets"])
         if old != int(buckets):
@@ -105,12 +111,16 @@ def save_ivf_index(
     spark.createDataFrame(
         [(int(buckets),)], "buckets int"
     ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
+    # _centroids (one tiny row) lands BEFORE the corpus-sized _assign:
+    # _assign is the commit point — a first save that crashes anywhere
+    # leaves at most _meta+_centroids, which the half-built guard above
+    # clears on the retry; an index with _assign present is complete.
+    idx.cents.write.mode("overwrite").saveAsTable(f"{table_prefix}_centroids")
     (
         idx.assign.write.bucketBy(buckets, "cell_id")
         .mode("overwrite")
         .saveAsTable(f"{table_prefix}_assign")
     )
-    idx.cents.write.mode("overwrite").saveAsTable(f"{table_prefix}_centroids")
     if built_here:
         # reclaim the inline build's checkpoint blocks now — the saved
         # tables supersede them (caller-passed indexes stay pinned:
@@ -159,15 +169,19 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
 
     ``new_emb`` has the raw embeddings-table shape
     ``(vec_id, embedding)``."""
-    if spark.catalog.tableExists(
-        f"{table_prefix}_meta"
-    ) and not spark.catalog.tableExists(f"{table_prefix}_assign"):
-        # phantom _meta (crashed FIRST save) — name the real state
-        # instead of a raw table-not-found on _assign (ADVICE r8)
+    missing = [
+        s
+        for s in ("_assign", "_centroids")
+        if not spark.catalog.tableExists(f"{table_prefix}{s}")
+    ]
+    if spark.catalog.tableExists(f"{table_prefix}_meta") and missing:
+        # phantom/half-built _meta (crashed FIRST save — possibly
+        # between the _centroids and _assign writes) — name the real
+        # state instead of a raw table-not-found (ADVICE r8 + r9)
         raise ValueError(
-            f"no IVF index at {table_prefix!r} (only a phantom _meta "
-            "from a crashed first save) — run save_ivf_index to "
-            "completion first"
+            f"no complete IVF index at {table_prefix!r} (a phantom/"
+            f"half-built first save left {'/'.join(missing)} missing) "
+            "— run save_ivf_index to completion first"
         )
     if not spark.catalog.tableExists(f"{table_prefix}_meta"):
         # index saved before _meta existed: backfill once from the
@@ -178,7 +192,7 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
         # make the save guard refuse the first legitimate save).
         from eventsgateway_spark.queries._util import table_buckets
 
-        if not spark.catalog.tableExists(f"{table_prefix}_assign"):
+        if missing:
             raise ValueError(
                 f"no IVF index at {table_prefix!r} — save_ivf_index first"
             )

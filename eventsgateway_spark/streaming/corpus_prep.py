@@ -87,6 +87,14 @@ def _screen_bloom_flag(kept: DataFrame, bloom_probe) -> DataFrame:
     UN-executed; the caller localCheckpoints it (two consumers)."""
     from eventsgateway_spark.queries.ext_text import decon_gram_hashes, decon_toks
 
+    # same reserved-name discipline as operators/curation.curate(): an
+    # input that already carries the working column would be silently
+    # overwritten and then dropped from the output
+    if "_decon_toks" in kept.columns:
+        raise ValueError(
+            "_screen_bloom_flag reserves column name '_decon_toks'; "
+            "rename it on the input stream"
+        )
     return (
         kept.withColumn("_decon_toks", decon_toks("text"))
         .withColumn(

@@ -995,7 +995,8 @@ def test_with_keep_first_branches_agree(spark):
     from eventsgateway_spark.queries.ext_dedup import with_keep_first
 
     df = spark.createDataFrame(
-        [(1, "a"), (5, "a"), (3, "a"), (2, "b"), (9, "c"), (4, "c")],
+        [(1, "a"), (5, "a"), (3, "a"), (2, "b"), (9, "c"), (4, "c"),
+         (7, None), (6, None)],
         "doc_id long, k string",
     )
     out = {}
@@ -1005,8 +1006,12 @@ def test_with_keep_first_branches_agree(spark):
             for r in with_keep_first(df, "k", force=mode).collect()
         )
         out[mode] = rows
+    # null keys form ONE group in both branches (join uses <=>), so the
+    # output is input-size-independent for any caller, not only the
+    # null-free q60 path
     assert out["join"] == out["window"]
     assert out["join"] == [
         (1, "a", 1), (2, "b", 2), (3, "a", 1),
-        (4, "c", 4), (5, "a", 1), (9, "c", 4),
+        (4, "c", 4), (5, "a", 1), (6, None, 6),
+        (7, None, 6), (9, "c", 4),
     ]

@@ -88,6 +88,14 @@ def test_registry_partition():
     assert len(pool) == sum(len(g) for g in Q.ROTATION)
 
 
+def test_qnn_prefixes_unique():
+    """bench.py keys its stdout JSON by the qNN prefix (the driver keeps
+    only a ~2000-char stdout tail; full names overflow it) — the prefix
+    must stay a unique key for the whole registry."""
+    prefixes = [n.split("_", 1)[0] for n in Q.QUERIES]
+    assert len(set(prefixes)) == len(prefixes)
+
+
 def test_declared_is_exactly_cap_every_phase():
     for rn in range(1, 13):
         qs, osql = Q.rotated_declared(rn)

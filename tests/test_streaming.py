@@ -833,12 +833,30 @@ def test_save_tolerates_phantom_meta(spark):
         ).saveAsTable("tpm2_ivf_meta")
         with pytest.raises(ValueError, match="phantom"):
             append_ivf_index(spark, "tpm2_ivf", emb)
+
+        # HALF-BUILT first save (crash between the _centroids and
+        # _assign writes): _meta+_centroids present, _assign missing.
+        # Append must refuse naming the state (ADVICE r9), and a
+        # re-save — even with different buckets — must clear the
+        # remnants and complete rather than refuse an index that never
+        # finished building.
+        spark.createDataFrame([(8,)], "buckets int").write.mode(
+            "overwrite"
+        ).saveAsTable("tpm3_ivf_meta")
+        spark.createDataFrame(
+            [(0, [0.0, 1.0])], "cell_id int, centroid array<double>"
+        ).write.mode("overwrite").saveAsTable("tpm3_ivf_centroids")
+        with pytest.raises(ValueError, match="phantom|half-built"):
+            append_ivf_index(spark, "tpm3_ivf", emb)
+        save_ivf_index(emb, "tpm3_ivf", buckets=4)
+        assert load_ivf_index(spark, "tpm3_ivf").assign.count() > 0
     finally:
         for t in (
             "tpm_corpus_shingles", "tpm_corpus_hot", "tpm_corpus_sizes",
             "tpm_corpus_df", "tpm_corpus_meta", "tpm_corpus_pending",
             "tpm_corpus_df_fold", "tpm_ivf_assign", "tpm_ivf_centroids",
             "tpm_ivf_meta", "tpm2_corpus_meta", "tpm2_ivf_meta",
+            "tpm3_ivf_meta", "tpm3_ivf_centroids", "tpm3_ivf_assign",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
@@ -1531,6 +1549,22 @@ def test_streaming_corpus_prep_bloom_decontaminates(spark, tmp_path):
     kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out/kept")).collect()}
     cont = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out/contaminated")).collect()}
     assert kept == {201} and cont == {200}
+
+
+def test_bloom_screen_reserves_working_column(spark):
+    """_screen_bloom_flag uses '_decon_toks' as a working column; an
+    input already carrying it must be refused loudly (same reserved-
+    name discipline as curate()'s '_q_toks'), not silently overwritten
+    and dropped."""
+    import pytest
+
+    from eventsgateway_spark.streaming.corpus_prep import _screen_bloom_flag
+
+    df = spark.createDataFrame(
+        [(1, "some text", "x")], "doc_id long, text string, _decon_toks string"
+    )
+    with pytest.raises(ValueError, match="_decon_toks"):
+        _screen_bloom_flag(df, bloom_probe=None)
 
 
 def test_streaming_bloom_screen_dominates_exact_end_to_end(spark, tmp_path):
