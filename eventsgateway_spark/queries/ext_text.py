@@ -757,6 +757,15 @@ def q65_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars", "text"
     ))
     toks = F.col("toks")
+    # m fans out to the trigram branch (rep) and the profile branch,
+    # deliberately UNpinned: column pruning gives each branch only its
+    # own expressions (rep re-evaluates just the tokenization, not the
+    # stopword/fingerprint folds), so a persist pin materializes the
+    # wide toks frame to save one tokenize pass — measured LOSS at
+    # sf0.1 (interleaved A/B round 10: off 2.15 s vs persist 2.67 s
+    # median). At 100 TB the second text scan dominates instead —
+    # graduate m (scalars only, not toks) to a pinned/bucketed table
+    # per the SCALE.md rule if this query runs on a real corpus.
     m = docs.select(
         "doc_id", "lang", "n_chars",
         F.length(F.regexp_replace("text", "[^a-z]", "")).alias("n_alpha"),
