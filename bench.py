@@ -2,8 +2,10 @@
 """Benchmark the declared query surface.
 
 Runs every registered query at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], one warm-up + N
-timed runs per query (median reported), and prints ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]: one warm-up pass
+over the whole registry, then N INTERLEAVED timed passes (per-query
+median over passes — see the inline note on why interleaving beats
+consecutive samples on drift-prone hosts), and prints ONE JSON line:
 
     {"metric": "declared_queries_total", "value": <sum of medians>,
      "unit": "sec", "queries": {name: sec, ...}, "sf": 0.1}
@@ -50,26 +52,45 @@ def main() -> None:
     from eventsgateway_spark.queries import QUERIES
     from eventsgateway_spark.session import get_spark
 
+    from eventsgateway_spark.queries._util import unpin_all
+
     spark = get_spark("bench")
-    timings: dict[str, float] = {}
-    for name, fn in sorted(QUERIES.items()):
-        # warm-up (plan + JIT + file listing caches)
+
+    def run_once(fn) -> float:
+        t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 4)
+        dt = time.perf_counter() - t0
         # release leftover pinned/persisted frames, localCheckpoint
         # blocks, and broadcasts between queries — 70+ queries share one
         # session and accumulated blocks otherwise distort later
         # measurements (persisted frames survive GC until unpersist)
-        from eventsgateway_spark.queries._util import unpin_all
-
         unpin_all()
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+        return dt
+
+    names = sorted(QUERIES)
+    # INTERLEAVED passes (round 10): one warm-up pass over the whole
+    # registry (plan + JIT + file listing caches), then RUNS full
+    # passes, so each query's samples land minutes apart instead of
+    # back-to-back. This box suffers host-level interference windows
+    # (BASELINE.md rounds 8-10: identical code swings 2-6x for minutes
+    # at a time with near-zero in-guest load); consecutive samples all
+    # fall inside one window, so a per-query median over consecutive
+    # runs inherits the full swing, while interleaved samples straddle
+    # windows and the median sheds them. Same total work either way —
+    # only the ordering changes. Session-age inflation (round-5/8
+    # late-query wobble) also spreads evenly instead of always taxing
+    # the alphabetically-last queries' every sample.
+    for name in names:
+        run_once(QUERIES[name])
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(RUNS):
+        for name in names:
+            samples[name].append(run_once(QUERIES[name]))
+    timings = {
+        n: round(statistics.median(samples[n]), 4) for n in names
+    }
 
     # full-name map to stderr for humans; compact qNN keys on stdout so the
     # one JSON line survives the driver's 2000-char stdout tail (see module

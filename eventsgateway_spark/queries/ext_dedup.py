@@ -28,6 +28,8 @@ clustering (DuckDB side uses a recursive CTE closure).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -309,6 +311,44 @@ def with_keep_first(
     )
     joined = df.join(keep1, F.col(key).eqNullSafe(F.col("_kf_key")))
     return joined.select(*df.columns, "keep_id")
+
+
+def with_owner_min(
+    w: DataFrame,
+    key: str = "h",
+    id_col: str = "doc_id",
+    mode: str | None = None,
+) -> DataFrame:
+    """Annotate every row with ``owner_id`` = min(``id_col``) within
+    its ``key`` group — q72's substring-window ownership step. Two
+    row-identical plans (tests pin their equality):
+
+    - ``window`` (default): ``min(id) over (partition by key)`` — ONE
+      evaluation of the input and ONE shuffle (measured 2.2x faster at
+      the x100 probe, SCALE.md round 9). Caveat: a window function
+      gets no map-side partial aggregation and AQE cannot split a
+      window partition, so ONE boilerplate window shared by millions
+      of documents (license headers, templated pages — exactly the
+      repeated-substring content q72 hunts) lands one row per
+      containing doc in a single task.
+    - ``agg``: groupBy-min + join back. The groupBy collapses a hot
+      key MAP-SIDE (partial aggregation — min is algebraic, so no
+      salting is needed on top), and the join-back skew is AQE-
+      splittable; the price is the second shuffle and a second
+      evaluation of the input lineage the round-9 rewrite removed.
+      The hot-key fallback for corpora where the window form
+      straggles.
+
+    ``mode=None`` (or "") resolves to ``window``."""
+    mode = mode or "window"
+    if mode == "window":
+        return w.withColumn(
+            "owner_id", F.min(id_col).over(Window.partitionBy(key))
+        )
+    if mode != "agg":
+        raise ValueError(f"unknown ownership mode {mode!r} (window|agg)")
+    owners = w.groupBy(key).agg(F.min(id_col).alias("owner_id"))
+    return w.join(owners, key)
 
 
 
@@ -811,9 +851,10 @@ def q72_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keep-first ownership), and a drop verdict when >=50% of the doc's
     windows are borrowed — the distributed analog of suffix-array
     substring dedup. Shape: window explode (md5 of the joined slice) →
-    one (hash) aggregate for ownership → one equi-join back → one
-    (doc) aggregate. All equi-keyed; window hashes are near-unique so
-    the ownership groupBy has no hot keys; linear in corpus tokens."""
+    ownership via ``with_owner_min`` (window function by default — one
+    shuffle; groupBy+join 'agg' fallback for hot-key corpora via
+    ``SPARK_GRAFT_Q72_OWNERSHIP``) → one (doc) aggregate. All
+    equi-keyed; linear in corpus tokens."""
     docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select("doc_id", tokens("text").alias("toks"))
     # The short-doc guard lives INSIDE the generator (null -> no rows)
@@ -838,25 +879,7 @@ def q72_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    # Ownership via ONE window function over the hash partitioning
-    # (round-9 rewrite): the previous owner-groupBy + join-back shape
-    # evaluated the window explode TWICE (two full corpus explodes)
-    # and shuffled the window set by h twice; `min over (partition by
-    # h)` does it with one explode and one shuffle. Window hashes are
-    # md5 of 8-token windows — near-unique on organic text, so per-h
-    # partitions are usually tiny. Caveat (skew posture, SCALE.md):
-    # unlike the old groupBy+join, a window function gets no map-side
-    # partial aggregation and AQE cannot skew-split a window partition,
-    # so a boilerplate 8-token window shared by millions of documents
-    # (license headers, templated pages — exactly this query's target
-    # content) concentrates one row per containing doc in a single
-    # task. If that bites at corpus scale, fall back to a salted
-    # two-phase min: min per (h, salt) groupBy, then min per h —
-    # map-side combinable and AQE-splittable — at the cost of the
-    # second shuffle this rewrite removed (2.2x measured at x100).
-    owned = w.withColumn(
-        "owner_id", F.min("doc_id").over(Window.partitionBy("h"))
-    )
+    owned = with_owner_min(w, mode=os.environ.get("SPARK_GRAFT_Q72_OWNERSHIP"))
     per_doc = (
         owned.groupBy("doc_id")
         .agg(

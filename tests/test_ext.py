@@ -1015,3 +1015,42 @@ def test_with_keep_first_branches_agree(spark):
         (4, "c", 4), (5, "a", 1), (6, None, 6),
         (7, None, 6), (9, "c", 4),
     ]
+
+
+def test_with_owner_min_modes_agree(spark):
+    """q72's ownership step has two row-identical plans: the default
+    window form (one shuffle) and the groupBy+join 'agg' fallback for
+    hot-key corpora (map-side combinable, AQE-splittable join-back).
+    Equality pinned on data with a deliberately hot key, and q72
+    itself must produce identical rows under the env knob."""
+    import pytest
+
+    from eventsgateway_spark.queries.ext_dedup import with_owner_min
+
+    rows = [(d, "hot") for d in range(1, 51)] + [(7, "rare"), (3, "rare")]
+    w = spark.createDataFrame(rows, "doc_id long, h string")
+    out = {}
+    for mode in ("window", "agg"):
+        out[mode] = sorted(
+            (r["doc_id"], r["h"], r["owner_id"])
+            for r in with_owner_min(w, mode=mode).collect()
+        )
+    assert out["window"] == out["agg"]
+    assert {(d, h, o) for d, h, o in out["agg"] if h == "rare"} == {
+        (7, "rare", 3), (3, "rare", 3)
+    }
+    assert all(o == 1 for _, h, o in out["agg"] if h == "hot")
+    with pytest.raises(ValueError, match="ownership mode"):
+        with_owner_min(w, mode="salted")
+
+    from eventsgateway_spark.queries import QUERIES
+
+    ref = [tuple(r) for r in QUERIES["q72_substring_dedup"](spark, SF_ORACLE).collect()]
+    import os
+
+    os.environ["SPARK_GRAFT_Q72_OWNERSHIP"] = "agg"
+    try:
+        alt = [tuple(r) for r in QUERIES["q72_substring_dedup"](spark, SF_ORACLE).collect()]
+    finally:
+        del os.environ["SPARK_GRAFT_Q72_OWNERSHIP"]
+    assert ref == alt
