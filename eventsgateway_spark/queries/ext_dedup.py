@@ -347,8 +347,18 @@ def with_owner_min(
         )
     if mode != "agg":
         raise ValueError(f"unknown ownership mode {mode!r} (window|agg)")
-    owners = w.groupBy(key).agg(F.min(id_col).alias("owner_id"))
-    return w.join(owners, key)
+    # null-safe join for the same reason as with_keep_first: q72's md5
+    # key is never null, but a generic caller's null keys must form one
+    # group in BOTH modes (window partitionBy groups nulls together)
+    if "_om_key" in w.columns:
+        raise ValueError("with_owner_min reserves column name '_om_key'")
+    owners = (
+        w.groupBy(key)
+        .agg(F.min(id_col).alias("owner_id"))
+        .withColumnRenamed(key, "_om_key")
+    )
+    joined = w.join(owners, F.col(key).eqNullSafe(F.col("_om_key")))
+    return joined.select(*w.columns, "owner_id")
 
 
 

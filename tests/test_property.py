@@ -372,3 +372,44 @@ def test_bloom_never_false_negative_and_deterministic(items, probes, fpp):
     for h, p in zip(hits, probes):
         if p in set(items):
             assert h  # membership implies positive regardless of layout
+
+
+def test_keep_first_and_owner_min_random_layouts(spark):
+    """with_keep_first (both branches) and with_owner_min (both modes)
+    ≡ brute-force min-per-group over randomized layouts with nulls,
+    singleton groups, and one deliberately hot key (fixed seed —
+    deterministic). The four plans must agree with each other AND with
+    the python reference on every layout."""
+    import numpy as np
+
+    from eventsgateway_spark.queries.ext_dedup import (
+        with_keep_first,
+        with_owner_min,
+    )
+
+    rng = np.random.RandomState(13)
+    for trial in range(5):
+        n = rng.randint(1, 60)
+        keys = [
+            None if rng.rand() < 0.15
+            else ("hot" if rng.rand() < 0.4 else f"k{rng.randint(0, 8)}")
+            for _ in range(n)
+        ]
+        ids = rng.permutation(1000)[:n].tolist()
+        df = spark.createDataFrame(
+            list(zip(ids, keys)), "doc_id long, k string"
+        )
+        want = {}
+        for i, k in zip(ids, keys):
+            want[i] = min(
+                j for j, kk in zip(ids, keys) if kk == k
+            )  # None == None here: python groups nulls together too
+        for label, frame in (
+            ("kf-join", with_keep_first(df, "k", force="join")),
+            ("kf-window", with_keep_first(df, "k", force="window")),
+            ("om-window", with_owner_min(df, key="k", mode="window")),
+            ("om-agg", with_owner_min(df, key="k", mode="agg")),
+        ):
+            out_col = "keep_id" if label.startswith("kf") else "owner_id"
+            got = {r["doc_id"]: r[out_col] for r in frame.collect()}
+            assert got == want, f"trial {trial} {label}"
