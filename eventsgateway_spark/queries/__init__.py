@@ -147,9 +147,13 @@ ROTATION: list[tuple[str, ...]] = [
     # statics demoted because family Q6 keeps q06 declared every phase.
     ("q75_domain_mixture", "q07_rollup_revenue"),
     ("q76_training_order", "q17_cube_event_stats"),
-    # q77 (leakage-safe split) debuts even-phase; slot-mate q29 is a
-    # demoted Q19 static (q30/q31/q32 keep the family declared).
-    ("q77_leakage_safe_split", "q29_exact_dedup_groups"),
+    # q77 (leakage-safe split) debuted even-phase round 6; slot-mate
+    # q29 is a demoted Q19 static (q30/q31/q32 keep the family
+    # declared). Round 10 extends the pair with q80 (quality
+    # propagation over the same near-dup graph q32/q77 consume):
+    # index 2 puts its driver debut at round 11.
+    ("q77_leakage_safe_split", "q29_exact_dedup_groups",
+     "q80_quality_propagation"),
     # q78 (Gopher char-fraction repetition filters) debuts even-phase
     # (round 8); slot-mate q67 is a demoted Q21 static (q66/q68/q69
     # keep the curation family declared every phase).

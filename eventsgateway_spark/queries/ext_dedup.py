@@ -911,3 +911,118 @@ def q72_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("dropped"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q80 — quality propagation over the near-dup graph (damped, integer-exact)
+# ---------------------------------------------------------------------------
+
+_PROP_ITERS = 3
+# one unrolled DuckDB iteration: n{i} -> n{i+1}. CAST every aggregate
+# back to BIGINT — DuckDB widens SUM(BIGINT) to HUGEINT, which would
+# drift the schema from Spark's long.
+_PROP_IT = """
+    n{b} AS (
+        SELECT na.doc_id, na.s0, na.deg,
+               CASE WHEN na.deg = 0 THEN na.s0
+                    ELSE CAST((850 * c.csum + 150 * na.s0) // 1000 AS BIGINT)
+               END AS s
+        FROM n{a} na LEFT JOIN (
+            SELECT e.d2 AS doc_id, CAST(SUM(u.s // u.deg) AS BIGINT) AS csum
+            FROM e JOIN n{a} u ON u.doc_id = e.d1
+            GROUP BY 1) c USING (doc_id)
+    )"""
+
+
+@query(
+    "q80_quality_propagation",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH {_SH_CTES},
+    e0 AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+    e AS (SELECT d1, d2 FROM e0 UNION ALL SELECT d2 AS d1, d1 AS d2 FROM e0),
+    seed AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS s0 FROM t),
+    deg AS (SELECT d1 AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+    n0 AS (SELECT seed.doc_id, s0, COALESCE(deg, 0) AS deg, s0 AS s
+           FROM seed LEFT JOIN deg USING (doc_id)),
+    {','.join(_PROP_IT.format(a=i, b=i + 1) for i in range(_PROP_ITERS))}
+    SELECT doc_id, deg, s0, s AS s{_PROP_ITERS}
+    FROM n{_PROP_ITERS}
+    ORDER BY doc_id
+    """,
+)
+def q80_quality_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped quality propagation over the near-duplicate graph — the
+    curation step that spreads a per-document quality signal through
+    duplicate clusters (a doc surrounded by low-quality near-dups is
+    suspect even if its own score is fine; the PageRank-style damping
+    keeps the fixed point anchored to each doc's own seed). Seed
+    score = token count; edges = q30's exact-Jaccard >= 0.5 pairs;
+    {_PROP_ITERS} damped iterations of
+
+        s'(v) = (850 * SUM over u~v of (s(u) div deg(u))
+                 + 150 * s0(v)) div 1000
+
+    with isolated docs (deg 0) holding their seed. ALL-INTEGER math —
+    per-neighbor contributions integer-divide before the sum, so the
+    cross-row reduction is order-free and the result hash-exact vs the
+    DuckDB oracle (same discipline as q71's micro-nat rounding).
+
+    Physical shape at 100 TB: one tokenized projection feeds seed AND
+    shingles (single corpus scan); edge generation is q30's df-capped
+    inverted index (linear in total shingles, never all-pairs); each
+    iteration is ONE shuffle keyed by neighbor id + one join back on
+    doc_id — the standard distributed PageRank step, with the edge and
+    node tables pin-materialized once so the {_PROP_ITERS}-iteration
+    DAG re-reads them instead of re-deriving the shingle self-join
+    per iteration."""
+    docs = table(spark, sf_dir, "documents")
+    toked = spread(docs.select("doc_id", "text")).select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    sh = doc_shingles(toked)  # pre-tokenized path: no second split
+    edges0 = jaccard_pairs(sh, 0.5).select("d1", "d2")
+    edges = pin(
+        edges0.union(
+            edges0.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+        ),
+        "persist",
+    )
+    seed = toked.select("doc_id", F.size("toks").cast("bigint").alias("s0"))
+    deg = edges.groupBy(F.col("d1").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    nodes = pin(
+        seed.join(deg, "doc_id", "left").select(
+            "doc_id",
+            "s0",
+            F.coalesce("deg", F.lit(0)).cast("bigint").alias("deg"),
+        ),
+        "persist",
+    )
+    cur = nodes.withColumn("s", F.col("s0"))
+    for _ in range(_PROP_ITERS):
+        contrib = (
+            edges.join(
+                cur.select(
+                    F.col("doc_id").alias("d1"),
+                    F.expr("s div deg").alias("c"),
+                ),
+                "d1",
+            )
+            .groupBy(F.col("d2").alias("doc_id"))
+            .agg(F.sum("c").cast("bigint").alias("csum"))
+        )
+        cur = (
+            nodes.join(contrib, "doc_id", "left")
+            .withColumn(
+                "s",
+                F.when(F.col("deg") == 0, F.col("s0")).otherwise(
+                    F.expr("(850 * csum + 150 * s0) div 1000")
+                ),
+            )
+            .drop("csum")
+        )
+    return cur.select(
+        "doc_id", "deg", "s0", F.col("s").alias(f"s{_PROP_ITERS}")
+    ).orderBy("doc_id")
