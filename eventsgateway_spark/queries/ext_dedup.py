@@ -976,12 +976,28 @@ def q80_quality_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     node tables pin-materialized once so the {_PROP_ITERS}-iteration
     DAG re-reads them instead of re-deriving the shingle self-join
     per iteration."""
-    docs = table(spark, sf_dir, "documents")
+    return quality_propagation(table(spark, sf_dir, "documents"))
+
+
+def quality_propagation(
+    docs: DataFrame,
+    edges0: DataFrame | None = None,
+    iters: int = _PROP_ITERS,
+) -> DataFrame:
+    """q80's body over an explicit docs frame. ``edges0`` lets an
+    index-backed caller supply the (d1, d2) near-dup pairs from a
+    DURABLE shingle table (``streaming.near_dup.
+    propagate_quality_with_index``) — at corpus scale the saved table
+    is bucketed on the shingle key, so the pair self-join is
+    bucket-local instead of re-deriving shingles from text and
+    reshuffling the corpus. Defaults derive edges exactly as q80
+    documents (q30's df-capped inverted index at Jaccard >= 0.5)."""
     toked = spread(docs.select("doc_id", "text")).select(
         "doc_id", tokens("text").alias("toks")
     )
-    sh = doc_shingles(toked)  # pre-tokenized path: no second split
-    edges0 = jaccard_pairs(sh, 0.5).select("d1", "d2")
+    if edges0 is None:
+        sh = doc_shingles(toked)  # pre-tokenized path: no second split
+        edges0 = jaccard_pairs(sh, 0.5).select("d1", "d2")
     edges = pin(
         edges0.union(
             edges0.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
@@ -1001,7 +1017,7 @@ def q80_quality_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "persist",
     )
     cur = nodes.withColumn("s", F.col("s0"))
-    for _ in range(_PROP_ITERS):
+    for _ in range(iters):
         contrib = (
             edges.join(
                 cur.select(
@@ -1024,5 +1040,5 @@ def q80_quality_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("csum")
         )
     return cur.select(
-        "doc_id", "deg", "s0", F.col("s").alias(f"s{_PROP_ITERS}")
+        "doc_id", "deg", "s0", F.col("s").alias(f"s{iters}")
     ).orderBy("doc_id")

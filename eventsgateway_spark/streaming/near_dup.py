@@ -566,6 +566,42 @@ def load_corpus_index(spark, table_prefix: str) -> CorpusIndex:
     )
 
 
+def propagate_quality_with_index(
+    spark, table_prefix: str, docs: DataFrame, iters: int = 3
+) -> DataFrame:
+    """q80's quality propagation with edges derived from the DURABLE
+    shingle index instead of re-shingling the corpus: the saved table
+    is bucketed on ``s`` (the pair join key), so the inverted-index
+    self-join is bucket-local — no corpus reshuffle, no re-tokenize.
+    Run on the compaction cadence (scores are a GLOBAL fixed point:
+    a new edge moves old docs' scores, so per-micro-batch incremental
+    maintenance is not meaningful — same cadence contract as
+    ``append_corpus_index``).
+
+    Row-identical to batch q80 on the same corpus PROVIDED the index
+    was built with the module-default shingle parameters (q80's gram
+    universe); an index pinned to different n/max_df is refused rather
+    than silently propagating over a different graph."""
+    from eventsgateway_spark.queries.ext_dedup import (
+        MAX_SHINGLE_DF,
+        SHINGLE_N,
+        jaccard_pairs,
+        quality_propagation,
+    )
+
+    n, max_df, _ = _ensure_meta_and_migrate(spark, table_prefix)
+    if (n, max_df) != (SHINGLE_N, MAX_SHINGLE_DF):
+        raise ValueError(
+            f"index at {table_prefix!r} was built with (n={n}, "
+            f"max_df={max_df}) — not q80's gram universe "
+            f"(n={SHINGLE_N}, max_df={MAX_SHINGLE_DF}); propagation "
+            "over a different graph would not match batch q80"
+        )
+    idx = load_corpus_index(spark, table_prefix)
+    edges0 = jaccard_pairs(idx.shingles, 0.5).select("d1", "d2")
+    return quality_propagation(docs, edges0=edges0, iters=iters)
+
+
 def flag_near_dups(
     batch_docs: DataFrame, index: CorpusIndex, threshold: float = 0.5
 ) -> DataFrame:

@@ -861,6 +861,45 @@ def test_save_tolerates_phantom_meta(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_propagate_quality_with_index_matches_batch_q80(spark):
+    """Index-backed quality propagation (edges from the saved bucketed
+    shingle table) is row-identical to batch q80's direct derivation
+    on the same corpus, and an index pinned to a different gram
+    universe is refused instead of silently propagating over a
+    different graph."""
+    import pytest
+
+    from eventsgateway_spark.queries.ext_dedup import quality_propagation
+    from eventsgateway_spark.streaming.near_dup import (
+        propagate_quality_with_index,
+        save_corpus_index,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 150")
+    )
+    try:
+        save_corpus_index(docs, "pqidx", buckets=4)
+        want = [tuple(r) for r in quality_propagation(docs).collect()]
+        got = [
+            tuple(r)
+            for r in propagate_quality_with_index(spark, "pqidx", docs).collect()
+        ]
+        assert got == want
+        assert len(got) == 150
+        # different-universe index refused
+        save_corpus_index(docs, "pqidx5", n=5, buckets=4)
+        with pytest.raises(ValueError, match="gram universe"):
+            propagate_quality_with_index(spark, "pqidx5", docs)
+    finally:
+        for p in ("pqidx", "pqidx5"):
+            for s in ("_shingles", "_hot", "_sizes", "_df", "_meta",
+                      "_pending", "_df_fold"):
+                spark.sql(f"DROP TABLE IF EXISTS {p}{s}")
+
+
 def test_append_corpus_index_incremental_admission(spark):
     """append_corpus_index admits novel docs into a saved index without
     a rebuild: matching vs the appended index equals matching vs a
