@@ -96,6 +96,25 @@ def test_qnn_prefixes_unique():
     assert len(set(prefixes)) == len(prefixes)
 
 
+def test_bench_json_line_fits_driver_tail():
+    """Worst-case bench stdout line (every timing 4-decimal, 4-digit
+    seconds) must stay under the ~2000-char stdout tail the recording
+    harness keeps — registry growth would otherwise silently reintroduce
+    the BENCH_r{1..9} parsed:null failure at ~110 queries."""
+    import json
+
+    line = json.dumps(
+        {
+            "metric": "declared_queries_total",
+            "value": 9999.9999,
+            "unit": "sec",
+            "queries": {n.split("_", 1)[0]: 9999.9999 for n in Q.QUERIES},
+            "sf": 0.1,
+        }
+    )
+    assert len(line) < 1900, (len(line), "shorten keys or drop precision")
+
+
 def test_declared_is_exactly_cap_every_phase():
     for rn in range(1, 13):
         qs, osql = Q.rotated_declared(rn)
