@@ -1020,7 +1020,12 @@ def quality_propagation(
     for _ in range(iters):
         contrib = (
             edges.join(
-                cur.select(
+                # deg=0 docs can never match an edge, but the division
+                # is evaluated BELOW the join on whatever side the
+                # planner picks — filter them out first or ANSI mode
+                # (Spark 4 default) throws DIVIDE_BY_ZERO for plans
+                # that evaluate the projection before matching
+                cur.filter(F.col("deg") > 0).select(
                     F.col("doc_id").alias("d1"),
                     F.expr("s div deg").alias("c"),
                 ),

@@ -413,3 +413,55 @@ def test_keep_first_and_owner_min_random_layouts(spark):
             out_col = "keep_id" if label.startswith("kf") else "owner_id"
             got = {r["doc_id"]: r[out_col] for r in frame.collect()}
             assert got == want, f"trial {trial} {label}"
+
+
+def test_quality_propagation_random_graphs(spark):
+    """quality_propagation ≡ a pure-python reference over randomized
+    graphs (fixed seed): disconnected nodes, stars, chains, multi-edges
+    excluded by construction (the Jaccard pair set is unique by
+    (d1, d2)). Pins the integer-exact iteration semantics — per-
+    neighbor integer division BEFORE the sum, isolated docs hold their
+    seed — independent of the corpus-derived edge path."""
+    import numpy as np
+
+    from eventsgateway_spark.queries.ext_dedup import quality_propagation
+
+    rng = np.random.RandomState(29)
+    for trial in range(4):
+        n = int(rng.randint(3, 25))
+        # docs whose token counts are the seed scores (text = k tokens)
+        counts = rng.randint(1, 40, n)
+        docs = spark.createDataFrame(
+            [(i, " ".join(["tok"] * int(c))) for i, c in enumerate(counts)],
+            "doc_id long, text string",
+        )
+        # random unique undirected edges as a (d1 < d2) pair table
+        all_pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
+        rng.shuffle(all_pairs)
+        pairs = all_pairs[: int(rng.randint(0, min(len(all_pairs), 2 * n)))]
+        edges0 = spark.createDataFrame(
+            pairs or [(-1, -2)], "d1 long, d2 long"
+        )  # (-1,-2) keeps the frame non-empty; ids outside 0..n-1 touch no doc
+        got = {
+            r["doc_id"]: (r["deg"], r["s0"], r["s3"])
+            for r in quality_propagation(docs, edges0=edges0).collect()
+        }
+        # python reference
+        nbrs = {i: set() for i in range(n)}
+        for a, b in pairs:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+        s = {i: int(c) for i, c in enumerate(counts)}
+        s0 = dict(s)
+        for _ in range(3):
+            s = {
+                v: (
+                    s0[v]
+                    if not nbrs[v]
+                    else (850 * sum(s[u] // len(nbrs[u]) for u in nbrs[v])
+                          + 150 * s0[v]) // 1000
+                )
+                for v in range(n)
+            }
+        want = {v: (len(nbrs[v]), s0[v], s[v]) for v in range(n)}
+        assert got == want, f"trial {trial}"
