@@ -438,9 +438,22 @@ _DUCK_L2SQ = (
 
 
 def norm_view(emb: DataFrame) -> DataFrame:
-    """(vec_id, e, nrm) — the promoted-double embedding with its norm."""
-    return emb.select("vec_id", as_double(F.col("embedding")).alias("e")).select(
-        "vec_id", "e", norm(F.col("e")).alias("nrm")
+    """(vec_id, e, nrm) — the promoted-double embedding with its norm.
+
+    Zero-norm vectors are EXCLUDED: they carry no direction, so cosine
+    against them is undefined — and the similarity family divides by
+    ``qn * nrm``, which under Spark 4's default ANSI mode is a runtime
+    DIVIDE_BY_ZERO, not a null (round-10 audit; the q80 property test
+    caught the same class). The fixture tables contain no zero vectors
+    (verified round 10), so the DuckDB oracles — which don't mirror
+    the filter — stay hash-identical; on real data the exclusion is
+    the documented semantic: zero vectors never enter a similarity
+    index, never match a lookup, and are silently skipped by IVF
+    appends."""
+    return (
+        emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+        .select("vec_id", "e", norm(F.col("e")).alias("nrm"))
+        .filter(F.col("nrm") > 0)
     )
 
 

@@ -325,8 +325,8 @@ _SUBWORD_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
            CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens,
            CAST(SUM(subword_tokens) AS BIGINT) AS subword_tokens,
            CAST(SUM(chars) AS BIGINT) AS chars,
-           CAST((1000 * SUM(chars)) // SUM(subword_tokens) AS BIGINT)
-               AS cpt_milli
+           CAST((1000 * SUM(chars)) // GREATEST(SUM(subword_tokens), 1)
+               AS BIGINT) AS cpt_milli
     FROM m
     GROUP BY 1
     ORDER BY 1
@@ -356,7 +356,12 @@ def q40_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ws_tokens").alias("ws_tokens"),
             F.sum("subword_tokens").alias("subword_tokens"),
             F.sum("chars").alias("chars"),
-            F.expr("(1000 * sum(chars)) div sum(subword_tokens)").alias("cpt_milli"),
+            # greatest-guard (both engines): a source whose docs are all
+            # empty text sums to 0 subword tokens — ANSI DIVIDE_BY_ZERO
+            # instead of a row (round-10 audit)
+            F.expr("(1000 * sum(chars)) div greatest(sum(subword_tokens), 1)").alias(
+                "cpt_milli"
+            ),
         )
         .orderBy("source")
     )

@@ -47,6 +47,43 @@ def test_cosine_matches_numpy(spark):
         assert abs(row.cos - want) < 1e-9
 
 
+def test_zero_norm_vectors_excluded_not_fatal(spark):
+    """Under Spark 4's default ANSI mode, a zero-norm vector reaching
+    the cosine denominator is a runtime DIVIDE_BY_ZERO — norm_view
+    must EXCLUDE it (documented semantic: no direction => never enters
+    a similarity computation), so downstream brute-force / IVF paths
+    run clean on data the fixtures don't cover."""
+    from eventsgateway_spark.functions.vectors import dot
+    from eventsgateway_spark.queries.ext_similarity import norm_view
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(20)
+    dims = len(emb.first()["embedding"])
+    zero = spark.createDataFrame(
+        [(9999, [0.0] * dims)], "vec_id long, embedding array<double>"
+    )
+    poisoned = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    ).union(zero)
+    nv = norm_view(poisoned)
+    assert nv.filter("vec_id = 9999").count() == 0
+    # q33/q43's cosine shape over the poisoned corpus: the division by
+    # (qn * nrm) must never see the zero vector
+    q = nv.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    rows = (
+        nv.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            (dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
+        .collect()  # must not raise DIVIDE_BY_ZERO under ANSI
+    )
+    assert rows and all(r["vec_id"] != 9999 and r["qid"] != 9999 for r in rows)
+
+
 def test_ann_bucketed_recall_vs_exact(spark):
     """LSH-bucketed ANN must (a) return only same-bucket candidates
     and (b) recall a reasonable share of exact top-1 neighbors. The
