@@ -1006,6 +1006,56 @@ def test_append_corpus_index_incremental_admission(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_propagation_tracks_index_growth(spark):
+    """MIGRATION.md cadence composition: after append_corpus_index
+    admits new docs, propagate_quality_with_index over the GROWN index
+    equals batch q80 derived directly from the union corpus — the new
+    near-dup edge moves both members' scores (deg >= 1), while the
+    isolated original holds its seed. (At this scale no shingle nears
+    the df cap, so the frozen hot list and a fresh build agree; hot
+    drift at real scale is gated by the append's n_drifted_hot.)"""
+    from eventsgateway_spark.queries.ext_dedup import quality_propagation
+    from eventsgateway_spark.streaming.near_dup import (
+        append_corpus_index,
+        propagate_quality_with_index,
+        save_corpus_index,
+    )
+
+    base = ("an unrelated corpus document that has a sufficient number of "
+            "tokens the a of and to is in it with many extra distinct words")
+    novel = ("a genuinely novel training document with plenty of distinct "
+             "tokens about catalysts partitions and bucketed joins at scale")
+    # longer near-dup (still Jaccard >= 0.5): different SEED score, so
+    # the damped average is not already at its fixed point
+    near = novel.replace("genuinely", "truly") + " plus five extra trailing tokens"
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame([(0, base)], schema)
+    save_corpus_index(corpus, "t12_corpus", buckets=4)
+    try:
+        r = append_corpus_index(
+            spark, "t12_corpus",
+            spark.createDataFrame([(1, novel), (2, near)], schema),
+        )
+        assert r["n_new_docs"] == 2
+        union = spark.createDataFrame(
+            [(0, base), (1, novel), (2, near)], schema
+        )
+        got = {r["doc_id"]: (r["deg"], r["s0"], r["s3"])
+               for r in propagate_quality_with_index(
+                   spark, "t12_corpus", union).collect()}
+        want = {r["doc_id"]: (r["deg"], r["s0"], r["s3"])
+                for r in quality_propagation(union).collect()}
+        assert got == want
+        assert got[0][0] == 0 and got[0][2] == got[0][1]  # isolated holds seed
+        assert got[1][0] >= 1 and got[2][0] >= 1  # appended pair is an edge
+        assert got[1][2] != got[1][1]  # propagation moved the score
+    finally:
+        for t in ("t12_corpus_shingles", "t12_corpus_hot", "t12_corpus_sizes",
+                  "t12_corpus_df", "t12_corpus_meta",
+                  "t12_corpus_pending", "t12_corpus_df_fold"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_corpus_growth_loop_end_to_end(spark, tmp_path):
     """The MIGRATION.md continuous-growth loop: stream batch 1 admits a
     novel doc, the compaction step appends it to the durable index, and
