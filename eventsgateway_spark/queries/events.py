@@ -63,11 +63,11 @@ def q01_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q13_props_json_extract",
     declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle="""
-    SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS BIGINT) AS k_bucket,
+    SELECT CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS BIGINT) AS k_bucket,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS min_k,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS min_k,
+           CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
     FROM events
     GROUP BY 1
     ORDER BY 1
@@ -76,9 +76,13 @@ def q01_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q13_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-schema payload access — the engine's analog of the
     reference's props map<string,string> (client/client.go:168); here via
-    get_json_object, JVM-side."""
+    get_json_object, JVM-side. try_cast (both engines): props is
+    CLIENT-controlled JSON, and under ANSI a single malformed '$.k'
+    would otherwise kill the whole query instead of grouping under the
+    null bucket (round-10 ANSI audit — same defined-null discipline as
+    the division guards)."""
     ev = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return (
         ev.select(k.alias("k"))
         .groupBy(F.floor(F.col("k") / 10).cast("bigint").alias("k_bucket"))

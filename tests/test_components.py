@@ -101,3 +101,27 @@ def test_union_of_ranges_graph_shape(spark):
     assert lab.count() == 2_001
     # conf restored after the loop
     assert spark.conf.get("spark.sql.constraintPropagation.enabled") == "true"
+
+
+def test_q13_tolerates_malformed_client_json(spark, tmp_path):
+    """props is CLIENT-controlled JSON: a malformed '$.k' must group
+    under the null bucket (try_cast, both engines — round-10 ANSI
+    audit), not kill the query with CAST_INVALID_INPUT under the
+    driver session's default ANSI mode."""
+    import datetime
+
+    from eventsgateway_spark.queries import QUERIES
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0, 0), 1, "a", 1.0, '{"k": "12"}'),
+        (2, datetime.datetime(2024, 1, 1, 0, 0, 1), 2, "a", 1.0, '{"k": "oops"}'),
+        (3, datetime.datetime(2024, 1, 1, 0, 0, 2), 3, "a", 1.0, '{"other": 1}'),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {r["k_bucket"]: r["n_events"]
+           for r in QUERIES["q13_props_json_extract"](spark, str(tmp_path)).collect()}
+    assert out == {1: 1, None: 2}  # valid k=12 -> bucket 1; dirty + missing -> null
