@@ -472,11 +472,15 @@ def q44_pivot_daily_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q45_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-filled daily time series: a generated date spine
     (``sequence`` + ``explode`` — rows from an expression, no input
-    scan) LEFT-joined to the aggregated daily counts. The spine is a
-    few thousand rows at any horizon, so it broadcast-joins against the
-    aggregate; the fact table is touched exactly once by the groupBy.
-    The idiom every dashboard/training-data rollup needs: missing days
-    must surface as zeros, not vanish."""
+    scan) LEFT-joined to the aggregated daily counts. The AGGREGATE is
+    the broadcast side (one row per day — tiny at any horizon): for a
+    left-outer join only the non-preserved (right) side can be the
+    broadcast build side, so hinting the spine was silently ignored
+    (HintErrorLogger) and both sides shuffle-sorted (round-10 fix; the
+    plan test pins the BroadcastHashJoin). The fact table is touched
+    exactly once by the groupBy. The idiom every dashboard/
+    training-data rollup needs: missing days must surface as zeros,
+    not vanish."""
     spine = spark.range(1).select(
         F.explode(
             F.sequence(
@@ -494,8 +498,8 @@ def q45_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        F.broadcast(spine)
-        .join(daily.withColumn("hit", F.lit(1)), "event_date", "left")
+        spine
+        .join(F.broadcast(daily.withColumn("hit", F.lit(1))), "event_date", "left")
         .select(
             "event_date",
             F.coalesce("n", F.lit(0)).alias("n_purchases"),

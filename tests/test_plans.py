@@ -32,6 +32,17 @@ def test_q02_broadcasts_dimensions(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q45_gap_fill_broadcasts_daily_aggregate(spark):
+    """The date-spine gap fill must broadcast the DAILY AGGREGATE (one
+    row per day) as the right side of the left join: broadcasting the
+    preserved spine side is unsupported for BroadcastHashJoin, so the
+    old hint was silently ignored (HintErrorLogger) and both sides
+    shuffle-sorted (round-10 fix)."""
+    plan = _plan(spark, "q45_gap_fill_daily")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_q06_has_no_expand(spark):
     """The split-distinct rewrite must keep Expand (the mixed-distinct
     row duplicator) out of the plan."""
