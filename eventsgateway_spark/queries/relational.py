@@ -619,10 +619,15 @@ def q57_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     double cast happens once, after aggregation). The window input is
     the per-customer aggregate (|customers| rows), not the fact table,
     and the ordering carries a custkey tiebreak so every rank function
-    is deterministic. The global sort is the scale bound here: one
-    range-partitioned exchange over the customer aggregate — fine at
-    any realistic customer count; a per-segment partitionBy would
-    remove even that if deciles-within-segment suffice."""
+    is deterministic. The global window is the scale bound here, and
+    it is a SINGLE-partition sort (Spark moves an unpartitioned
+    window's whole input to one task — WindowExec warns; corrected
+    round 10: this is NOT a range-partitioned exchange). Acceptable
+    while the per-customer aggregate fits one task (~100M rows); past
+    that, compute the exact global rank with the q61-style two-phase
+    bucketed prefix sum (operators/skew.py) and derive
+    ntile/percent_rank/cume_dist from (rank, total) — or partitionBy
+    a segment if deciles-within-segment suffice."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     s = (
