@@ -1091,3 +1091,37 @@ def test_with_owner_min_modes_agree(spark):
     finally:
         del os.environ["SPARK_GRAFT_Q72_OWNERSHIP"]
     assert ref == alt
+
+
+def test_q57_rank_modes_agree(spark):
+    """with_global_rank_battery's prefix mode (distributed exact rank +
+    arithmetic ntile/percent_rank/cume_dist — the 100 TB path) is
+    row-identical to the native unpartitioned-window mode, including
+    the ntile remainder distribution (N mod 10 != 0), the N=1
+    percent_rank edge, and duplicate spends resolved by the custkey
+    tiebreak."""
+    import os
+
+    import pytest
+
+    from eventsgateway_spark.queries import QUERIES
+    from eventsgateway_spark.queries.relational import with_global_rank_battery
+
+    for n in (1, 7, 27, 40):
+        s = spark.createDataFrame(
+            [(i, float(1000 - 3 * (i // 2))) for i in range(n)],  # paired ties
+            "c_custkey long, spend double",
+        )
+        a = [tuple(r) for r in with_global_rank_battery(s, "window").collect()]
+        b = [tuple(r) for r in with_global_rank_battery(s, "prefix").collect()]
+        assert a == b, f"N={n}"
+    with pytest.raises(ValueError, match="rank mode"):
+        with_global_rank_battery(s, "salted")
+
+    ref = [tuple(r) for r in QUERIES["q57_spend_deciles"](spark, SF_ORACLE).collect()]
+    os.environ["SPARK_GRAFT_Q57_RANK"] = "prefix"
+    try:
+        alt = [tuple(r) for r in QUERIES["q57_spend_deciles"](spark, SF_ORACLE).collect()]
+    finally:
+        del os.environ["SPARK_GRAFT_Q57_RANK"]
+    assert ref == alt
