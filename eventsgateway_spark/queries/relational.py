@@ -10,6 +10,8 @@ hints for dims, decimal-exact money math).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -635,8 +637,6 @@ def q57_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(as_double(F.sum(money("o_totalprice"))).alias("spend"))
     )
-    import os
-
     return with_global_rank_battery(
         s, mode=os.environ.get("SPARK_GRAFT_Q57_RANK")
     )
