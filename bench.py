@@ -3,12 +3,24 @@
 
 Runs every registered query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]: one warm-up pass
-over the whole registry, then N INTERLEAVED timed passes (per-query
-median over passes — see the inline note on why interleaving beats
-consecutive samples on drift-prone hosts), and prints ONE JSON line:
+over the whole registry, then N INTERLEAVED timed passes in a
+per-pass SHUFFLED order with a fixed drift-control probe timed every
+10 queries (see the inline notes — this host has minutes-long
+interference windows, and the controls let a reader separate plan
+regressions from drift), and prints ONE JSON line:
 
     {"metric": "declared_queries_total", "value": <sum of medians>,
-     "unit": "sec", "queries": {name: sec, ...}, "sf": 0.1}
+     "unit": "sec", "queries": {qNN: sec, ...}, "sf": 0.1,
+     "floor_total": <sum of per-query best samples>,
+     "ctrl": {"min": s, "med": s, "max": s},
+     "inflated": {qNN: med/floor ratio, ...}}
+
+Reading a row: `queries[qNN]` is the per-query MEDIAN across passes;
+if qNN appears in `inflated`, its median exceeded 2x its own best
+sample in this very run — the best sample proves the plan can run
+that fast on this box today, so the row is drift, not plan.
+`ctrl.max/ctrl.min` is the run-level contamination factor; a clean
+run reads ~1.0-1.3.
 
 Execution is forced with a cheap ``count()``-style action
 (``df.write.format("noop")``) so the timing covers scan→compute without
@@ -69,35 +81,82 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         return dt
 
+    # Drift control (round 11): a fixed CPU-bound probe (pure codegen
+    # range-sum, no IO, no page-cache sensitivity) timed between every
+    # CTRL_EVERY queries. This host suffers minutes-long interference
+    # windows (BASELINE.md rounds 8-10: identical code swings 2-6x at
+    # <1 in-guest load); the control's spread across the run measures
+    # the contamination the query rows absorbed, so a reader can tell
+    # a plan regression from a drift window without re-running.
+    CTRL_EVERY = 10
+
+    def run_control() -> float:
+        t0 = time.perf_counter()
+        spark.range(40_000_000).selectExpr("sum(id * 2) s").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
     names = sorted(QUERIES)
     # INTERLEAVED passes (round 10): one warm-up pass over the whole
     # registry (plan + JIT + file listing caches), then RUNS full
     # passes, so each query's samples land minutes apart instead of
-    # back-to-back. This box suffers host-level interference windows
-    # (BASELINE.md rounds 8-10: identical code swings 2-6x for minutes
-    # at a time with near-zero in-guest load); consecutive samples all
-    # fall inside one window, so a per-query median over consecutive
-    # runs inherits the full swing, while interleaved samples straddle
-    # windows and the median sheds them. Same total work either way —
-    # only the ordering changes. Session-age inflation (round-5/8
-    # late-query wobble) also spreads evenly instead of always taxing
-    # the alphabetically-last queries' every sample.
+    # back-to-back; consecutive samples all fall inside one drift
+    # window, while interleaved samples straddle windows and the
+    # median sheds them. Round 11 also RANDOMIZES the visit order per
+    # pass (deterministic seed = pass index): with a fixed order, a
+    # periodic interference source can alias onto the same queries
+    # every pass and survive the median; shuffling decorrelates a
+    # query's samples from its neighbors across passes.
+    import random
+
     for name in names:
         run_once(QUERIES[name])
     samples: dict[str, list[float]] = {n: [] for n in names}
-    for _ in range(RUNS):
-        for name in names:
+    ctrl: list[float] = []
+    for pass_idx in range(RUNS):
+        order = list(names)
+        random.Random(pass_idx).shuffle(order)
+        for i, name in enumerate(order):
+            if i % CTRL_EVERY == 0:
+                ctrl.append(run_control())
             samples[name].append(run_once(QUERIES[name]))
     timings = {
         n: round(statistics.median(samples[n]), 4) for n in names
     }
+    floors = {n: round(min(samples[n]), 4) for n in names}
+    # self-annotation: rows whose median exceeds 2x their own best
+    # sample in THIS run are drift-suspect (the best sample proves the
+    # plan can run that fast on this box today); worst 10 by ratio,
+    # only where the floor is non-trivial. ctrl spread (max/min) is
+    # the run-level contamination figure.
+    inflated = {
+        n.split("_", 1)[0]: round(timings[n] / floors[n], 1)
+        for n in names
+        if floors[n] > 0.2 and timings[n] > 2 * floors[n]
+    }
+    inflated = dict(
+        sorted(inflated.items(), key=lambda kv: -kv[1])[:10]
+    )
 
-    # full-name map to stderr for humans; compact qNN keys on stdout so the
-    # one JSON line survives the driver's 2000-char stdout tail (see module
-    # docstring)
-    print(json.dumps({"queries_by_name": timings}), file=sys.stderr)
+    # full-name maps to stderr for humans; compact qNN keys on stdout so
+    # the one JSON line survives the driver's 2000-char stdout tail (see
+    # module docstring)
+    print(
+        json.dumps({"queries_by_name": timings, "floors_by_name": floors}),
+        file=sys.stderr,
+    )
     short = {name.split("_", 1)[0]: sec for name, sec in timings.items()}
     assert len(short) == len(timings), "qNN prefixes must be unique"
+    ctrl_stats = (
+        {
+            "min": round(min(ctrl), 3),
+            "med": round(statistics.median(ctrl), 3),
+            "max": round(max(ctrl), 3),
+        }
+        if ctrl
+        else {}
+    )
     print(
         json.dumps(
             {
@@ -106,6 +165,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": short,
                 "sf": _sf_from_dir(SF_DIR),
+                "floor_total": round(sum(floors.values()), 2),
+                "ctrl": ctrl_stats,
+                "inflated": inflated,
             }
         )
     )

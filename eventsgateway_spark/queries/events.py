@@ -63,12 +63,18 @@ def q01_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q13_props_json_extract",
     declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle="""
-    SELECT CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS BIGINT) AS k_bucket,
+    WITH k0 AS (
+        SELECT TRY_CAST(CASE WHEN regexp_matches(
+                   json_extract_string(props, '$.k'), '^-?[0-9]+$')
+                   THEN json_extract_string(props, '$.k') END AS INTEGER) AS k
+        FROM events
+    )
+    SELECT COALESCE(CAST(FLOOR(k / 10.0) AS BIGINT), -2147483648) AS k_bucket,
            COUNT(*) AS n_events,
-           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-           CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS min_k,
-           CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
-    FROM events
+           COALESCE(CAST(SUM(k) AS BIGINT), 0) AS sum_k,
+           COALESCE(CAST(MIN(k) AS BIGINT), 0) AS min_k,
+           COALESCE(CAST(MAX(k) AS BIGINT), 0) AS max_k
+    FROM k0
     GROUP BY 1
     ORDER BY 1
     """,
@@ -80,9 +86,29 @@ def q13_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLIENT-controlled JSON, and under ANSI a single malformed '$.k'
     would otherwise kill the whole query instead of grouping under the
     null bucket (round-10 ANSI audit — same defined-null discipline as
-    the division guards)."""
+    the division guards). The integral-form regexp guard runs in BOTH
+    engines before the cast (ADVICE r10): on fractional numeric strings
+    the engines' bare casts DISAGREE — Spark try_cast('12.5' AS INT) is
+    NULL while DuckDB TRY_CAST rounds to 13 — so a client prop like
+    {"k": "12.5"} would silently diverge; guarding to ^-?[0-9]+$ first
+    makes both sides define exactly the same k (out-of-range integral
+    strings still fall to NULL identically via try_cast). The oracle
+    buckets with FLOOR(k/10.0), not DuckDB's ``//``: integer ``//``
+    TRUNCATES toward zero there (-3//10 = 0) while Spark's
+    floor(k/10) floors (-1) — a second latent divergence the hostile
+    fixture (negative k) exposed; FLOOR matches Spark exactly and is
+    safe in double for every int32 k. Sentinels instead of NULLs in the
+    integer outputs (q72's min_source_id convention): the malformed-k
+    group lands in bucket -2147483648 — unreachable from real data,
+    floor(int32_min/10) is -214748365 — with 0-sentinel aggregates
+    (n_events carries its meaning). One NULL in a BIGINT oracle column
+    degrades the driver's pandas fetch of the WHOLE column to float64
+    ('7.0' vs '7'), hash-diverging every row, not just the null one."""
     ev = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").try_cast("int")
+    raw = F.get_json_object("props", "$.k")
+    k = F.when(raw.rlike("^-?[0-9]+$"), raw).try_cast("int")
+    null_bucket = F.lit(-2147483648).cast("bigint")
+    zero = F.lit(0).cast("bigint")
     return (
         ev.select(k.alias("k"))
         .groupBy(F.floor(F.col("k") / 10).cast("bigint").alias("k_bucket"))
@@ -91,6 +117,13 @@ def q13_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("sum_k"),
             F.min("k").cast("bigint").alias("min_k"),
             F.max("k").cast("bigint").alias("max_k"),
+        )
+        .select(
+            F.coalesce("k_bucket", null_bucket).alias("k_bucket"),
+            "n_events",
+            F.coalesce("sum_k", zero).alias("sum_k"),
+            F.coalesce("min_k", zero).alias("min_k"),
+            F.coalesce("max_k", zero).alias("max_k"),
         )
         .orderBy("k_bucket")
     )

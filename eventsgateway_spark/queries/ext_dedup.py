@@ -825,6 +825,19 @@ def q63_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SUBSTR_W = 8  # window width in tokens (fixture docs are ~30 tokens)
 
+# Auto-switch bound for q72's ownership mode. Window-function
+# ownership wins every measured probe (2.2× at the ×100 synthetic
+# corpus, still 1.7× at 270k rows on one hot key — SCALE.md rounds
+# 9-10), so it holds well past fixture scale; the hazard it cannot
+# escape is a single boilerplate window (license header, templated
+# page) owned by MILLIONS of docs — one indivisible window task. The
+# probes bound the safe region to "hot keys in the 10^5 class", which
+# a few GiB of documents cannot exceed; past 4 GiB the corpus can hold
+# 10^6+ copies of one window and the agg form's map-side partial min +
+# AQE-splittable join-back is the safe shape. Unknown input size
+# counts as huge (input_bytes sentinel) — the safe direction.
+Q72_AGG_BYTES = 4 << 30
+
 
 @query(
     "q72_substring_dedup",
@@ -861,11 +874,24 @@ def q72_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keep-first ownership), and a drop verdict when >=50% of the doc's
     windows are borrowed — the distributed analog of suffix-array
     substring dedup. Shape: window explode (md5 of the joined slice) →
-    ownership via ``with_owner_min`` (window function by default — one
-    shuffle; groupBy+join 'agg' fallback for hot-key corpora via
-    ``SPARK_GRAFT_Q72_OWNERSHIP``) → one (doc) aggregate. All
-    equi-keyed; linear in corpus tokens."""
-    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    ownership via ``with_owner_min`` → one (doc) aggregate. All
+    equi-keyed; linear in corpus tokens.
+
+    Ownership mode is SIZE-AWARE since round 11 (VERDICT r10 #3):
+    ``window`` (one shuffle, 1.7-2.2× faster in every probe up to the
+    270k-rows-per-hot-key round-10 measurement) while the corpus is
+    under Q72_AGG_BYTES; above it the ``agg`` form takes over — its
+    map-side partial min collapses a boilerplate window shared by
+    millions of docs BEFORE the shuffle and its join-back skew is
+    AQE-splittable, where a window partition is one indivisible task.
+    ``SPARK_GRAFT_Q72_OWNERSHIP`` still overrides both ways."""
+    raw_docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mode = os.environ.get("SPARK_GRAFT_Q72_OWNERSHIP")
+    if not mode:
+        from eventsgateway_spark.queries._util import input_bytes
+
+        mode = "agg" if input_bytes(raw_docs) > Q72_AGG_BYTES else "window"
+    docs = spread(raw_docs)
     toks = docs.select("doc_id", tokens("text").alias("toks"))
     # The short-doc guard lives INSIDE the generator (null -> no rows)
     # instead of a filter: `filter(size(toks) >= W)` gets predicate-
@@ -889,7 +915,7 @@ def q72_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    owned = with_owner_min(w, mode=os.environ.get("SPARK_GRAFT_Q72_OWNERSHIP"))
+    owned = with_owner_min(w, mode=mode)
     per_doc = (
         owned.groupBy("doc_id")
         .agg(

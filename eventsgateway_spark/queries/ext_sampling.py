@@ -65,7 +65,7 @@ def split_col(key: F.Column) -> F.Column:
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS n_chars,
            MIN(doc_id) AS min_doc_id,
-           CAST((1000000 * COUNT(*)) // (SELECT COUNT(*) FROM s) AS BIGINT)
+           CAST((CAST(1000000 AS HUGEINT) * COUNT(*)) // (SELECT COUNT(*) FROM s) AS BIGINT)
                AS share_ppm
     FROM s
     GROUP BY 1
@@ -103,8 +103,11 @@ def q47_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("bigint").alias("n_chars"),
             "min_doc_id",
             # parts-per-million as exact integer division (identical
-            # truncation in both engines on positives)
-            F.expr("(1000000 * n_docs) div _total").alias("share_ppm"),
+            # truncation in both engines on positives); decimal lift
+            # on the count product — same ceiling class as q75
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(18,0)) * n_docs) div _total"
+            ).alias("share_ppm"),
         )
         .orderBy("split")
     )
@@ -264,6 +267,13 @@ def weights_from_totals(totals: DataFrame) -> DataFrame:
         "isqrt_tok", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint")
     )
     tot = W.partitionBy()  # over the |sources|-row aggregate only
+    # decimal(38,0) lift on the TOKEN-count products (round-11, the
+    # SCALE.md round-10 overflow remedy): 1e6 × n_tokens overflows
+    # BIGINT past ~9.2e12 tokens and a 100 TB corpus holds ~2.5e13.
+    # Spark computes the 128-bit decimal product exactly and `div`
+    # returns BIGINT (the quotient is ≤ 1e6 by construction); the
+    # oracle mirrors with HUGEINT. isqrt products stay BIGINT —
+    # isqrt(9.2e18) ≈ 3e9, ×1e6 ≈ 3e15, six orders inside the ceiling.
     return (
         w.withColumn("_tok_total", F.sum("n_tokens").over(tot))
         .withColumn("_w_total", F.sum("isqrt_tok").over(tot))
@@ -271,15 +281,26 @@ def weights_from_totals(totals: DataFrame) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
-            F.expr("(1000000 * n_tokens) div greatest(_tok_total, 1)").alias(
-                "share_ppm"
-            ),
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(18,0)) * n_tokens)"
+                " div greatest(_tok_total, 1)"
+            ).alias("share_ppm"),
             F.expr("(1000000 * isqrt_tok) div greatest(_w_total, 1)").alias(
                 "weight_ppm"
             ),
-            F.expr(
-                "(100 * ((1000000 * isqrt_tok) div greatest(_w_total, 1)))"
-                " div nullif((1000000 * n_tokens) div greatest(_tok_total, 1), 0)"
+            # -1 sentinel when the source's token share is 0 (an
+            # all-empty-text source): the over/under-sampling factor is
+            # undefined there, and a NULL would degrade the oracle's
+            # pandas fetch of this BIGINT column to float64 ('92.0' vs
+            # '92' — a silent driver hash mismatch the hostile-fixture
+            # test caught in round 11). Both engines emit the sentinel.
+            F.coalesce(
+                F.expr(
+                    "(100 * ((1000000 * isqrt_tok) div greatest(_w_total, 1)))"
+                    " div nullif((CAST(1000000 AS DECIMAL(18,0)) * n_tokens)"
+                    " div greatest(_tok_total, 1), 0)"
+                ),
+                F.lit(-1),
             ).alias("oversample_x100"),
         )
     )
@@ -308,13 +329,13 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
         FROM t
     )
     SELECT source, n_docs, n_tokens,
-           CAST((1000000 * n_tokens) // GREATEST((SELECT SUM(n_tokens) FROM w), 1)
+           CAST((CAST(1000000 AS HUGEINT) * n_tokens) // GREATEST((SELECT SUM(n_tokens) FROM w), 1)
                AS BIGINT) AS share_ppm,
            CAST((1000000 * isqrt_tok) // GREATEST((SELECT SUM(isqrt_tok) FROM w), 1)
                AS BIGINT) AS weight_ppm,
-           CAST((100 * ((1000000 * isqrt_tok) // GREATEST((SELECT SUM(isqrt_tok) FROM w), 1)))
-               // NULLIF((1000000 * n_tokens) // GREATEST((SELECT SUM(n_tokens) FROM w), 1), 0)
-               AS BIGINT) AS oversample_x100
+           COALESCE(CAST((100 * ((1000000 * isqrt_tok) // GREATEST((SELECT SUM(isqrt_tok) FROM w), 1)))
+               // NULLIF((CAST(1000000 AS HUGEINT) * n_tokens) // GREATEST((SELECT SUM(n_tokens) FROM w), 1), 0)
+               AS BIGINT), -1) AS oversample_x100
     FROM w
     ORDER BY source
     """,
@@ -358,6 +379,23 @@ def q75_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 VT_SCALE = 1_000_000_000
 
 
+def vt_column() -> F.Column:
+    """q76's integer virtual time over (rk, weight_ppm) columns —
+    THE single copy of the release-time formula (tested directly past
+    the BIGINT ceiling in tests/test_ansi_guards.py). Decimal-lifted
+    product: rk × 1e9 overflows BIGINT past rk ~9.2e9 (a 1e10-doc
+    source); the quotient must still fit BIGINT — if it cannot
+    (degenerate weight 1 on a huge source), ANSI fails loudly in both
+    engines rather than wrapping."""
+    return (
+        F.expr(
+            f"(CAST(rk AS DECIMAL(18,0)) * {VT_SCALE})"
+            " div greatest(weight_ppm, 1)"
+        )
+        .cast("bigint")
+    )
+
+
 @query(
     "q76_training_order",
     declared=False,  # rotation-pool member (debuts round 6; see ROTATION)
@@ -382,7 +420,7 @@ VT_SCALE = 1_000_000_000
         FROM documents
     )
     SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS rk,
-           CAST((r.rk * {VT_SCALE}) // GREATEST(w.weight_ppm, 1) AS BIGINT) AS vt
+           CAST((CAST(r.rk AS HUGEINT) * {VT_SCALE}) // GREATEST(w.weight_ppm, 1) AS BIGINT) AS vt
     FROM r JOIN w ON r.source = w.source
     ORDER BY vt, r.source, r.doc_id
     """,
@@ -417,9 +455,7 @@ def q76_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "doc_id",
             F.col("rk").cast("bigint").alias("rk"),
-            F.expr(f"(rk * {VT_SCALE}) div greatest(weight_ppm, 1)")
-            .cast("bigint")
-            .alias("vt"),
+            vt_column().alias("vt"),
         )
         .orderBy("vt", "source", "doc_id")
     )

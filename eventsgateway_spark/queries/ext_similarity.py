@@ -42,6 +42,18 @@ from eventsgateway_spark.queries._util import arrow_scorer, pin, spread, table
 # DuckDB-side mirrors of the sequential folds in functions.vectors.
 _DUCK_NORM = "sqrt(list_sum(list_transform(e, x -> x*x)))"
 
+# Shared oracle CTE body: embeddings promoted to double with zero-norm
+# vectors EXCLUDED — the DuckDB mirror of norm_view's nrm > 0 filter
+# (ADVICE r10: the Spark side excluded them but the oracles didn't, so
+# correctness rested on the fixture containing no zero vectors; now
+# both engines define the same input universe and a future fixture
+# regen with a zero vector changes nothing).
+_DUCK_V_NONZERO = (
+    "SELECT vec_id, label, e FROM "
+    "(SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) "
+    f"WHERE {_DUCK_NORM} > 0"
+)
+
 
 def _duck_proj(j: int) -> str:
     """DuckDB: signed projection of e onto integer-formula hyperplane j."""
@@ -69,9 +81,8 @@ _DUCK_BUCKET = _duck_bucket(8, 0)
 
 @query(
     "q33_cosine_top3",
-    oracle="""
-    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-               FROM embeddings),
+    oracle=f"""
+    WITH v AS ({_DUCK_V_NONZERO}),
     q AS (SELECT vec_id AS qid, label AS q_label, e AS qe,
                  sqrt(list_sum(list_transform(e, x -> x*x))) AS qn
           FROM v WHERE vec_id < 10),
@@ -106,11 +117,19 @@ def q33_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the query's norm once per candidate (higher-order folds are
     # interpreted, not codegen'd), tripling the per-pair CPU of the
     # brute-force scan. Same grouping as the oracle: dot / (qn * cn).
-    v = spread(table(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        "label",
-        as_double(F.col("embedding")).alias("e"),
-    ).withColumn("cn", norm(F.col("e")))
+    v = (
+        spread(table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            "label",
+            as_double(F.col("embedding")).alias("e"),
+        )
+        .withColumn("cn", norm(F.col("e")))
+        # zero-norm exclusion — same semantic as norm_view (the score
+        # divides by qn * cn; ANSI would throw, and direction-free
+        # vectors have no place in a cosine ranking). Oracle mirrors.
+        .filter(F.col("cn") > 0)
+    )
     q = v.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("q_label"),
@@ -142,12 +161,46 @@ def q33_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q34 — LSH bucket audit (the ANN scale path's partitioning)
 # ---------------------------------------------------------------------------
 
+# Input-size-derived hyperplane count (round-11, mirroring SemDeDup's
+# semd_cell_count): candidate volume per LSH table is ~ N²/2^planes, so
+# a CONSTANT plane count degrades to quadratic pair growth; holding
+# bucket occupancy ~constant (grow planes with log2(N/occupancy)) keeps
+# candidates ~ N × occupancy — linear. The per-family constants (6 for
+# the q38 near-dup tables, 8 for the q34 audit) become FLOORS: at every
+# fixture/oracle scale the estimate sits below the first growth
+# threshold, so the static DuckDB mirrors stay exact, and the count
+# only rises past ~2^floor × occupancy vectors. Cap 16: past 65k
+# buckets/table, add tables or multiprobe instead (recall per table
+# collapses before the int32 bucket id does — SCALE.md similarity
+# section).
+LSH_TARGET_BUCKET_OCC = 32
+# measured parquet bytes/row of the embeddings fixtures (387-400 across
+# sf0.001-0.1); the estimate only needs to land the right power of two
+_EMB_ROW_BYTES = 384
+
+
+def lsh_plane_count(emb: DataFrame, floor_planes: int) -> int:
+    """Deterministic planes-per-table for an embeddings frame: smallest
+    p >= floor_planes with 2^p × LSH_TARGET_BUCKET_OCC covering the
+    byte-estimated row count, capped at 16. Unknown-size inputs
+    (temp views, createDataFrame) fall back to the floor — the oracle
+    constant — same ADVICE-r5 reasoning as semd_cell_count."""
+    from eventsgateway_spark.queries._util import known_input_bytes
+
+    b = known_input_bytes(emb)
+    if b is None:
+        return floor_planes
+    est_rows = max(b // _EMB_ROW_BYTES, 1)
+    p = floor_planes
+    while p < 16 and (1 << p) * LSH_TARGET_BUCKET_OCC < est_rows:
+        p += 1
+    return p
+
 
 @query(
     "q34_lsh_buckets",
     oracle=f"""
-    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-               FROM embeddings),
+    WITH v AS ({_DUCK_V_NONZERO}),
     b AS (SELECT vec_id, label, {_DUCK_BUCKET} AS bucket FROM v)
     SELECT bucket, COUNT(*) AS n_vectors,
            MIN(vec_id) AS min_vec_id,
@@ -158,14 +211,28 @@ def q33_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q34_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket-occupancy audit of the 8-plane signed-random-projection
-    LSH. At 100 TB, ANN candidate generation is ``join ON bucket`` —
-    shuffle keyed by an int, per-bucket work bounded by occupancy, no
-    cartesian. This query pins the exact bucket assignment (integer-
-    formula hyperplanes → oracle-reproducible)."""
-    v = spread(table(spark, sf_dir, "embeddings"))
+    """Bucket-occupancy audit of the signed-random-projection LSH
+    (plane count input-size-derived, floor 8 — the oracle's static
+    8-plane mirror is exact at every scale the oracle runs). At 100 TB,
+    ANN candidate generation is ``join ON bucket`` — shuffle keyed by
+    an int, per-bucket work bounded by occupancy, no cartesian. This
+    query pins the exact bucket assignment (integer-formula hyperplanes
+    → oracle-reproducible). Zero-norm vectors are excluded on BOTH
+    sides: they never enter a similarity index (norm_view semantic)."""
+    emb = table(spark, sf_dir, "embeddings")
+    np_ = lsh_plane_count(emb, 8)
+    v = (
+        spread(emb)
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding"),
+            norm(as_double(F.col("embedding"))).alias("nrm"),
+        )
+        .filter(F.col("nrm") > 0)
+    )
     b = v.select(
-        "vec_id", "label", lsh_bucket(F.col("embedding"), 8).alias("bucket")
+        "vec_id", "label", lsh_bucket(F.col("embedding"), np_).alias("bucket")
     )
     return (
         b.groupBy("bucket")
@@ -201,14 +268,22 @@ def ann_topk_bucketed(
     outgrows transfer (high dims, heavier kernels). Returns
     (qid, rn, neighbor_id, cos_sim). Recall and fold/arrow agreement
     are tested in tests/test_ext.py."""
-    c_base = emb.select(
-        F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("ce"),
-        F.col("embedding").alias("c_raw"),
-    ).withColumn("cn", norm(F.col("ce")))
-    q_base = queries.select(
-        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qe"),
-        F.col("embedding").alias("q_raw"),
-    ).withColumn("qn", norm(F.col("qe")))
+    c_base = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("ce"),
+            F.col("embedding").alias("c_raw"),
+        )
+        .withColumn("cn", norm(F.col("ce")))
+        .filter(F.col("cn") > 0)  # norm_view semantic — the score divides by cn
+    )
+    q_base = (
+        queries.select(
+            F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qe"),
+            F.col("embedding").alias("q_raw"),
+        )
+        .withColumn("qn", norm(F.col("qe")))
+        .filter(F.col("qn") > 0)
+    )
     cand = None
     for t in range(n_tables):
         c = c_base.select(
@@ -344,7 +419,7 @@ _DUCK_ND_BUCKETS = "\n            UNION ALL ".join(
 @query(
     "q38_embedding_near_dup",
     oracle=f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    WITH v AS ({_DUCK_V_NONZERO}),
     n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm
           FROM v),
     b AS ({_DUCK_ND_BUCKETS}),
@@ -371,20 +446,28 @@ def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same candidate generation, so the result is exact for the
     operator AS DEFINED. Norms are computed ONCE per vector and joined
     in (higher-order-function folds are not codegen'd, so per-PAIR
-    work must be a single dot fold). 6 planes → 64 buckets keeps the
-    candidate count ~N²/64 per table instead of N²/16."""
+    work must be a single dot fold). The plane count is input-size-
+    derived with floor 6 (lsh_plane_count — at every oracle scale the
+    estimate stays below the first growth threshold, so the static
+    6-plane mirror is exact; past ~2k vectors the count rises with
+    log2(N/occupancy), holding candidate volume ~linear in N instead
+    of N²/2^6). Zero-norm vectors are excluded on both sides
+    (norm_view semantic; the verify step divides by n1 * n2)."""
+    emb = table(spark, sf_dir, "embeddings")
+    np_ = lsh_plane_count(emb, _ND_PLANES)
     v = pin(
-        spread(table(spark, sf_dir, "embeddings"))
+        spread(emb)
         .select(
             "vec_id",
             F.col("embedding").alias("raw"),
             as_double(F.col("embedding")).alias("e"),
         )
         .select("vec_id", "raw", "e", norm(F.col("e")).alias("nrm"))
+        .filter(F.col("nrm") > 0)
     )
     cand = None
     for t in range(_ND_TABLES):
-        b = v.select("vec_id", lsh_bucket(F.col("raw"), _ND_PLANES, t).alias("bucket"))
+        b = v.select("vec_id", lsh_bucket(F.col("raw"), np_, t).alias("bucket"))
         x, y = b.alias("x"), b.alias("y")
         p = x.join(
             y,
@@ -444,12 +527,13 @@ def norm_view(emb: DataFrame) -> DataFrame:
     against them is undefined — and the similarity family divides by
     ``qn * nrm``, which under Spark 4's default ANSI mode is a runtime
     DIVIDE_BY_ZERO, not a null (round-10 audit; the q80 property test
-    caught the same class). The fixture tables contain no zero vectors
-    (verified round 10), so the DuckDB oracles — which don't mirror
-    the filter — stay hash-identical; on real data the exclusion is
-    the documented semantic: zero vectors never enter a similarity
-    index, never match a lookup, and are silently skipped by IVF
-    appends."""
+    caught the same class). Since round 11 the exclusion is mirrored in
+    every similarity oracle (the shared ``_DUCK_V_NONZERO`` CTE body —
+    ADVICE r10) and enforced as a fixture invariant
+    (tests/test_ansi_guards.py), so the two engines define the same
+    input universe even if a fixture regen introduces a zero vector:
+    zero vectors never enter a similarity index, never match a lookup,
+    and are silently skipped by IVF appends."""
     return (
         emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
         .select("vec_id", "e", norm(F.col("e")).alias("nrm"))
@@ -581,7 +665,7 @@ def ivf_probes(
 @query(
     "q43_ivf_ann",
     oracle=f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    WITH v AS ({_DUCK_V_NONZERO}),
     c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {IVF_K}),
     d AS (SELECT v.vec_id, c.cid, {_DUCK_L2SQ} AS dist
           FROM v CROSS JOIN c),
@@ -767,7 +851,7 @@ def semd_cell_count(emb: DataFrame) -> int:
     "q70_semantic_dedup",
     declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle=f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    WITH v AS ({_DUCK_V_NONZERO}),
     c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {IVF_K}),
     d AS (SELECT v.vec_id, c.cid, {_DUCK_L2SQ} AS dist
           FROM v CROSS JOIN c),

@@ -358,10 +358,14 @@ def q40_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars").alias("chars"),
             # greatest-guard (both engines): a source whose docs are all
             # empty text sums to 0 subword tokens — ANSI DIVIDE_BY_ZERO
-            # instead of a row (round-10 audit)
-            F.expr("(1000 * sum(chars)) div greatest(sum(subword_tokens), 1)").alias(
-                "cpt_milli"
-            ),
+            # instead of a row (round-10 audit). Decimal lift on the
+            # char-sum product (round 11): 1000 × sum(chars) overflows
+            # BIGINT past ~9.2e15 chars; the oracle needs no change —
+            # DuckDB's SUM already returns HUGEINT there.
+            F.expr(
+                "(CAST(1000 AS DECIMAL(18,0)) * sum(chars))"
+                " div greatest(sum(subword_tokens), 1)"
+            ).alias("cpt_milli"),
         )
         .orderBy("source")
     )

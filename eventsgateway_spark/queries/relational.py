@@ -624,12 +624,14 @@ def q57_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deterministic. The global window is the scale bound here, and
     it is a SINGLE-partition sort (Spark moves an unpartitioned
     window's whole input to one task — WindowExec warns; corrected
-    round 10: this is NOT a range-partitioned exchange). Acceptable
-    while the per-customer aggregate fits one task (~100M rows); past
-    that, compute the exact global rank with the q61-style two-phase
-    bucketed prefix sum (operators/skew.py) and derive
-    ntile/percent_rank/cume_dist from (rank, total) — or partitionBy
-    a segment if deciles-within-segment suffice."""
+    round 10: this is NOT a range-partitioned exchange). Mode is
+    SIZE-AWARE since round 11 (the with_keep_first pattern, VERDICT
+    r10 #3): the single-task window is kept while the customer table —
+    the upper bound on the window's input rows — is under
+    Q57_PREFIX_BYTES; past that (or when the size is unknowable:
+    huge-counts-as-safe) the bit-identical distributed ``prefix`` twin
+    takes over automatically. ``SPARK_GRAFT_Q57_RANK`` still
+    overrides both ways."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     s = (
@@ -637,9 +639,23 @@ def q57_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(as_double(F.sum(money("o_totalprice"))).alias("spend"))
     )
-    return with_global_rank_battery(
-        s, mode=os.environ.get("SPARK_GRAFT_Q57_RANK")
-    )
+    mode = os.environ.get("SPARK_GRAFT_Q57_RANK")
+    if not mode:
+        from eventsgateway_spark.queries._util import input_bytes
+
+        mode = "prefix" if input_bytes(c) > Q57_PREFIX_BYTES else "window"
+    return with_global_rank_battery(s, mode=mode)
+
+
+# Auto-switch bound for q57's rank mode: the window input is one row
+# per customer, so the CUSTOMER table's on-disk size bounds it. 256 MiB
+# of customer parquet ≈ 1.3M customers ≈ ~20 MB of (custkey, spend)
+# rows in the single window task — comfortably one-task territory; the
+# prefix twin is bit-identical and fully distributed, so switching
+# early costs correctness nothing (same 256 MiB bound as
+# KEEP_FIRST_WINDOW_BYTES, and unknown sizes count as huge — the safe
+# direction).
+Q57_PREFIX_BYTES = 256 << 20
 
 
 def with_global_rank_battery(s: DataFrame, mode: str | None = None) -> DataFrame:

@@ -52,6 +52,48 @@ def build_ivf_index(corpus_emb: DataFrame) -> IvfIndex:
     return IvfIndex(assign=assign, cents=cents)
 
 
+def _table_gen(spark, table_name: str) -> int | None:
+    """Generation stamp of a saved index table (one-row/one-file read —
+    never a corpus scan: overwrites replace every file, so any row
+    carries the table's generation). None for a pre-gen (round-10 or
+    earlier) table without the column, or an empty table."""
+    df = spark.table(table_name)
+    if "gen" not in df.columns:
+        return None
+    row = df.select("gen").limit(1).collect()
+    return int(row[0]["gen"]) if row else None
+
+
+def _check_same_generation(spark, table_prefix: str) -> int:
+    """Refuse a mixed-generation IVF index (ADVICE r10): a RE-save that
+    crashes between the ``_centroids`` and ``_assign`` overwrites
+    leaves all three tables present — the all-tables-present guard
+    calls that complete, and without this check ``load`` would silently
+    serve new centroids against old assignments. Every save stamps the
+    same ``gen`` into all three tables, so equality across whichever
+    tables carry the stamp proves one generation; pre-gen legacy tables
+    (no column) are skipped — a legacy index cannot be verified, only
+    re-saved into the stamped protocol. Returns the index generation
+    (0 for fully-legacy)."""
+    meta = spark.table(f"{table_prefix}_meta")
+    gens = {
+        "_meta": (
+            int(meta.collect()[0]["gen"]) if "gen" in meta.columns else None
+        ),
+        "_centroids": _table_gen(spark, f"{table_prefix}_centroids"),
+        "_assign": _table_gen(spark, f"{table_prefix}_assign"),
+    }
+    known = {k: v for k, v in gens.items() if v is not None}
+    if len(set(known.values())) > 1:
+        detail = ", ".join(f"{k}=gen {v}" for k, v in sorted(known.items()))
+        raise ValueError(
+            f"mixed-generation IVF index at {table_prefix!r} ({detail}) — "
+            "a re-save crashed mid-way; re-run save_ivf_index to "
+            "completion before loading or appending"
+        )
+    return next(iter(known.values()), 0)
+
+
 def save_ivf_index(
     corpus_emb: DataFrame | None,
     table_prefix: str,
@@ -64,7 +106,14 @@ def save_ivf_index(
     is ever pinned in executor memory or reshuffled per batch, and the
     index survives session restarts (serving shape). Pass a prebuilt
     ``index`` (e.g. with `operators.kmeans.train_centroids` centers)
-    to persist trained centers instead of the first-K seeding."""
+    to persist trained centers instead of the first-K seeding.
+
+    Every save stamps a monotonically-increasing ``gen`` into all
+    three tables (``_meta`` plus a constant column in the data
+    tables); :func:`load_ivf_index` / :func:`append_ivf_index` verify
+    the stamps agree, so a re-save that crashes between the
+    ``_centroids`` and ``_assign`` overwrites is DETECTED instead of
+    silently serving mixed generations (ADVICE r10)."""
     if index is None and corpus_emb is None:
         raise ValueError("need corpus_emb or a prebuilt index")
     spark = (index.assign if index is not None else corpus_emb).sparkSession
@@ -106,18 +155,28 @@ def save_ivf_index(
                 f"re-saving in place with buckets={buckets} is refused — "
                 "save to a fresh prefix and swap names."
             )
+    # next generation: previous meta gen + 1 (legacy meta without the
+    # column counts as gen 0). Deterministic — no wall clock.
+    gen = 1
+    if spark.catalog.tableExists(f"{table_prefix}_meta"):
+        m = spark.table(f"{table_prefix}_meta")
+        gen = (int(m.collect()[0]["gen"]) if "gen" in m.columns else 0) + 1
     built_here = index is None
     idx = index if index is not None else build_ivf_index(corpus_emb)
     spark.createDataFrame(
-        [(int(buckets),)], "buckets int"
+        [(int(buckets), int(gen))], "buckets int, gen int"
     ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
     # _centroids (one tiny row) lands BEFORE the corpus-sized _assign:
     # _assign is the commit point — a first save that crashes anywhere
     # leaves at most _meta+_centroids, which the half-built guard above
-    # clears on the retry; an index with _assign present is complete.
-    idx.cents.write.mode("overwrite").saveAsTable(f"{table_prefix}_centroids")
+    # clears on the retry; an index with _assign present is complete
+    # (and its gen stamp proves WHICH save completed it).
+    idx.cents.withColumn("gen", F.lit(gen)).write.mode("overwrite").saveAsTable(
+        f"{table_prefix}_centroids"
+    )
     (
-        idx.assign.write.bucketBy(buckets, "cell_id")
+        idx.assign.withColumn("gen", F.lit(gen))
+        .write.bucketBy(buckets, "cell_id")
         .mode("overwrite")
         .saveAsTable(f"{table_prefix}_assign")
     )
@@ -133,9 +192,13 @@ def save_ivf_index(
 
 
 def load_ivf_index(spark, table_prefix: str) -> IvfIndex:
+    """Reopen a saved index after verifying all tables carry one
+    generation (see :func:`_check_same_generation`); the stamp column
+    is dropped so the served frames keep the build-time shape."""
+    _check_same_generation(spark, table_prefix)
     return IvfIndex(
-        assign=spark.table(f"{table_prefix}_assign"),
-        cents=spark.table(f"{table_prefix}_centroids"),
+        assign=spark.table(f"{table_prefix}_assign").drop("gen"),
+        cents=spark.table(f"{table_prefix}_centroids").drop("gen"),
     )
 
 
@@ -203,6 +266,10 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
     buckets = int(
         spark.table(f"{table_prefix}_meta").collect()[0]["buckets"]
     )
+    # refuse a mixed-generation index before mutating it (ADVICE r10) —
+    # appending fresh assignments under new centroids into an OLD
+    # assignment table would bake the inconsistency in
+    cur_gen = _check_same_generation(spark, table_prefix)
     existing = spark.table(f"{table_prefix}_assign").select("vec_id")
     fresh = (
         new_emb.dropDuplicates(["vec_id"])
@@ -213,9 +280,13 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
         n_new = fresh.count()
         if n_new:
             cents = spark.table(f"{table_prefix}_centroids")
+            assigned = ivf_assign_with(norm_view(fresh), cents)
+            if "gen" in spark.table(f"{table_prefix}_assign").columns:
+                # appended rows extend the CURRENT generation (a
+                # fully-legacy pre-gen table keeps its shape)
+                assigned = assigned.withColumn("gen", F.lit(cur_gen))
             (
-                ivf_assign_with(norm_view(fresh), cents)
-                .write.bucketBy(buckets, "cell_id")
+                assigned.write.bucketBy(buckets, "cell_id")
                 .mode("append")
                 .saveAsTable(f"{table_prefix}_assign")
             )

@@ -117,9 +117,12 @@ def interleave_batch(
             (F.col("rk_local") + F.coalesce(F.col("base_rk"), F.lit(0)))
             .cast("bigint")
             .alias("rk"),
+            # decimal lift mirrors batch q76 exactly (parity contract):
+            # rk × 1e9 overflows BIGINT past rk ~9.2e9
             F.expr(
-                f"(rk_local + coalesce(base_rk, 0)) * {VT_SCALE} "
-                "div greatest(coalesce(weight_ppm, 1), 1)"
+                f"(CAST(rk_local + coalesce(base_rk, 0) AS DECIMAL(18,0))"
+                f" * {VT_SCALE})"
+                " div greatest(coalesce(weight_ppm, 1), 1)"
             )
             .cast("bigint")
             .alias("vt"),

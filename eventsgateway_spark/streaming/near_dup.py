@@ -581,7 +581,16 @@ def propagate_quality_with_index(
     Row-identical to batch q80 on the same corpus PROVIDED the index
     was built with the module-default shingle parameters (q80's gram
     universe); an index pinned to different n/max_df is refused rather
-    than silently propagating over a different graph."""
+    than silently propagating over a different graph. The doc SET must
+    cover the index too (ADVICE r10): if ``docs`` omits an indexed
+    doc, that doc contributes edges (so its neighbors have deg > 0)
+    but no seed — their contribution sum comes up NULL and the damped
+    update silently propagates NULL scores instead of failing. Refused
+    loudly (one count over the |corpus|-row sizes ledger, fine on the
+    compaction cadence) — same discipline as the gram-universe check.
+    Docs ABSENT from the index are fine: they are isolated nodes
+    (deg 0, keep their seed), exactly batch q80's semantics for
+    edge-free documents."""
     from eventsgateway_spark.queries.ext_dedup import (
         MAX_SHINGLE_DF,
         SHINGLE_N,
@@ -598,6 +607,18 @@ def propagate_quality_with_index(
             "over a different graph would not match batch q80"
         )
     idx = load_corpus_index(spark, table_prefix)
+    n_missing = (
+        idx.sizes.select(F.col("corpus_id").alias("doc_id"))
+        .join(docs.select("doc_id").distinct(), "doc_id", "left_anti")
+        .count()
+    )
+    if n_missing:
+        raise ValueError(
+            f"docs omits {n_missing} document(s) present in the index "
+            f"at {table_prefix!r}; propagating over a graph whose edge "
+            "endpoints have no seed would yield NULL scores — pass the "
+            "full indexed corpus (or rebuild the index for the subset)"
+        )
     edges0 = jaccard_pairs(idx.shingles, 0.5).select("d1", "d2")
     return quality_propagation(docs, edges0=edges0, iters=iters)
 

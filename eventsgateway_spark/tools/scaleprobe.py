@@ -110,6 +110,103 @@ def gen_corpus(out_dir: str, mult: int, seed: int = 7) -> str:
     return out_dir
 
 
+BASE_VECS = 2_000  # sf0.1 embeddings row count
+EMB_DIM = 64  # fixture dim — keeps _EMB_ROW_BYTES calibration honest
+EMB_NEAR_DUP_PCT = 0.03
+
+
+def gen_embeddings(out_dir: str, mult: int, seed: int = 11) -> str:
+    """Write embeddings.parquet with mult * BASE_VECS rows — gaussian
+    unit-scale vectors with a scale-invariant ~3% near-dup rate
+    (earlier vector + small perturbation), so q38's verify stage sees
+    linearly-growing TRUE pairs like the document probe does."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(path):
+        return out_dir
+    rng = random.Random(seed)
+    n = BASE_VECS * mult
+    vecs: list[list[float]] = []
+    for i in range(n):
+        if i > 0 and rng.random() < EMB_NEAR_DUP_PCT:
+            base = vecs[rng.randrange(i)]
+            vecs.append([x + rng.gauss(0, 0.01) for x in base])
+        else:
+            vecs.append([rng.gauss(0, 1) for _ in range(EMB_DIM)])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(n)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, path)
+    return out_dir
+
+
+def run_lsh_probe(mults: tuple[int, ...] = (1, 10, 50), runs: int = 2,
+                  root: str = "/tmp/scaleprobe_lsh") -> dict:
+    """Growth probe for the input-size-derived LSH plane count
+    (round 11): q38 at each scale with the auto-derived plane count,
+    plus — at the mid scale — a contrast run pinned to the floor
+    (6 planes), quantifying what the derivation saves. With planes
+    fixed, candidate volume per table is ~N²/2^6 (quadratic); with the
+    derived count, occupancy per bucket stays ~constant so candidates
+    grow ~linearly. The floor contrast is probed only at the mid
+    scale: at the top scale the fixed-plane candidate volume is the
+    very blow-up the derivation exists to avoid."""
+    from eventsgateway_spark.queries import QUERIES, ext_similarity
+    from eventsgateway_spark.queries._util import unpin_all
+    from eventsgateway_spark.session import get_spark
+
+    spark = get_spark("lshprobe")
+    warm = gen_embeddings(os.path.join(root, f"x{mults[0]}"), mults[0])
+    QUERIES["q38_embedding_near_dup"](spark, warm).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    unpin_all()
+    report: dict = {}
+    for i, mult in enumerate(mults):
+        sf_dir = gen_embeddings(os.path.join(root, f"x{mult}"), mult)
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        np_auto = ext_similarity.lsh_plane_count(emb, ext_similarity._ND_PLANES)
+        row: dict = {"n_vecs": BASE_VECS * mult, "planes": np_auto}
+        for variant in ("auto",) + (("floor6",) if i == len(mults) // 2 else ()):
+            if variant == "floor6":
+                # pin the floor by making the row estimate degenerate
+                saved = ext_similarity._EMB_ROW_BYTES
+                ext_similarity._EMB_ROW_BYTES = 1 << 60
+            try:
+                samples = []
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    QUERIES["q38_embedding_near_dup"](spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    samples.append(time.perf_counter() - t0)
+                    unpin_all()
+                row[variant] = round(min(samples), 2)
+            finally:
+                if variant == "floor6":
+                    ext_similarity._EMB_ROW_BYTES = saved
+        report[f"x{mult}"] = row
+        print(f"x{mult}: {row}", flush=True)
+    ms = [m for m in mults if f"x{m}" in report]
+    if len(ms) >= 2:
+        a, b = ms[-2], ms[-1]
+        report["exponent_auto"] = round(
+            math.log(report[f"x{b}"]["auto"] / report[f"x{a}"]["auto"])
+            / math.log(b / a),
+            2,
+        )
+    print(json.dumps(report))
+    spark.stop()
+    return report
+
+
 def run_probe(mults: tuple[int, ...] = (1, 10, 100), runs: int = 2,
               root: str = "/tmp/scaleprobe",
               probe_queries: tuple[str, ...] = PROBE_QUERIES) -> dict:
@@ -177,6 +274,11 @@ if __name__ == "__main__":
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--queries", default=",".join(PROBE_QUERIES),
                     help="comma-separated subset of the probe set")
+    ap.add_argument("--lsh", action="store_true",
+                    help="run the embeddings/LSH plane-scaling probe instead")
     args = ap.parse_args()
-    run_probe(tuple(int(m) for m in args.mults.split(",")), args.runs,
-              probe_queries=tuple(args.queries.split(",")))
+    if args.lsh:
+        run_lsh_probe(tuple(int(m) for m in args.mults.split(",")), args.runs)
+    else:
+        run_probe(tuple(int(m) for m in args.mults.split(",")), args.runs,
+                  probe_queries=tuple(args.queries.split(",")))

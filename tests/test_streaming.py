@@ -893,11 +893,79 @@ def test_propagate_quality_with_index_matches_batch_q80(spark):
         save_corpus_index(docs, "pqidx5", n=5, buckets=4)
         with pytest.raises(ValueError, match="gram universe"):
             propagate_quality_with_index(spark, "pqidx5", docs)
+        # docs that omit an indexed doc refused (ADVICE r10): the
+        # missing doc's edges would leave its neighbors with deg > 0
+        # but a NULL contribution sum — silent NULL scores
+        with pytest.raises(ValueError, match="omits"):
+            propagate_quality_with_index(
+                spark, "pqidx", docs.filter("doc_id <> 7")
+            )
+        # a docs SUPERSET is fine: extra docs are isolated seed-keepers
+        extra = docs.sparkSession.createDataFrame(
+            [(9_000_001, "entirely novel text never indexed anywhere")],
+            "doc_id long, text string",
+        )
+        sup = [
+            tuple(r)
+            for r in propagate_quality_with_index(
+                spark, "pqidx", docs.unionByName(extra)
+            ).collect()
+        ]
+        assert len(sup) == 151
+        assert sorted(t for t in sup if t[0] != 9_000_001) == sorted(want)
     finally:
         for p in ("pqidx", "pqidx5"):
             for s in ("_shingles", "_hot", "_sizes", "_df", "_meta",
                       "_pending", "_df_fold"):
                 spark.sql(f"DROP TABLE IF EXISTS {p}{s}")
+
+
+def test_mixed_generation_ivf_index_detected(spark):
+    """A RE-save that crashes between the ``_centroids`` and
+    ``_assign`` overwrites leaves all three tables present but
+    straddling two generations — the half-built guard can't see it
+    (nothing is missing). load/append must refuse on the generation
+    stamps, and running the save to completion must clear it
+    (ADVICE r10)."""
+    from eventsgateway_spark.streaming.ann_lookup import (
+        append_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    try:
+        save_ivf_index(emb.filter("vec_id < 100"), "tgen_ivf", buckets=4)
+        idx = load_ivf_index(spark, "tgen_ivf")  # gen-consistent: serves
+        assert idx.assign.count() > 0
+        assert "gen" not in idx.assign.columns  # stamp stays internal
+        # simulate the crashed re-save: meta + centroids reach gen 2,
+        # assign still carries gen 1 (localCheckpoint severs lineage so
+        # the table can be overwritten from itself)
+        bumped = (
+            spark.table("tgen_ivf_centroids")
+            .withColumn("gen", F.lit(2))
+            .localCheckpoint()
+        )
+        spark.createDataFrame([(4, 2)], "buckets int, gen int").write.mode(
+            "overwrite"
+        ).saveAsTable("tgen_ivf_meta")
+        bumped.write.mode("overwrite").saveAsTable("tgen_ivf_centroids")
+        with pytest.raises(ValueError, match="mixed-generation"):
+            load_ivf_index(spark, "tgen_ivf")
+        with pytest.raises(ValueError, match="mixed-generation"):
+            append_ivf_index(spark, "tgen_ivf", emb)
+        # re-running the save to completion restores one generation
+        save_ivf_index(emb.filter("vec_id < 100"), "tgen_ivf", buckets=4)
+        assert load_ivf_index(spark, "tgen_ivf").assign.count() > 0
+        assert (
+            int(spark.table("tgen_ivf_meta").collect()[0]["gen"]) == 3
+        )  # 2 (crashed) + 1
+    finally:
+        for s in ("_assign", "_centroids", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS tgen_ivf{s}")
 
 
 def test_append_corpus_index_incremental_admission(spark):
