@@ -168,21 +168,32 @@ def q33_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidates ~ N × occupancy — linear. The per-family constants (6 for
 # the q38 near-dup tables, 8 for the q34 audit) become FLOORS: at every
 # fixture/oracle scale the estimate sits below the first growth
-# threshold, so the static DuckDB mirrors stay exact, and the count
-# only rises past ~2^floor × occupancy vectors. Cap 16: past 65k
-# buckets/table, add tables or multiprobe instead (recall per table
-# collapses before the int32 bucket id does — SCALE.md similarity
-# section).
-LSH_TARGET_BUCKET_OCC = 32
+# threshold (floor-6 threshold = 2^6 × 64 = 4096 estimated rows; the
+# largest fixture estimates ~2080, pinned with margin by
+# tests/test_ansi_guards.py), so the static DuckDB mirrors stay exact,
+# and the count only rises past ~2^floor × occupancy vectors. Cap 16:
+# past 65k buckets/table, add tables or multiprobe instead (recall per
+# table collapses before the int32 bucket id does — SCALE.md
+# similarity section).
+LSH_TARGET_BUCKET_OCC = 64
 # measured parquet bytes/row of the embeddings fixtures (387-400 across
 # sf0.001-0.1); the estimate only needs to land the right power of two
 _EMB_ROW_BYTES = 384
 
 
+def planes_for_rows(est_rows: int, floor_planes: int) -> int:
+    """The pure ladder: smallest p >= floor_planes with
+    2^p × LSH_TARGET_BUCKET_OCC covering ``est_rows``, capped at 16
+    (boundary behavior unit-tested in tests/test_ansi_guards.py)."""
+    p = floor_planes
+    while p < 16 and (1 << p) * LSH_TARGET_BUCKET_OCC < est_rows:
+        p += 1
+    return p
+
+
 def lsh_plane_count(emb: DataFrame, floor_planes: int) -> int:
-    """Deterministic planes-per-table for an embeddings frame: smallest
-    p >= floor_planes with 2^p × LSH_TARGET_BUCKET_OCC covering the
-    byte-estimated row count, capped at 16. Unknown-size inputs
+    """Deterministic planes-per-table for an embeddings frame: the
+    ladder over the byte-estimated row count. Unknown-size inputs
     (temp views, createDataFrame) fall back to the floor — the oracle
     constant — same ADVICE-r5 reasoning as semd_cell_count."""
     from eventsgateway_spark.queries._util import known_input_bytes
@@ -190,11 +201,7 @@ def lsh_plane_count(emb: DataFrame, floor_planes: int) -> int:
     b = known_input_bytes(emb)
     if b is None:
         return floor_planes
-    est_rows = max(b // _EMB_ROW_BYTES, 1)
-    p = floor_planes
-    while p < 16 and (1 << p) * LSH_TARGET_BUCKET_OCC < est_rows:
-        p += 1
-    return p
+    return planes_for_rows(max(b // _EMB_ROW_BYTES, 1), floor_planes)
 
 
 @query(
@@ -449,7 +456,7 @@ def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     work must be a single dot fold). The plane count is input-size-
     derived with floor 6 (lsh_plane_count — at every oracle scale the
     estimate stays below the first growth threshold, so the static
-    6-plane mirror is exact; past ~2k vectors the count rises with
+    6-plane mirror is exact; past ~4k vectors the count rises with
     log2(N/occupancy), holding candidate volume ~linear in N instead
     of N²/2^6). Zero-norm vectors are excluded on both sides
     (norm_view semantic; the verify step divides by n1 * n2)."""

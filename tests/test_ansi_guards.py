@@ -204,6 +204,35 @@ def test_shipped_fixtures_have_no_zero_norm_embeddings():
         assert n == 0, f"sf{sf} contains {n} zero-norm embeddings"
 
 
+def test_lsh_plane_ladder_boundaries():
+    """The input-size-derived plane count (round 11): floor below the
+    first threshold (so static oracle mirrors stay exact at every
+    fixture scale), +1 plane per doubling above it, hard cap 16."""
+    from eventsgateway_spark.queries.ext_similarity import (
+        LSH_TARGET_BUCKET_OCC as OCC,
+        planes_for_rows,
+    )
+
+    assert planes_for_rows(1, 6) == 6
+    assert planes_for_rows((1 << 6) * OCC, 6) == 6  # exactly covered
+    assert planes_for_rows((1 << 6) * OCC + 1, 6) == 7  # first growth
+    assert planes_for_rows((1 << 13) * OCC, 6) == 13
+    assert planes_for_rows(10**12, 6) == 16  # cap
+    # per-family floors: the q34 audit floors at 8
+    assert planes_for_rows(1, 8) == 8
+    assert planes_for_rows((1 << 8) * OCC + 1, 8) == 9
+    # fixture sanity: every shipped embeddings fixture sits below the
+    # floor-6 threshold, so q38's static 6-plane oracle stays exact
+    import os
+
+    for sf in ("0.001", "0.01", "0.1"):
+        b = os.path.getsize(f"/root/testdata/sf{sf}/embeddings.parquet")
+        from eventsgateway_spark.queries.ext_similarity import _EMB_ROW_BYTES
+
+        assert planes_for_rows(max(b // _EMB_ROW_BYTES, 1), 6) == 6, sf
+        assert planes_for_rows(max(b // _EMB_ROW_BYTES, 1), 8) == 8, sf
+
+
 # ---------------------------------------------------------------------------
 # BIGINT-ceiling lifts (SCALE.md round-10 overflow note, implemented r11)
 # ---------------------------------------------------------------------------
