@@ -122,16 +122,41 @@ def dot_arrow(a: Column, b: Column) -> Column:
 
 # Integer-formula hyperplane weights — a deterministic pseudo-random
 # family expressible identically in Spark and DuckDB SQL (no RNG state,
-# no platform drift): w(j, d) = ((A*(j+1) + B*(d+1)) mod 1021) - 510.
+# no platform drift):
+#
+#     w(j, d) = ((A*(j+1)*(d+1) + B*(j+1)^2*(d+1)^2) mod 1021) - 510
+#
+# The round-11 decorrelated form. The original additive family
+# (A*(j+1) + B*(d+1)) made every plane a constant mod-shift of every
+# other (plane-pair |cos| up to 0.73): correlated sign bits concentrate
+# vectors into hot buckets, measured max/mean occupancy ≈ 29 at 100k
+# vectors and Σocc² (= LSH candidate volume) 1.21e8 vs the 1.46e7
+# uniform ideal. Making BOTH terms multiplicative in (j+1) gives each
+# plane its own quadratic residue sequence mod the prime 1021
+# (pairwise |cos| ≤ 0.37 over the first 16 planes): measured occupancy
+# max/mean 4.1-4.3 per table, Σocc² 1.93e7 (1.32× ideal), and planted
+# near-dup recall 24/30 vs 16/30 (numpy replication, SCALE.md
+# round-11b table). Same cross-engine determinism — the weights are
+# pure integer arithmetic on (j, d).
 LSH_A = 1_315_423_911
 LSH_B = 2_654_435_761
+_LSH_P = 1021
+
+
+def _plane_coeffs(j: int) -> tuple[int, int]:
+    """Per-plane constants pre-reduced mod the prime so the column-side
+    product stays far under int64: c1*(d+1) + c2*(d+1)^2 with c1, c2 <
+    1021 and d+1 <= 4097 is < 1.8e10 (the unreduced B*(j+1)^2*(d+1)^2
+    would overflow BIGINT past dim ~1500 in both engines)."""
+    return (LSH_A * (j + 1)) % _LSH_P, (LSH_B * (j + 1) * (j + 1)) % _LSH_P
 
 
 def hyperplane_weight(j: int, d: Column) -> Column:
     """Weight of hyperplane j at dimension d (d is a 1-based column).
-    The j-term is folded to a Python-int literal so no column-side
-    int32 multiply can overflow; the d-term multiplier is a long."""
-    return (F.lit(LSH_A * (j + 1)) + F.lit(LSH_B) * (d + 1)) % 1021 - 510
+    The j-dependent factors are folded to Python-int literals so no
+    column-side int32 multiply can overflow."""
+    c1, c2 = _plane_coeffs(j)
+    return (F.lit(c1) * (d + 1) + F.lit(c2) * (d + 1) * (d + 1)) % _LSH_P - 510
 
 
 def lsh_bucket(vec: Column, n_planes: int = 8, table_id: int = 0) -> Column:

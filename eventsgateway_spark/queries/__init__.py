@@ -123,8 +123,16 @@ ROTATION: list[tuple[str, ...]] = [
     ("q13_props_json_extract", "q21_token_explode"),  # Q12: must stay a pair
     ("q05_priority_with_bulk_lineitems", "q12_late_shipments"),
     ("q45_gap_fill_daily", "q14_user_running_stats"),
-    ("q35_embedding_stats", "q20_grouping_sets_lineitem"),
-    ("q19_fullouter_daily_activity", "q42_above_avg_spenders"),
+    # round-11 additions at index 2 (11 % 3 == 2 → both debut with a
+    # driver row the round they land): q81 extends the Q18 similarity
+    # family with the int8-quantized retrieval path (slot-mates are
+    # long-green statics-adjacent members; q33/q34/q38/q43 keep Q18
+    # declared every phase), q82 extends the Q22 selection family with
+    # DSIR importance weights (q73-q77 keep the family covered).
+    ("q35_embedding_stats", "q20_grouping_sets_lineitem",
+     "q81_quantized_ann"),
+    ("q19_fullouter_daily_activity", "q42_above_avg_spenders",
+     "q82_importance_weights"),
     ("q72_substring_dedup", "q55_cohort_retention", "q56_repetition_ratio"),
     ("q44_pivot_daily_matrix", "q49_salted_hot_key_agg"),
     ("q71_lm_quality_score", "q46_moving_7day_revenue", "q57_spend_deciles"),

@@ -536,3 +536,131 @@ def q77_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         cl.select("doc_id", "cluster_id", split_col(F.col("cluster_id")).alias("split"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q82 — DSIR-style importance weights (target-vs-corpus unigram log-ratio)
+# ---------------------------------------------------------------------------
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling"): score every raw document by how much more likely it is
+# under a TARGET distribution (a trusted high-quality slice) than
+# under the raw-corpus distribution, then keep the target-like ones.
+# Here the target is the corpus's own lang='en' slice (DSIR's target
+# is e.g. Wikipedia; the machinery is distribution-agnostic), features
+# are add-one-smoothed unigram counts, and the weight is the per-doc
+# sum of per-token log-ratios:
+#
+#   lr(term) = ln( ((c_tgt+1) * (T_src+V)) / ((c_src+1) * (T_tgt+V)) )
+#
+# rounded to integer micro-nats PER TERM before the per-document sum —
+# the q71 discipline that makes the cross-row reduction order-free and
+# the result hash-exact across engines and partitionings.
+
+
+@query(
+    "q82_importance_weights",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, unnest({_DT}) AS term FROM documents),
+    cs AS (SELECT term, COUNT(*) AS c_src FROM tok GROUP BY 1),
+    ct AS (SELECT term, COUNT(*) AS c_tgt FROM tok WHERE lang = 'en' GROUP BY 1),
+    consts AS (SELECT (SELECT COUNT(*) FROM cs) AS v,
+                      (SELECT COUNT(*) FROM tok) AS t_src,
+                      (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS t_tgt),
+    lr AS (SELECT cs.term,
+                  CAST(ROUND(ln(((COALESCE(c_tgt, 0) + 1.0)
+                                     * CAST(t_src + v AS DOUBLE))
+                                / ((c_src + 1.0)
+                                     * CAST(t_tgt + v AS DOUBLE))) * 1e6)
+                       AS BIGINT) AS lr_u
+           FROM cs LEFT JOIN ct USING (term), consts),
+    doc AS (SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(lr_u) AS BIGINT) AS wt_unats
+            FROM tok JOIN lr USING (term)
+            GROUP BY 1)
+    SELECT d.doc_id, d.lang, d.source, doc.n_tok, doc.wt_unats,
+           CAST(CASE WHEN doc.wt_unats >= 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS tgt_like
+    FROM doc JOIN documents d USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q82_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight in integer micro-nats, plus
+    the ``tgt_like`` selection flag (weight >= 0 — the doc is more
+    plausible under the target LM than the corpus LM).
+
+    Scale shape (mirrors q71, which this extends from one LM to a
+    likelihood RATIO of two): tokenize ONCE; two (term) hash
+    aggregates for the corpus and target counts (map-side combine
+    absorbs 'the'-class hot terms); V/T_src/T_tgt ride a 1-row
+    broadcast; the per-term log-ratio table joins back to the token
+    stream on term (row volume unchanged, AQE skew split covers hot
+    terms); one (doc_id) hash aggregate reduces to per-doc weights.
+    Everything JVM built-ins — no UDF, no collect, linear in corpus
+    tokens. The doubles inside ln() stay below 2^53 up to ~4e15
+    token·vocab products; past that the weight loses low-order bits
+    but stays deterministic (both engines compute the identical
+    expression tree).
+
+    Zero-token docs carry no weight and are absent from the output in
+    BOTH engines (the weight of an empty doc is an empty sum — no
+    0-vs-NULL sentinel needed). All denominators are structurally
+    positive (c_src >= 1 by construction, V >= 1 whenever any token
+    exists), so ANSI mode cannot divide by zero."""
+    from eventsgateway_spark.functions.text import tokens
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
+    cs = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c_src"))
+    ct = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    consts = cs.agg(F.count(F.lit(1)).alias("v")).crossJoin(
+        tok.agg(F.count(F.lit(1)).alias("t_src"))
+    ).crossJoin(
+        tok.filter(F.col("lang") == "en").agg(F.count(F.lit(1)).alias("t_tgt"))
+    )
+    lr = (
+        cs.join(ct, "term", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1.0)
+                        * (F.col("t_src") + F.col("v")).cast("double")
+                    )
+                    / (
+                        (F.col("c_src") + 1.0)
+                        * (F.col("t_tgt") + F.col("v")).cast("double")
+                    )
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("lr_u"),
+        )
+    )
+    doc = (
+        tok.join(lr, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("lr_u").cast("bigint").alias("wt_unats"),
+        )
+    )
+    return (
+        doc.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tok",
+            "wt_unats",
+            F.when(F.col("wt_unats") >= 0, 1).otherwise(0).cast("int").alias("tgt_like"),
+        )
+        .orderBy("doc_id")
+    )

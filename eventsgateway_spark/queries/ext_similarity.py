@@ -27,14 +27,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from eventsgateway_spark.functions.vectors import (
-    LSH_A,
-    LSH_B,
+    _plane_coeffs,
     as_double,
     cosine,
     dot,
     dot_arrow,
     lsh_bucket,
     norm,
+    norm_sq,
 )
 from eventsgateway_spark.queries import query
 from eventsgateway_spark.queries._util import arrow_scorer, pin, spread, table
@@ -56,10 +56,13 @@ _DUCK_V_NONZERO = (
 
 
 def _duck_proj(j: int) -> str:
-    """DuckDB: signed projection of e onto integer-formula hyperplane j."""
+    """DuckDB: signed projection of e onto integer-formula hyperplane j
+    (the round-11 decorrelated quadratic family — constants pre-reduced
+    mod 1021 exactly as functions.vectors._plane_coeffs)."""
+    c1, c2 = _plane_coeffs(j)
     return (
         f"list_sum(list_transform(range(1, len(e)+1), "
-        f"d -> e[d] * (({LSH_A * (j + 1)} + {LSH_B} * (d+1)) % 1021 - 510)))"
+        f"d -> e[d] * (({c1} * (d+1) + {c2} * (d+1) * (d+1)) % 1021 - 510)))"
     )
 
 
@@ -124,11 +127,14 @@ def q33_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             as_double(F.col("embedding")).alias("e"),
         )
-        .withColumn("cn", norm(F.col("e")))
         # zero-norm exclusion — same semantic as norm_view (the score
         # divides by qn * cn; ANSI would throw, and direction-free
         # vectors have no place in a cosine ranking). Oracle mirrors.
-        .filter(F.col("cn") > 0)
+        # Filter on the SQUARED sum before projecting cn: a filter on
+        # the projected sqrt re-inlines below the projection and folds
+        # every vector twice with SQRT (the plan test pins 2 folds).
+        .filter(norm_sq(F.col("e")) > 0)
+        .withColumn("cn", norm(F.col("e")))
     )
     q = v.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
@@ -230,13 +236,15 @@ def q34_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     np_ = lsh_plane_count(emb, 8)
     v = (
         spread(emb)
-        .select(
-            "vec_id",
-            "label",
-            F.col("embedding"),
-            norm(as_double(F.col("embedding"))).alias("nrm"),
-        )
-        .filter(F.col("nrm") > 0)
+        # zero-norm filter on the SQUARED sum, applied BEFORE any norm
+        # projection: predicate pushdown re-inlines a filtered column's
+        # defining expression below the projection, so filtering on a
+        # projected sqrt(fold) doubles the per-vector SQRT folds in the
+        # scan (caught by tests/test_plans.py::
+        # test_q33_norms_precomputed_below_join on the q33 twin).
+        # norm > 0 <=> norm_sq > 0 — sqrt is monotone on [0, inf).
+        .filter(norm_sq(as_double(F.col("embedding"))) > 0)
+        .select("vec_id", "label", F.col("embedding"))
     )
     b = v.select(
         "vec_id", "label", lsh_bucket(F.col("embedding"), np_).alias("bucket")
@@ -469,8 +477,11 @@ def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("raw"),
             as_double(F.col("embedding")).alias("e"),
         )
+        # filter on the squared sum BEFORE projecting nrm — a filter on
+        # the projected sqrt re-inlines below the projection and folds
+        # the vector twice with SQRT (q33 plan-test discipline)
+        .filter(norm_sq(F.col("e")) > 0)
         .select("vec_id", "raw", "e", norm(F.col("e")).alias("nrm"))
-        .filter(F.col("nrm") > 0)
     )
     cand = None
     for t in range(_ND_TABLES):
@@ -543,8 +554,10 @@ def norm_view(emb: DataFrame) -> DataFrame:
     and are silently skipped by IVF appends."""
     return (
         emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+        # squared-sum filter BEFORE the norm projection (q33 plan-test
+        # discipline: a filter on projected sqrt re-folds with SQRT)
+        .filter(norm_sq(F.col("e")) > 0)
         .select("vec_id", "e", norm(F.col("e")).alias("nrm"))
-        .filter(F.col("nrm") > 0)
     )
 
 
@@ -812,6 +825,93 @@ def q52_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("err_u"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q81 — quantized ANN: int8 codes of the unit vector, integer-dot top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q81_quantized_ann",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH v AS ({_DUCK_V_NONZERO}),
+    n AS (SELECT vec_id, label, e, {_DUCK_NORM} AS nrm FROM v),
+    u AS (SELECT vec_id, label,
+                 list_transform(e, x -> CAST(ROUND(x * 127 / nrm) AS BIGINT))
+                     AS qs
+          FROM n),
+    q AS (SELECT vec_id AS qid, label AS q_label, qs AS qq
+          FROM u WHERE vec_id < 10),
+    scored AS (
+        SELECT q.qid, q.q_label, u.vec_id AS neighbor_id, u.label AS n_label,
+               CAST(list_sum(list_transform(range(1, len(qq)+1),
+                                            i -> qq[i] * u.qs[i]))
+                    AS BIGINT) AS dot_i8
+        FROM q JOIN u ON u.vec_id <> q.qid
+    )
+    SELECT qid, rn, neighbor_id, q_label, n_label, dot_i8
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY dot_i8 DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    ORDER BY qid, rn
+    """,
+)
+def q81_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors ranked by the INT8-quantized dot product — the
+    memory-bandwidth-bound retrieval path (q33's exact twin): each
+    vector is normalized once and its unit direction quantized to
+    int8 codes (q_i = round(127·x_i/‖x‖), the absmax scheme q52
+    audits, here with scale = the norm so the integer dot IS the
+    cosine in (127²)-units). What ships through the broadcast and the
+    scan is the CODE array — 4× smaller than fp32, 8× smaller than
+    the promoted doubles, which at 100 TB is the difference between a
+    candidate scan that is memory-bound and one that fits cache lines;
+    the per-pair kernel is an integer multiply-add (SIMD-able, exact).
+    Ranking is EXACT integer math end-to-end (codes ≤ 127 in absolute
+    value, so a 4096-dim dot is ≤ 6.6e7 — no overflow, no float
+    accumulation order), hence hash-identical across engines and
+    partitionings. Quantized-vs-exact ranking agreement is pinned by
+    tests/test_ext.py::test_quantized_ann_agrees_with_exact."""
+    v = (
+        spread(table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
+        # squared-sum filter BEFORE the norm projection (q33 plan-test
+        # discipline: a filter on projected sqrt re-folds with SQRT)
+        .filter(norm_sq(F.col("e")) > 0)
+        .withColumn("nrm", norm(F.col("e")))
+    )
+    u = v.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "e", lambda x: F.round(x * 127 / F.col("nrm")).cast("bigint")
+        ).alias("qs"),
+    )
+    q = u.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("qs").alias("qq"),
+    )
+    zero = F.lit(0).cast("bigint")
+    scored = u.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "q_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.aggregate(
+            F.zip_with("qq", "qs", lambda a, b: a * b), zero, lambda acc, x: acc + x
+        ).alias("dot_i8"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot_i8"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "rn", "neighbor_id", "q_label", "n_label", "dot_i8")
+        .orderBy("qid", "rn")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -139,6 +139,8 @@ _GUARDED = [
     "q33_cosine_top3",
     "q34_lsh_buckets",
     "q38_embedding_near_dup",
+    "q81_quantized_ann",  # zero-norm exclusion guards the 1/nrm quantizer
+    "q82_importance_weights",  # empty docs absent from output, both engines
     "q43_ivf_ann",
     "q70_semantic_dedup",
     "q80_quality_propagation",

@@ -105,9 +105,10 @@ def test_union_of_ranges_graph_shape(spark):
 
 def test_q13_tolerates_malformed_client_json(spark, tmp_path):
     """props is CLIENT-controlled JSON: a malformed '$.k' must group
-    under the null bucket (try_cast, both engines — round-10 ANSI
-    audit), not kill the query with CAST_INVALID_INPUT under the
-    driver session's default ANSI mode."""
+    under the SENTINEL bucket (-2147483648 — round-11 convention: a
+    NULL in a BIGINT oracle column degrades the driver's pandas fetch
+    to float64 and hash-diverges every row), not kill the query with
+    CAST_INVALID_INPUT under the driver session's default ANSI mode."""
     import datetime
 
     from eventsgateway_spark.queries import QUERIES
@@ -124,4 +125,5 @@ def test_q13_tolerates_malformed_client_json(spark, tmp_path):
     )
     out = {r["k_bucket"]: r["n_events"]
            for r in QUERIES["q13_props_json_extract"](spark, str(tmp_path)).collect()}
-    assert out == {1: 1, None: 2}  # valid k=12 -> bucket 1; dirty + missing -> null
+    # valid k=12 -> bucket 1; dirty + missing -> the sentinel bucket
+    assert out == {1: 1, -2147483648: 2}

@@ -891,9 +891,11 @@ def test_token_budget_sample_greedy_maximal(spark):
 def test_mixture_weights_zero_token_corpus_no_ansi_crash(spark):
     """weights_from_totals must survive an all-zero-token totals frame
     under Spark 4 ANSI mode (unguarded `div 0` raises DIVIDE_BY_ZERO):
-    weights come out 0, oversample NULL — same as the GREATEST-guarded
-    oracle. This is the shared formula, so streaming inherits the
-    guarantee."""
+    weights come out 0, oversample the -1 sentinel (round-11
+    convention: a NULL in a BIGINT oracle column degrades the driver's
+    pandas fetch to float64 and hash-diverges every row) — same as the
+    GREATEST-guarded oracle. This is the shared formula, so streaming
+    inherits the guarantee."""
     from eventsgateway_spark.queries.ext_sampling import weights_from_totals
 
     totals = spark.createDataFrame(
@@ -901,7 +903,7 @@ def test_mixture_weights_zero_token_corpus_no_ansi_crash(spark):
     )
     rows = {r.source: r for r in weights_from_totals(totals).collect()}
     assert rows["s1"].share_ppm == rows["s1"].weight_ppm == 0
-    assert rows["s1"].oversample_x100 is None
+    assert rows["s1"].oversample_x100 == -1
 
 
 def test_leakage_safe_split_invariants(spark):
@@ -1125,3 +1127,53 @@ def test_q57_rank_modes_agree(spark):
     finally:
         del os.environ["SPARK_GRAFT_Q57_RANK"]
     assert ref == alt
+
+
+def test_quantized_ann_agrees_with_exact(spark):
+    """q81's int8-quantized ranking vs q33's exact cosine ranking on
+    the shipped fixture: quantizing a 64-d unit vector to int8 keeps
+    ~0.4% per-component error, so the top-1 neighbor should agree for
+    (almost) every query and the top-3 SET should overlap heavily.
+    Measured on sf0.001: 10/10 top-1 agreement, 30/30 top-3 overlap —
+    asserted with margin so fixture regens stay green."""
+    from eventsgateway_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.qid, r.rn): r.neighbor_id
+        for r in QUERIES["q33_cosine_top3"](spark, sf).collect()
+    }
+    quant = {
+        (r.qid, r.rn): r.neighbor_id
+        for r in QUERIES["q81_quantized_ann"](spark, sf).collect()
+    }
+    assert set(q for q, _ in quant) == set(q for q, _ in exact)
+    qids = sorted({q for q, _ in exact})
+    top1_agree = sum(1 for q in qids if exact[(q, 1)] == quant[(q, 1)])
+    assert top1_agree >= len(qids) - 2, f"top-1 agreement {top1_agree}/{len(qids)}"
+    overlap = sum(
+        1
+        for q in qids
+        for n in {quant[(q, r)] for r in (1, 2, 3)}
+        if n in {exact[(q, r)] for r in (1, 2, 3)}
+    )
+    assert overlap >= 2 * len(qids), f"top-3 overlap {overlap}/{3 * len(qids)}"
+
+
+def test_importance_weights_favor_target_language(spark):
+    """q82 semantic invariant: with the target = the lang='en' slice,
+    English documents must score higher on average than non-English
+    ones (that is the entire point of the importance weight), and the
+    tgt_like flag must be exactly (wt_unats >= 0)."""
+    from eventsgateway_spark.queries import QUERIES
+
+    rows = QUERIES["q82_importance_weights"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "q82 returned no rows on the fixture"
+    en = [r.wt_unats / r.n_tok for r in rows if r.lang == "en"]
+    rest = [r.wt_unats / r.n_tok for r in rows if r.lang != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+    for r in rows:
+        assert r.tgt_like == (1 if r.wt_unats >= 0 else 0)
