@@ -607,53 +607,10 @@ def q82_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     0-vs-NULL sentinel needed). All denominators are structurally
     positive (c_src >= 1 by construction, V >= 1 whenever any token
     exists), so ANSI mode cannot divide by zero."""
-    from eventsgateway_spark.functions.text import tokens
-
     docs = spread(table(spark, sf_dir, "documents"))
-    tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
-    cs = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c_src"))
-    ct = (
-        tok.filter(F.col("lang") == "en")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c_tgt"))
-    )
-    consts = cs.agg(F.count(F.lit(1)).alias("v")).crossJoin(
-        tok.agg(F.count(F.lit(1)).alias("t_src"))
-    ).crossJoin(
-        tok.filter(F.col("lang") == "en").agg(F.count(F.lit(1)).alias("t_tgt"))
-    )
-    lr = (
-        cs.join(ct, "term", "left")
-        .crossJoin(F.broadcast(consts))
-        .select(
-            "term",
-            F.round(
-                F.log(
-                    (
-                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1.0)
-                        * (F.col("t_src") + F.col("v")).cast("double")
-                    )
-                    / (
-                        (F.col("c_src") + 1.0)
-                        * (F.col("t_tgt") + F.col("v")).cast("double")
-                    )
-                )
-                * 1e6
-            )
-            .cast("bigint")
-            .alias("lr_u"),
-        )
-    )
-    doc = (
-        tok.join(lr, "term")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum("lr_u").cast("bigint").alias("wt_unats"),
-        )
-    )
+    lr, _meta = importance_model(docs)
     return (
-        doc.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        score_importance(docs, lr)
         .select(
             "doc_id",
             "lang",
@@ -664,3 +621,99 @@ def q82_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _importance_ratio(c_tgt: F.Column, c_src: F.Column) -> F.Column:
+    """The ONE copy of the add-one-smoothed likelihood ratio — the
+    expression tree both the batch lr table and the OOV constant use
+    (the OOV score is literally this ratio at c_tgt = c_src = 0, so a
+    streamed unseen term scores exactly what the batch formula would
+    have given it)."""
+    return (
+        (c_tgt + 1.0) * (F.col("t_src") + F.col("v")).cast("double")
+    ) / ((c_src + 1.0) * (F.col("t_tgt") + F.col("v")).cast("double"))
+
+
+def _lr_unats(c_tgt: F.Column, c_src: F.Column) -> F.Column:
+    return (
+        F.round(F.log(_importance_ratio(c_tgt, c_src)) * 1e6)
+        .cast("bigint")
+    )
+
+
+def importance_model(
+    docs: DataFrame, target_lang: str = "en"
+) -> tuple[DataFrame, DataFrame]:
+    """(lr, meta) — the DSIR importance model over a reference corpus.
+
+    ``lr``: (term, lr_u) per-term integer micro-nat log-ratio, the
+    table batch q82 joins its token stream against. ``meta``: ONE row
+    (v, t_src, t_tgt, oov_lr_u) — the smoothing constants plus the
+    out-of-vocabulary score (the same formula at zero counts), which
+    the streaming scorer (streaming/importance.py) needs because an
+    ARRIVING document may contain terms the frozen reference corpus
+    never saw; batch q82 scores the corpus against itself, so every
+    term is in-vocabulary there by construction."""
+    from eventsgateway_spark.functions.text import tokens
+
+    tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
+    cs = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c_src"))
+    ct = (
+        tok.filter(F.col("lang") == target_lang)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    consts = cs.agg(F.count(F.lit(1)).alias("v")).crossJoin(
+        tok.agg(F.count(F.lit(1)).alias("t_src"))
+    ).crossJoin(
+        tok.filter(F.col("lang") == target_lang).agg(
+            F.count(F.lit(1)).alias("t_tgt")
+        )
+    )
+    lr = (
+        cs.join(ct, "term", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "term",
+            _lr_unats(F.coalesce(F.col("c_tgt"), F.lit(0)), F.col("c_src")).alias(
+                "lr_u"
+            ),
+        )
+    )
+    meta = consts.select(
+        "v",
+        "t_src",
+        "t_tgt",
+        _lr_unats(F.lit(0), F.lit(0)).alias("oov_lr_u"),
+    )
+    return lr, meta
+
+
+def score_importance(
+    docs: DataFrame, lr: DataFrame, oov_lr_u: int | None = None
+) -> DataFrame:
+    """(doc_id, lang, source, n_tok, wt_unats) — per-doc importance
+    weight of ``docs`` against a per-term ``lr`` table. The shared
+    scoring step of batch q82 and its streaming twin: tokenize, join
+    the token stream on term (row volume unchanged; AQE broadcasts the
+    lr table while it is genuinely small), integer-sum per doc.
+    ``oov_lr_u`` is the score for terms absent from ``lr`` (required
+    when scoring docs the model was not trained on; batch q82 passes
+    None — self-scoring can't miss)."""
+    from eventsgateway_spark.functions.text import tokens
+
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    joined = tok.join(lr, "term", "left" if oov_lr_u is not None else "inner")
+    scored = joined.select(
+        "doc_id",
+        (
+            F.coalesce(F.col("lr_u"), F.lit(oov_lr_u).cast("bigint"))
+            if oov_lr_u is not None
+            else F.col("lr_u")
+        ).alias("lr_u"),
+    )
+    doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum("lr_u").cast("bigint").alias("wt_unats"),
+    )
+    return doc.join(docs.select("doc_id", "lang", "source"), "doc_id")

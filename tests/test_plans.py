@@ -160,6 +160,8 @@ _BNLJ_ALLOWED = {
     "q69_bm25_topk",  # 1-row corpus stats
     "q70_semantic_dedup",  # 1-row centroid array
     "q71_lm_quality_score",  # 1-row corpus total
+    "q81_quantized_ann",  # broadcast bounded query set (q33's int8 twin)
+    "q82_importance_weights",  # 1-row smoothing constants (v, totals)
 }
 
 

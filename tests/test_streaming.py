@@ -2243,3 +2243,96 @@ def test_released_checkpoints_releases_on_exception(spark):
             assert n_stored() > before  # genuinely pinned mid-scope
             raise RuntimeError("boom")
     assert n_stored() <= before
+
+
+def test_stream_importance_matches_batch_q82(spark, tmp_path):
+    """q82's streaming twin: a model trained on the fixture corpus,
+    fed that same corpus in TWO micro-batches, must reproduce batch
+    q82 bit-for-bit (all-integer scoring makes the comparison exact,
+    not approximate)."""
+    from eventsgateway_spark.queries import QUERIES
+    from eventsgateway_spark.streaming.importance import (
+        save_importance_model,
+        stream_importance_weights,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    model = str(tmp_path / "model")
+    assert save_importance_model(docs, model) == 0
+
+    # two micro-batches via sequential availableNow runs on one ckpt
+    src = str(tmp_path / "src")
+    half = docs.count() // 2
+    docs.filter(F.col("doc_id") < half).coalesce(1).write.mode("append").parquet(src)
+    out, ckpt = str(tmp_path / "weights"), str(tmp_path / "ckpt")
+    for part in (0, 1):
+        if part:
+            docs.filter(F.col("doc_id") >= half).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        q = stream_importance_weights(
+            spark.readStream.schema(docs.schema).parquet(src),
+            model, out, ckpt, trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["lang"], r["source"], r["n_tok"], r["wt_unats"], r["tgt_like"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["lang"], r["source"], r["n_tok"], r["wt_unats"], r["tgt_like"])
+        for r in QUERIES["q82_importance_weights"](spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_stream_importance_oov_and_mixed_generation(spark, tmp_path):
+    """(a) a streamed term the frozen reference never saw scores the
+    model's OOV constant (the smoothed formula at zero counts);
+    (b) a mixed-generation save (lr and meta stamps disagree — the
+    crashed-re-save window) is refused at load."""
+    from pyspark.sql import functions as SF
+    from eventsgateway_spark.streaming.importance import (
+        load_importance_model,
+        save_importance_model,
+        stream_importance_weights,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "alpha beta gamma", "en", "web"), (1, "alpha delta", "fr", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    model = str(tmp_path / "model")
+    save_importance_model(ref, model)
+    _lr, meta = load_importance_model(spark, model)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(100, "zzznever zzznever", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    ).coalesce(1).write.parquet(src)
+    out, ckpt = str(tmp_path / "w"), str(tmp_path / "c")
+    q = stream_importance_weights(
+        spark.readStream.schema(ref.schema).parquet(src),
+        model, out, ckpt, trigger_once=True,
+    )
+    q.awaitTermination(120)
+    row = spark.read.parquet(out).first()
+    assert row["n_tok"] == 2 and row["wt_unats"] == 2 * meta["oov_lr_u"]
+
+    # poison: bump only the lr stamp (meta keeps the old gen)
+    lr_path = f"{model}/lr"
+    poisoned = spark.read.parquet(lr_path).withColumn(
+        "gen", SF.col("gen") + 1
+    )
+    poisoned.toPandas().to_parquet(f"{tmp_path}/lr_poison.parquet")
+    import shutil
+    shutil.rmtree(lr_path)
+    spark.createDataFrame(
+        spark.read.parquet(f"{tmp_path}/lr_poison.parquet").toPandas()
+    ).write.parquet(lr_path)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mixed-generation"):
+        load_importance_model(spark, model)
