@@ -690,16 +690,21 @@ def importance_model(
 
 
 def score_importance(
-    docs: DataFrame, lr: DataFrame, oov_lr_u: int | None = None
+    docs: DataFrame,
+    lr: DataFrame,
+    oov_lr_u: int | None = None,
+    mark_oov: bool = False,
 ) -> DataFrame:
-    """(doc_id, lang, source, n_tok, wt_unats) — per-doc importance
-    weight of ``docs`` against a per-term ``lr`` table. The shared
-    scoring step of batch q82 and its streaming twin: tokenize, join
-    the token stream on term (row volume unchanged; AQE broadcasts the
-    lr table while it is genuinely small), integer-sum per doc.
-    ``oov_lr_u`` is the score for terms absent from ``lr`` (required
-    when scoring docs the model was not trained on; batch q82 passes
-    None — self-scoring can't miss)."""
+    """(doc_id, lang, source, n_tok, wt_unats[, n_oov]) — per-doc
+    importance weight of ``docs`` against a per-term ``lr`` table. The
+    shared scoring step of batch q82 and its streaming twin: tokenize,
+    join the token stream on term (row volume unchanged; AQE
+    broadcasts the lr table while it is genuinely small), integer-sum
+    per doc. ``oov_lr_u`` is the score for terms absent from ``lr``
+    (required when scoring docs the model was not trained on; batch
+    q82 passes None — self-scoring can't miss). ``mark_oov`` adds the
+    per-doc out-of-vocabulary token count — the streaming twin's
+    model-staleness signal."""
     from eventsgateway_spark.functions.text import tokens
 
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
@@ -711,9 +716,14 @@ def score_importance(
             if oov_lr_u is not None
             else F.col("lr_u")
         ).alias("lr_u"),
+        # computed BEFORE the coalesce above rewrites lr_u
+        F.when(F.col("lr_u").isNull(), 1).otherwise(0).alias("is_oov"),
     )
-    doc = scored.groupBy("doc_id").agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_tok"),
         F.sum("lr_u").cast("bigint").alias("wt_unats"),
-    )
+    ]
+    if mark_oov:
+        aggs.append(F.sum("is_oov").cast("bigint").alias("n_oov"))
+    doc = scored.groupBy("doc_id").agg(*aggs)
     return doc.join(docs.select("doc_id", "lang", "source"), "doc_id")

@@ -119,16 +119,29 @@ def stream_importance_weights(
     out_path: str,
     checkpoint: str,
     trigger_once: bool = False,
+    metrics_path: str | None = None,
 ) -> StreamingQuery:
     """Score a document stream against the saved model; land
     (doc_id, lang, source, n_tok, wt_unats, tgt_like) per micro-batch
-    under its own batch_id partition (idempotent replay)."""
+    under its own batch_id partition (idempotent replay).
+
+    ``metrics_path`` (optional) additionally lands ONE row per batch —
+    (n_tok, n_oov, oov_ppm) — the model-staleness signal: the frozen
+    reference's vocabulary ages as the crawl's language drifts, every
+    unseen term scores the flat OOV constant, and a rising OOV share
+    means the weights are increasingly the constant rather than the
+    model. Retrain (``save_importance_model`` over a fresh reference)
+    when oov_ppm grows past the operator's threshold — the same
+    report-drift/gate-rebuild contract as near_dup's hot-list drift
+    and ann_lookup's cell-skew metrics. Integer ppm: exact, and safe
+    from the pandas NULL-degradation class."""
     spark = doc_stream.sparkSession
     lr, meta = load_importance_model(spark, model_root)
     oov = meta["oov_lr_u"]
 
     def _score(batch_df: DataFrame, batch_id: int) -> None:
-        out = score_importance(batch_df, lr, oov_lr_u=oov).select(
+        scored = score_importance(batch_df, lr, oov_lr_u=oov, mark_oov=True)
+        out = scored.select(
             "doc_id",
             "lang",
             "source",
@@ -140,6 +153,21 @@ def stream_importance_weights(
             .alias("tgt_like"),
         )
         _idempotent_append(out, batch_id, out_path)
+        if metrics_path is not None:
+            m = scored.agg(
+                F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("n_tok"),
+                F.coalesce(F.sum("n_oov"), F.lit(0)).cast("bigint").alias("n_oov"),
+            ).select(
+                "n_tok",
+                "n_oov",
+                (
+                    F.col("n_oov") * 1_000_000
+                    / F.greatest(F.col("n_tok"), F.lit(1))
+                )
+                .cast("bigint")
+                .alias("oov_ppm"),
+            )
+            _idempotent_append(m, batch_id, metrics_path)
 
     writer = doc_stream.writeStream.foreachBatch(_score).option(
         "checkpointLocation", checkpoint

@@ -2317,10 +2317,14 @@ def test_stream_importance_oov_and_mixed_generation(spark, tmp_path):
     q = stream_importance_weights(
         spark.readStream.schema(ref.schema).parquet(src),
         model, out, ckpt, trigger_once=True,
+        metrics_path=str(tmp_path / "m"),
     )
     q.awaitTermination(120)
     row = spark.read.parquet(out).first()
     assert row["n_tok"] == 2 and row["wt_unats"] == 2 * meta["oov_lr_u"]
+    # staleness metric: the batch was 100% OOV
+    m = spark.read.parquet(str(tmp_path / "m")).first()
+    assert (m["n_tok"], m["n_oov"], m["oov_ppm"]) == (2, 2, 1_000_000)
 
     # poison: bump only the lr stamp (meta keeps the old gen)
     lr_path = f"{model}/lr"
