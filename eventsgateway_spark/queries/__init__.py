@@ -134,7 +134,10 @@ ROTATION: list[tuple[str, ...]] = [
     ("q19_fullouter_daily_activity", "q42_above_avg_spenders",
      "q82_importance_weights"),
     ("q72_substring_dedup", "q55_cohort_retention", "q56_repetition_ratio"),
-    ("q44_pivot_daily_matrix", "q49_salted_hot_key_agg"),
+    # q83 (Gumbel-top-k importance resampling — q82's selection step)
+    # debuts at index 2 like its round-11 siblings.
+    ("q44_pivot_daily_matrix", "q49_salted_hot_key_agg",
+     "q83_importance_resample"),
     ("q71_lm_quality_score", "q46_moving_7day_revenue", "q57_spend_deciles"),
     ("q70_semantic_dedup", "q41_grouped_pandas_rank", "q58_exact_moments"),
     # triples hold the most-redundant examples (2-round max gap)

@@ -727,3 +727,99 @@ def score_importance(
         aggs.append(F.sum("is_oov").cast("bigint").alias("n_oov"))
     doc = scored.groupBy("doc_id").agg(*aggs)
     return doc.join(docs.select("doc_id", "lang", "source"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q83 — DSIR resampling: deterministic Gumbel-top-k under the q82 weights
+# ---------------------------------------------------------------------------
+# The second half of Xie et al. 2023: importance RESAMPLING — draw the
+# training subset with probability proportional to exp(weight) — via
+# the Gumbel-top-k trick (adding independent Gumbel noise to each log
+# weight and taking the top k IS a weighted sample without
+# replacement). Randomness is the engine-wide content-hash
+# construction (md5 of the doc id), not an RNG: the draw is identical
+# across engines, partitionings, and re-runs, and the perturbed key is
+# rounded to integer micro-units so the cross-engine ORDER is exact.
+
+RESAMPLE_K = 100
+
+_DUCK_H32 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+
+
+@query(
+    "q83_importance_resample",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, unnest({_DT}) AS term FROM documents),
+    cs AS (SELECT term, COUNT(*) AS c_src FROM tok GROUP BY 1),
+    ct AS (SELECT term, COUNT(*) AS c_tgt FROM tok WHERE lang = 'en' GROUP BY 1),
+    consts AS (SELECT (SELECT COUNT(*) FROM cs) AS v,
+                      (SELECT COUNT(*) FROM tok) AS t_src,
+                      (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS t_tgt),
+    lr AS (SELECT cs.term,
+                  CAST(ROUND(ln(((COALESCE(c_tgt, 0) + 1.0)
+                                     * CAST(t_src + v AS DOUBLE))
+                                / ((c_src + 1.0)
+                                     * CAST(t_tgt + v AS DOUBLE))) * 1e6)
+                       AS BIGINT) AS lr_u
+           FROM cs LEFT JOIN ct USING (term), consts),
+    doc AS (SELECT doc_id, CAST(SUM(lr_u) AS BIGINT) AS wt_unats
+            FROM tok JOIN lr USING (term)
+            GROUP BY 1),
+    perturbed AS (
+        SELECT d.doc_id, d.lang, d.source, doc.wt_unats,
+               CAST(ROUND((CAST(doc.wt_unats AS DOUBLE) / 1000000.0
+                           + (-ln(-ln(({_DUCK_H32} + 0.5) / 4294967296.0))))
+                          * 1000000.0) AS BIGINT) AS key_u
+        FROM doc JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, source, wt_unats, key_u, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY key_u DESC, doc_id) AS rn
+          FROM perturbed)
+    WHERE rn <= {RESAMPLE_K}
+    ORDER BY rn
+    """,
+)
+def q83_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample-without-replacement of the corpus under the q82
+    importance weights, via deterministic Gumbel-top-k: for each doc,
+    key = wt_nats + Gumbel(u) with u derived from the md5 content hash
+    (``functions.text.token_hash32`` — the same construction every
+    split/shard operator uses), Gumbel(u) = -ln(-ln(u)); keep the top
+    {RESAMPLE_K}. Keys are rounded to integer micro-units before
+    ranking, so the order — and therefore the drawn set — is
+    hash-exact across engines.
+
+    Scale shape: the perturbation is a map-only projection over the
+    q82 weight table (no extra shuffle); the global top-k is
+    ``orderBy().limit(k)`` — Spark's TakeOrderedAndProject, a
+    per-partition bounded heap merged on the driver (k rows per
+    partition, never a global sort shuffle); the final rank window
+    runs over the k surviving rows (bounded by construction — the
+    SCALE.md global-window rule). At 100 TB the only corpus-sized
+    work is the q82 scoring pass itself."""
+    from eventsgateway_spark.functions.text import token_hash32
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    lr, _meta = importance_model(docs)
+    wt = score_importance(docs, lr)
+    u = (token_hash32(F.col("doc_id").cast("string")) + 0.5) / F.lit(4294967296.0)
+    perturbed = wt.select(
+        "doc_id",
+        "lang",
+        "source",
+        "wt_unats",
+        F.round(
+            (F.col("wt_unats").cast("double") / 1000000.0 + (-F.log(-F.log(u))))
+            * 1000000.0
+        )
+        .cast("bigint")
+        .alias("key_u"),
+    )
+    top = perturbed.orderBy(F.desc("key_u"), F.asc("doc_id")).limit(RESAMPLE_K)
+    w = W.orderBy(F.desc("key_u"), F.asc("doc_id"))
+    return (
+        top.withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "lang", "source", "wt_unats", "key_u", "rn")
+        .orderBy("rn")
+    )

@@ -519,3 +519,23 @@ def test_q33_norms_precomputed_below_join(spark):
         "norm fold appears ABOVE the join (per-pair recompute)"
     )
     assert "BroadcastNestedLoopJoin" in _plan(spark, "q33_cosine_top3")
+
+
+def test_q83_topk_is_take_ordered(spark):
+    """q83's global top-k must be TakeOrderedAndProject (per-partition
+    bounded heap, driver merge of k candidates per partition) — never
+    a global Sort exchange; the rank window sits ABOVE the take, so it
+    runs over the k surviving rows, not the corpus (the SCALE.md
+    bounded-global-window rule)."""
+    from eventsgateway_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["q83_importance_resample"](spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    window_at = plan.index("Window")
+    take_at = plan.index("TakeOrderedAndProject")
+    assert window_at < take_at, "rank window must consume the take's output"
