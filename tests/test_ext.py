@@ -1177,3 +1177,40 @@ def test_importance_weights_favor_target_language(spark):
     assert sum(en) / len(en) > sum(rest) / len(rest)
     for r in rows:
         assert r.tgt_like == (1 if r.wt_unats >= 0 else 0)
+
+
+def test_near_dup_pair_frame_shared_and_evicts(spark, monkeypatch):
+    """The pair cache one level below the labels (round 11b): above
+    fixture scale a second call returns the SAME frame; a fixture
+    regenerated in-place (changed fingerprint) evicts and rebuilds;
+    at fixture scale nothing is cached (driver rows keep full
+    lineage); and the cached frame's values equal q30's output."""
+    import os
+
+    import eventsgateway_spark.queries.ext_dedup as ed
+    from eventsgateway_spark.queries import QUERIES
+
+    sf_big = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf_big, "documents.parquet")):
+        pytest.skip("sf0.1 fixture absent")
+    ed._PAIRS_CACHE.clear()
+    try:
+        first = ed.near_dup_pair_frame(spark, sf_big)
+        assert ed._PAIRS_CACHE, "sf0.1 is above fixture scale; must cache"
+        assert ed.near_dup_pair_frame(spark, sf_big) is first
+        got = {(r.d1, r.d2): r.jaccard for r in first.collect()}
+        want = {
+            (r.d1, r.d2): r.jaccard
+            for r in QUERIES["q30_jaccard_pairs"](spark, sf_big).collect()
+        }
+        assert got == want and got, "cached pairs must equal q30 output"
+        monkeypatch.setattr(ed, "_fixture_fingerprint", lambda _: "regen")
+        rebuilt = ed.near_dup_pair_frame(spark, sf_big)
+        assert rebuilt is not first
+        assert ed.near_dup_pair_frame(spark, sf_big) is rebuilt
+    finally:
+        ed._PAIRS_CACHE.clear()
+    # fixture scale: no caching
+    ed._PAIRS_CACHE.clear()
+    ed.near_dup_pair_frame(spark, "/root/testdata/sf0.001")
+    assert not ed._PAIRS_CACHE

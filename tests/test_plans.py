@@ -162,6 +162,7 @@ _BNLJ_ALLOWED = {
     "q71_lm_quality_score",  # 1-row corpus total
     "q81_quantized_ann",  # broadcast bounded query set (q33's int8 twin)
     "q82_importance_weights",  # 1-row smoothing constants (v, totals)
+    "q83_importance_resample",  # same 1-row constants via importance_model
 }
 
 
@@ -539,3 +540,21 @@ def test_q83_topk_is_take_ordered(spark):
     window_at = plan.index("Window")
     take_at = plan.index("TakeOrderedAndProject")
     assert window_at < take_at, "rank window must consume the take's output"
+
+
+def test_q81_codes_quantized_below_join(spark):
+    """q81's int8 code arrays must be computed in the projections BELOW
+    the broadcast join — one transform() fold per vector — never
+    re-quantized per pair above it (the q33 norm-fold discipline; the
+    only per-pair expression is the integer dot aggregate)."""
+    from eventsgateway_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["q81_quantized_ann"](spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    above = plan[: plan.index("Join")]
+    assert above.count("transform(") == 0, "codes recomputed per-pair"
+    assert above.count("aggregate(") == 1  # the per-pair integer dot
