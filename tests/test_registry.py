@@ -205,3 +205,19 @@ def test_no_bare_timestamp_output_columns(spark):
         "bare TIMESTAMP output columns (project DATE or a "
         f"date_format string instead): {offenders}"
     )
+
+
+def test_registry_size_fits_driver_stdout_window():
+    """The driver records only the last ~2000 chars of bench.py stdout
+    (BASELINE.md round-11 recovery note: rounds 1-9 overflowed it and
+    carry parsed:null forever). The compact qNN JSON line costs ~16
+    chars per query plus ~250 of metadata (measured 1240 chars at 83
+    queries), so the registry must stay comfortably under ~106
+    queries — at 100, move more fields to stderr BEFORE registering
+    the next query."""
+    import eventsgateway_spark.queries as Q
+
+    assert len(Q.QUERIES) <= 100, (
+        "bench stdout JSON is approaching the driver's 2000-char tail "
+        "window; slim the stdout line (floors/ctrl to stderr) first"
+    )
