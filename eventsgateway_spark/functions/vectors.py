@@ -159,6 +159,25 @@ def hyperplane_weight(j: int, d: Column) -> Column:
     return (F.lit(c1) * (d + 1) + F.lit(c2) * (d + 1) * (d + 1)) % _LSH_P - 510
 
 
+def sq8_codes(e: Column, nrm: Column) -> Column:
+    """INT8 codes of the unit vector: round(127·x/‖x‖) per dimension —
+    the ONE copy of the symmetric scalar quantizer (q81's ranking, the
+    IVF-SQ8 serving index in streaming/ann_lookup.py). Codes are
+    BIGINTs in [-127, 127]; exact integer math downstream."""
+    return F.transform(e, lambda x: F.round(x * 127 / nrm).cast("bigint"))
+
+
+def dot_codes(a: Column, b: Column) -> Column:
+    """Integer dot product of two code arrays — exact BIGINT fold
+    (|code| ≤ 127 ⇒ a 4096-dim dot ≤ 6.6e7, no overflow, no float
+    accumulation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
 def lsh_bucket(vec: Column, n_planes: int = 8, table_id: int = 0) -> Column:
     """Signed-random-projection bucket id in [0, 2^n_planes).
 

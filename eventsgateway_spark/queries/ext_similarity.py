@@ -566,10 +566,24 @@ def ivf_centroids(emb: DataFrame, k: int = IVF_K) -> DataFrame:
     Centroids are the first ``k`` vectors by id — a deterministic stand-
     in for trained k-means centers; the *assignment/probe machinery* is
     what IVF is, and it is identical whichever way centers are
-    produced."""
+    produced.
+
+    "First k by id" is a TRUE rank (``orderBy(vec_id).limit(k)`` — a
+    bounded TakeOrdered, never a global sort), not a ``vec_id < k``
+    filter: the filter form silently returned an EMPTY (or partial)
+    centroid set for any corpus whose ids don't start densely at 0 —
+    e.g. ``save_ivf_index`` over an id subrange — and every downstream
+    probe joined against nothing (round-11b fix, caught by the SQ8
+    save/load test). On the shipped fixtures ids are dense from 0, so
+    the rank equals the filter and every oracle hash (the DuckDB
+    mirror keeps ``WHERE vec_id < k``) is unchanged. The cents ARRAY
+    order is irrelevant downstream (assignment/probing argmin over
+    (dist, cid) structs is order-free), so collect_list needs no
+    ordering guarantee — true before and after this fix."""
     return (
         norm_view(emb)
-        .filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .limit(k)
         .select(F.struct(F.col("vec_id").alias("cid"), F.col("e").alias("ce")).alias("c"))
         .agg(F.collect_list("c").alias("cents"))
     )
@@ -883,27 +897,24 @@ def q81_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(norm_sq(F.col("e")) > 0)
         .withColumn("nrm", norm(F.col("e")))
     )
+    from eventsgateway_spark.functions.vectors import dot_codes, sq8_codes
+
     u = v.select(
         "vec_id",
         "label",
-        F.transform(
-            "e", lambda x: F.round(x * 127 / F.col("nrm")).cast("bigint")
-        ).alias("qs"),
+        sq8_codes(F.col("e"), F.col("nrm")).alias("qs"),
     )
     q = u.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("q_label"),
         F.col("qs").alias("qq"),
     )
-    zero = F.lit(0).cast("bigint")
     scored = u.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
         "qid",
         "q_label",
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("n_label"),
-        F.aggregate(
-            F.zip_with("qq", "qs", lambda a, b: a * b), zero, lambda acc, x: acc + x
-        ).alias("dot_i8"),
+        dot_codes(F.col("qq"), F.col("qs")).alias("dot_i8"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("dot_i8"), F.asc("neighbor_id"))
     return (

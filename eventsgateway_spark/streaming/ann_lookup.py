@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
 
-from eventsgateway_spark.functions.vectors import dot, dot_arrow
+from eventsgateway_spark.functions.vectors import (
+    dot,
+    dot_arrow,
+    dot_codes,
+    sq8_codes,
+)
 from eventsgateway_spark.queries._util import arrow_scorer
 from eventsgateway_spark.queries.ext_similarity import (
     IVF_NPROBE,
@@ -40,7 +45,14 @@ from eventsgateway_spark.queries.ext_similarity import (
 class IvfIndex(NamedTuple):
     """The two reusable sides of an IVF index."""
 
-    assign: DataFrame  # (vec_id, e, nrm, cell_id) corpus assignment
+    #: (vec_id, e, nrm, cell_id, qs) corpus assignment — ``qs`` is the
+    #: int8 code array of the unit vector (IVF-SQ8, round 11b): the
+    #: quantized lookup path scores candidates with an exact integer
+    #: dot over codes that are 4× smaller than the fp32 embedding
+    #: (8× smaller than the promoted doubles), which at serving scale
+    #: is the difference between a cell scan that is memory-bound and
+    #: one that streams through cache.
+    assign: DataFrame
     cents: DataFrame  # single row: array of (cid, ce) centroid structs
 
 
@@ -48,7 +60,11 @@ def build_ivf_index(corpus_emb: DataFrame) -> IvfIndex:
     """In-session index (localCheckpoint pins); the durable form is
     :func:`save_ivf_index` + :func:`load_ivf_index`."""
     cents = ivf_centroids(corpus_emb).localCheckpoint()
-    assign = ivf_assign_with(norm_view(corpus_emb), cents).localCheckpoint()
+    assign = (
+        ivf_assign_with(norm_view(corpus_emb), cents)
+        .withColumn("qs", sq8_codes(F.col("e"), F.col("nrm")))
+        .localCheckpoint()
+    )
     return IvfIndex(assign=assign, cents=cents)
 
 
@@ -174,8 +190,15 @@ def save_ivf_index(
     idx.cents.withColumn("gen", F.lit(gen)).write.mode("overwrite").saveAsTable(
         f"{table_prefix}_centroids"
     )
+    assign_out = idx.assign
+    if "qs" not in assign_out.columns:
+        # caller-passed index built by older code: derive the SQ8
+        # codes at save time so every SAVED index serves quantized
+        assign_out = assign_out.withColumn(
+            "qs", sq8_codes(F.col("e"), F.col("nrm"))
+        )
     (
-        idx.assign.withColumn("gen", F.lit(gen))
+        assign_out.withColumn("gen", F.lit(gen))
         .write.bucketBy(buckets, "cell_id")
         .mode("overwrite")
         .saveAsTable(f"{table_prefix}_assign")
@@ -281,6 +304,13 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
         if n_new:
             cents = spark.table(f"{table_prefix}_centroids")
             assigned = ivf_assign_with(norm_view(fresh), cents)
+            if "qs" in spark.table(f"{table_prefix}_assign").columns:
+                # appended rows carry SQ8 codes iff the saved table
+                # does (a legacy pre-SQ8 table keeps its shape — a
+                # schema-widening append would fail/poison it)
+                assigned = assigned.withColumn(
+                    "qs", sq8_codes(F.col("e"), F.col("nrm"))
+                )
             if "gen" in spark.table(f"{table_prefix}_assign").columns:
                 # appended rows extend the CURRENT generation (a
                 # fully-legacy pre-gen table keeps its shape)
@@ -310,13 +340,48 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
 def ann_lookup_batch(
     queries: DataFrame, assign: DataFrame, cents: DataFrame,
     nprobe: int = IVF_NPROBE, topk: int = 3,
+    quantized: bool = False,
 ) -> DataFrame:
     """(qid, rn, neighbor_id, cos_sim) — top-k corpus neighbors for a
     (vec_id, embedding) query frame, searching only the probed cells.
     No forced broadcast of the (micro-batch-derived) probe side — an
     availableNow backlog replay can be arbitrarily large; AQE
-    broadcasts it while it is genuinely small (ADVICE r5)."""
+    broadcasts it while it is genuinely small (ADVICE r5).
+
+    ``quantized=True`` is the IVF-SQ8 serving path: candidates are
+    ranked by the exact integer dot of the index's stored int8 codes
+    against the query's codes (output column ``score_i8`` instead of
+    ``cos_sim``) — the per-candidate payload shrinks 4-8× and the
+    kernel is an integer multiply-add, at the cost of quantization
+    error in the RANKING only (top-1 agreement vs the exact path is
+    pinned by tests/test_streaming.py). Requires an index whose assign
+    frame carries the ``qs`` column (every index built or saved by
+    this version does; a legacy table without it is refused loudly —
+    re-save to upgrade)."""
     probes = ivf_probe_with(norm_view(queries), cents, nprobe)
+    if quantized:
+        if "qs" not in assign.columns:
+            raise ValueError(
+                "quantized lookup needs SQ8 codes in the assign table "
+                "(column 'qs') — this index predates IVF-SQ8; re-run "
+                "save_ivf_index to upgrade it"
+            )
+        qprobes = probes.select(
+            "qid", "cell_id", sq8_codes(F.col("qe"), F.col("qn")).alias("qqs")
+        )
+        scored = assign.join(qprobes, "cell_id").select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            dot_codes(F.col("qqs"), F.col("qs")).alias("score_i8"),
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score_i8"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= topk)
+            .select("qid", "rn", "neighbor_id", "score_i8")
+        )
     scored = (
         assign.join(probes, "cell_id")
         .select(
@@ -346,10 +411,13 @@ def ann_lookup_stream(
     topk: int = 3,
     trigger_once: bool = False,
     index: IvfIndex | None = None,
+    quantized: bool = False,
 ) -> StreamingQuery:
     """Answer a stream of (vec_id, embedding) queries from the corpus
     index; results append to ``out_path``. Pass a prebuilt (e.g.
-    table-backed) ``index`` to skip the inline build."""
+    table-backed) ``index`` to skip the inline build. ``quantized``
+    selects the IVF-SQ8 integer-dot serving path (see
+    :func:`ann_lookup_batch`)."""
     if index is None:
         if corpus_emb is None:
             raise ValueError("need corpus_emb or a prebuilt index")
@@ -360,7 +428,7 @@ def ann_lookup_stream(
         # batch_id partition + dynamic overwrite: a checkpoint replay
         # rewrites its own partition instead of appending duplicates
         (
-            ann_lookup_batch(batch_df, assign, cents, nprobe, topk)
+            ann_lookup_batch(batch_df, assign, cents, nprobe, topk, quantized)
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -2340,3 +2340,65 @@ def test_stream_importance_oov_and_mixed_generation(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="mixed-generation"):
         load_importance_model(spark, model)
+
+
+def test_ivf_sq8_quantized_lookup(spark, tmp_path):
+    """IVF-SQ8 (round 11b): (a) the quantized path's top-1 agrees with
+    the exact path on most fixture queries (int8 on 64-d unit vectors
+    keeps ~0.4% per-component error); (b) the codes survive
+    save/load/append — appended vectors are served quantized too;
+    (c) a legacy index without codes is refused loudly."""
+    import pytest
+
+    from eventsgateway_spark.streaming.ann_lookup import (
+        ann_lookup_batch,
+        append_ivf_index,
+        build_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter("vec_id < 10")
+    idx = build_ivf_index(emb)
+    assert "qs" in idx.assign.columns
+    exact = {
+        r["qid"]: r["neighbor_id"]
+        for r in ann_lookup_batch(queries, idx.assign, idx.cents).collect()
+        if r["rn"] == 1
+    }
+    quant = {
+        r["qid"]: r["neighbor_id"]
+        for r in ann_lookup_batch(
+            queries, idx.assign, idx.cents, quantized=True
+        ).collect()
+        if r["rn"] == 1
+    }
+    assert set(quant) == set(exact)
+    agree = sum(1 for q in exact if exact[q] == quant[q])
+    # measured 10/10 on the fixture; assert with margin
+    assert agree >= len(exact) - 2, f"SQ8 top-1 agreement {agree}/{len(exact)}"
+
+    try:
+        save_ivf_index(emb.filter("vec_id >= 100"), "tsq8_ivf", buckets=4)
+        loaded = load_ivf_index(spark, "tsq8_ivf")
+        assert "qs" in loaded.assign.columns
+        r = append_ivf_index(spark, "tsq8_ivf", emb.filter("vec_id < 100"))
+        assert r["n_new_vecs"] > 0
+        reloaded = load_ivf_index(spark, "tsq8_ivf")
+        # every row — original AND appended — carries codes
+        assert reloaded.assign.filter("qs IS NULL").count() == 0
+        got = ann_lookup_batch(
+            queries, reloaded.assign, reloaded.cents, quantized=True
+        )
+        assert got.count() > 0
+    finally:
+        for s in ("_meta", "_assign", "_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS tsq8_ivf{s}")
+
+    # legacy index shape (no qs column) must refuse, not silently score
+    legacy = idx.assign.drop("qs")
+    with pytest.raises(ValueError, match="SQ8"):
+        ann_lookup_batch(queries, legacy, idx.cents, quantized=True)
