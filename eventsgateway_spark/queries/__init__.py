@@ -122,7 +122,10 @@ from eventsgateway_spark.queries import relational  # noqa: E402,F401
 ROTATION: list[tuple[str, ...]] = [
     ("q13_props_json_extract", "q21_token_explode"),  # Q12: must stay a pair
     ("q05_priority_with_bulk_lineitems", "q12_late_shipments"),
-    ("q45_gap_fill_daily", "q14_user_running_stats"),
+    # q84 (bigram-LM coherence score — q71's order-sensitive
+    # complement) debuts at index 2 like its round-11 siblings.
+    ("q45_gap_fill_daily", "q14_user_running_stats",
+     "q84_bigram_lm_score"),
     # round-11 additions at index 2 (11 % 3 == 2 → both debut with a
     # driver row the round they land): q81 extends the Q18 similarity
     # family with the int8-quantized retrieval path (slot-mates are

@@ -908,3 +908,105 @@ def q71_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_nll_u",
         F.expr("sum_nll_u div n_tok").alias("avg_nll_u"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q84 — bigram-LM quality score (local word-order coherence)
+# ---------------------------------------------------------------------------
+# The order-sensitive complement to q71's unigram LM: a spam page
+# built by SHUFFLING high-frequency tokens scores exactly like clean
+# prose under a unigram model (same token multiset), but its adjacent
+# pairs are improbable — the bigram conditional NLL exposes it. Model:
+# add-one-smoothed conditional p(b|a) = (c(a,b)+1)/(c(a,·)+V) trained
+# on the corpus itself, V = corpus unigram vocabulary. Same exactness
+# discipline as q71/q82: per-bigram NLL rounds to integer micro-nats
+# BEFORE the per-doc sum, so the reduction is order-free and the
+# result hash-exact; the per-bigram average uses positive integer
+# division (identical truncation in both engines).
+
+
+@query(
+    "q84_bigram_lm_score",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1])) AS b
+           FROM t),
+    cbg AS (SELECT b, COUNT(*) AS c_ab FROM bg GROUP BY 1),
+    ca AS (SELECT split_part(b, ' ', 1) AS a, COUNT(*) AS c_a
+           FROM bg GROUP BY 1),
+    uni AS (SELECT COUNT(DISTINCT term) AS v FROM tok),
+    lp AS (SELECT cbg.b,
+                  CAST(ROUND(-ln((c_ab + 1.0) / CAST(c_a + v AS DOUBLE)) * 1e6)
+                       AS BIGINT) AS nll_u
+           FROM cbg JOIN ca ON split_part(cbg.b, ' ', 1) = ca.a, uni),
+    doc AS (SELECT doc_id, COUNT(*) AS n_bg,
+                   CAST(SUM(nll_u) AS BIGINT) AS sum_nll_u
+            FROM bg JOIN lp ON bg.b = lp.b
+            GROUP BY 1)
+    SELECT doc_id, n_bg, sum_nll_u, sum_nll_u // n_bg AS avg_nll_u
+    FROM doc
+    ORDER BY doc_id
+    """,
+)
+def q84_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram conditional NLL in integer micro-nats —
+    (doc_id, n_bg, sum_nll_u, avg_nll_u); high avg = improbable
+    adjacent pairs (word salad, shuffled-token spam), low = corpus-
+    stereotypical phrasing. Docs with fewer than 2 tokens carry no
+    bigram and are absent from the output in BOTH engines.
+
+    Scale shape (q71's, one level up the n-gram ladder): the bigram
+    table comes from one transform+explode over the projected token
+    array (no self-join — the q24 lesson); conditional counts are two
+    hash aggregates over the SAME exploded stream, keyed by (bigram)
+    and (left token) — map-side combine absorbs hot-pair skew; V rides
+    a 1-row broadcast; the scoring join keys on the bigram with row
+    volume unchanged. All JVM built-ins, linear in corpus tokens. At
+    100 TB the trained bigram table is |distinct bigrams| rows —
+    orders of magnitude below the corpus — and persists for reuse."""
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    wt = docs.select("doc_id", tokens("text").alias("toks"))
+    tok = wt.select("doc_id", F.explode("toks").alias("term"))
+    bgs = pin(wt.select("doc_id", F.explode(ngrams(F.col("toks"), 2)).alias("b")))
+    cbg = bgs.groupBy("b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = (
+        bgs.select(F.split(F.col("b"), " ")[0].alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    v = tok.agg(F.countDistinct("term").alias("v"))
+    lp = (
+        cbg.withColumn("a", F.split(F.col("b"), " ")[0])
+        .join(ca, "a")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "b",
+            F.round(
+                -F.log(
+                    (F.col("c_ab") + 1.0)
+                    / (F.col("c_a") + F.col("v")).cast("double")
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("nll_u"),
+        )
+    )
+    doc = (
+        bgs.join(lp, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bg"),
+            F.sum("nll_u").cast("bigint").alias("sum_nll_u"),
+        )
+    )
+    return doc.select(
+        "doc_id",
+        "n_bg",
+        "sum_nll_u",
+        F.expr("sum_nll_u div n_bg").alias("avg_nll_u"),
+    ).orderBy("doc_id")

@@ -142,6 +142,7 @@ _GUARDED = [
     "q81_quantized_ann",  # zero-norm exclusion guards the 1/nrm quantizer
     "q82_importance_weights",  # empty docs absent from output, both engines
     "q83_importance_resample",  # gumbel key: ln(ln) args structurally in (0,1)
+    "q84_bigram_lm_score",  # <2-token docs carry no bigram, both engines
     "q43_ivf_ann",
     "q70_semantic_dedup",
     "q80_quality_propagation",

@@ -1214,3 +1214,40 @@ def test_near_dup_pair_frame_shared_and_evicts(spark, monkeypatch):
     ed._PAIRS_CACHE.clear()
     ed.near_dup_pair_frame(spark, "/root/testdata/sf0.001")
     assert not ed._PAIRS_CACHE
+
+
+def test_bigram_lm_catches_shuffled_tokens(spark, tmp_path):
+    """q84's reason to exist: a doc built by SHUFFLING another doc's
+    tokens has the identical token multiset — q71's unigram NLL scores
+    the two IDENTICALLY — but its adjacent pairs are improbable, so
+    q84's bigram conditional NLL must score the shuffle strictly
+    higher. Corpus: many copies of a stereotyped phrase (so its
+    bigrams are high-probability) plus one shuffled copy."""
+    from eventsgateway_spark.queries import QUERIES
+
+    phrase = "the quick brown fox jumps over the lazy dog"
+    shuffled = "dog the over quick lazy fox the brown jumps"  # same bag
+    assert sorted(phrase.split()) == sorted(shuffled.split())
+    rows = [(i, phrase, "en", "web") for i in range(20)] + [
+        (99, shuffled, "en", "web")
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    sf = str(tmp_path)
+    uni = {r.doc_id: r.avg_nll_u for r in QUERIES["q71_lm_quality_score"](spark, sf).collect()}
+    assert uni[99] == uni[0], "unigram LM must be blind to token order"
+    bi = {r.doc_id: r.avg_nll_u for r in QUERIES["q84_bigram_lm_score"](spark, sf).collect()}
+    assert bi[99] > bi[0], f"bigram LM must flag the shuffle: {bi[99]} vs {bi[0]}"

@@ -163,6 +163,7 @@ _BNLJ_ALLOWED = {
     "q81_quantized_ann",  # broadcast bounded query set (q33's int8 twin)
     "q82_importance_weights",  # 1-row smoothing constants (v, totals)
     "q83_importance_resample",  # same 1-row constants via importance_model
+    "q84_bigram_lm_score",  # 1-row vocabulary count
 }
 
 
