@@ -970,17 +970,29 @@ def q84_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders of magnitude below the corpus — and persists for reuse."""
     docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
     wt = docs.select("doc_id", tokens("text").alias("toks"))
-    tok = wt.select("doc_id", F.explode("toks").alias("term"))
+    # tokenizer INLINE in the explode (q71's shape), not via wt's
+    # projected column: exploding a projected ATTRIBUTE triggers
+    # InferFiltersFromGenerate, whose size(toks) > 0 predicate pushes
+    # below the projection and re-inlines the tokenizer TWICE into the
+    # filter (the q33 norm-fold class; caught by the decon-family
+    # single-tokenization sweep). The ngrams branch below is immune —
+    # its generator input is a full expression, which the rule skips.
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     bgs = pin(wt.select("doc_id", F.explode(ngrams(F.col("toks"), 2)).alias("b")))
     cbg = bgs.groupBy("b").agg(F.count(F.lit(1)).alias("c_ab"))
+    # left token via substring_index, NOT F.split: (a) no array
+    # materialization per row, and (b) the decon-family plan sweep
+    # counts `split(` occurrences as tokenization passes — a split( on
+    # the bigram string would be indistinguishable from a re-inlined
+    # tokenizer (tests/test_plans.py::test_decon_family_tokenizes_once)
     ca = (
-        bgs.select(F.split(F.col("b"), " ")[0].alias("a"))
+        bgs.select(F.substring_index(F.col("b"), " ", 1).alias("a"))
         .groupBy("a")
         .agg(F.count(F.lit(1)).alias("c_a"))
     )
     v = tok.agg(F.countDistinct("term").alias("v"))
     lp = (
-        cbg.withColumn("a", F.split(F.col("b"), " ")[0])
+        cbg.withColumn("a", F.substring_index(F.col("b"), " ", 1))
         .join(ca, "a")
         .crossJoin(F.broadcast(v))
         .select(
