@@ -153,10 +153,20 @@ def _plane_coeffs(j: int) -> tuple[int, int]:
 
 def hyperplane_weight(j: int, d: Column) -> Column:
     """Weight of hyperplane j at dimension d (d is a 1-based column).
-    The j-dependent factors are folded to Python-int literals so no
-    column-side int32 multiply can overflow."""
+
+    The pre-reduced coefficients MUST be lifted to BIGINT explicitly:
+    they are < 1021, so ``F.lit`` makes them *int32* literals — unlike
+    the pre-round-11b ``F.lit(LSH_B)`` (2.65e9, a long) — and
+    ``c2*(d+1)*(d+1)`` in int32 overflows at dim ≥ ~1451 (ANSI mode:
+    runtime ARITHMETIC_OVERFLOW; caught by the round-11b code review,
+    regression-pinned by tests/test_ext.py::
+    test_lsh_bucket_survives_high_dims). With the BIGINT lift the
+    product is ≤ 1021 × 4097² ≈ 1.7e10 at dim 4096 — far under the
+    int64 ceiling, matching the DuckDB mirror whose range() yields
+    BIGINT natively."""
     c1, c2 = _plane_coeffs(j)
-    return (F.lit(c1) * (d + 1) + F.lit(c2) * (d + 1) * (d + 1)) % _LSH_P - 510
+    c1l, c2l = F.lit(c1).cast("bigint"), F.lit(c2).cast("bigint")
+    return (c1l * (d + 1) + c2l * (d + 1) * (d + 1)) % _LSH_P - 510
 
 
 def sq8_codes(e: Column, nrm: Column) -> Column:

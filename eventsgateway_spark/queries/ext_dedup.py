@@ -562,11 +562,9 @@ def near_dup_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a ``pin()``): whichever of q30/q32/q77/q80 runs first pays
     the pair join, the rest ride the checkpoint — the in-session form
     of the durable bucketed shingle index (streaming/near_dup.py)."""
-    import os as _os
-
     from eventsgateway_spark.queries._util import is_fixture_scale
 
-    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
     fp = _fixture_fingerprint(sf_dir)
     hit = _PAIRS_CACHE.get(key)
     if hit is not None:
@@ -602,11 +600,9 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture scale (driver correctness runs) the plan is returned
     uncached — the recompute is cheaper than any checkpoint job, and
     each query still hash-checks independently against its oracle."""
-    import os as _os
-
     from eventsgateway_spark.queries._util import is_fixture_scale
 
-    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
     fp = _fixture_fingerprint(sf_dir)
     hit = _LABELS_CACHE.get(key)
     if hit is not None:

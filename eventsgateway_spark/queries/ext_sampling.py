@@ -538,6 +538,26 @@ def q77_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# Shared DuckDB CTE chain for the DSIR family: token stream, corpus and
+# target unigram counts, smoothing constants, and the per-term integer
+# micro-nat log-ratio table. ONE copy (round-11b review finding) — q82
+# scores every doc with it, q83 resamples under it; a one-sided edit of
+# the smoothing formula can no longer make the two silently disagree.
+_DUCK_DSIR_LR = f"""tok AS (SELECT doc_id, lang, unnest({_DT}) AS term FROM documents),
+    cs AS (SELECT term, COUNT(*) AS c_src FROM tok GROUP BY 1),
+    ct AS (SELECT term, COUNT(*) AS c_tgt FROM tok WHERE lang = 'en' GROUP BY 1),
+    consts AS (SELECT (SELECT COUNT(*) FROM cs) AS v,
+                      (SELECT COUNT(*) FROM tok) AS t_src,
+                      (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS t_tgt),
+    lr AS (SELECT cs.term,
+                  CAST(ROUND(ln(((COALESCE(c_tgt, 0) + 1.0)
+                                     * CAST(t_src + v AS DOUBLE))
+                                / ((c_src + 1.0)
+                                     * CAST(t_tgt + v AS DOUBLE))) * 1e6)
+                       AS BIGINT) AS lr_u
+           FROM cs LEFT JOIN ct USING (term), consts)"""
+
 # ---------------------------------------------------------------------------
 # q82 — DSIR-style importance weights (target-vs-corpus unigram log-ratio)
 # ---------------------------------------------------------------------------
@@ -561,19 +581,7 @@ def q77_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q82_importance_weights",
     declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle=f"""
-    WITH tok AS (SELECT doc_id, lang, unnest({_DT}) AS term FROM documents),
-    cs AS (SELECT term, COUNT(*) AS c_src FROM tok GROUP BY 1),
-    ct AS (SELECT term, COUNT(*) AS c_tgt FROM tok WHERE lang = 'en' GROUP BY 1),
-    consts AS (SELECT (SELECT COUNT(*) FROM cs) AS v,
-                      (SELECT COUNT(*) FROM tok) AS t_src,
-                      (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS t_tgt),
-    lr AS (SELECT cs.term,
-                  CAST(ROUND(ln(((COALESCE(c_tgt, 0) + 1.0)
-                                     * CAST(t_src + v AS DOUBLE))
-                                / ((c_src + 1.0)
-                                     * CAST(t_tgt + v AS DOUBLE))) * 1e6)
-                       AS BIGINT) AS lr_u
-           FROM cs LEFT JOIN ct USING (term), consts),
+    WITH {_DUCK_DSIR_LR},
     doc AS (SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(lr_u) AS BIGINT) AS wt_unats
             FROM tok JOIN lr USING (term)
             GROUP BY 1)
@@ -663,11 +671,20 @@ def importance_model(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c_tgt"))
     )
-    consts = cs.agg(F.count(F.lit(1)).alias("v")).crossJoin(
-        tok.agg(F.count(F.lit(1)).alias("t_src"))
+    # V, T_src, T_tgt all derive from the ALREADY-AGGREGATED term
+    # tables (Σ counts = total tokens) — the naive tok.agg forms cost
+    # two extra full-corpus tokenization scans for identical values
+    # (round-11b review finding; at the module's own 100 TB posture
+    # that was two redundant corpus reads per model build)
+    consts = (
+        cs.agg(
+            F.count(F.lit(1)).alias("v"),
+            # SUM over an empty frame is NULL (count semantics gave 0)
+            F.coalesce(F.sum("c_src"), F.lit(0)).cast("bigint").alias("t_src"),
+        )
     ).crossJoin(
-        tok.filter(F.col("lang") == target_lang).agg(
-            F.count(F.lit(1)).alias("t_tgt")
+        ct.agg(
+            F.coalesce(F.sum("c_tgt"), F.lit(0)).cast("bigint").alias("t_tgt")
         )
     )
     lr = (
@@ -750,19 +767,7 @@ _DUCK_H32 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
     "q83_importance_resample",
     declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle=f"""
-    WITH tok AS (SELECT doc_id, lang, unnest({_DT}) AS term FROM documents),
-    cs AS (SELECT term, COUNT(*) AS c_src FROM tok GROUP BY 1),
-    ct AS (SELECT term, COUNT(*) AS c_tgt FROM tok WHERE lang = 'en' GROUP BY 1),
-    consts AS (SELECT (SELECT COUNT(*) FROM cs) AS v,
-                      (SELECT COUNT(*) FROM tok) AS t_src,
-                      (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS t_tgt),
-    lr AS (SELECT cs.term,
-                  CAST(ROUND(ln(((COALESCE(c_tgt, 0) + 1.0)
-                                     * CAST(t_src + v AS DOUBLE))
-                                / ((c_src + 1.0)
-                                     * CAST(t_tgt + v AS DOUBLE))) * 1e6)
-                       AS BIGINT) AS lr_u
-           FROM cs LEFT JOIN ct USING (term), consts),
+    WITH {_DUCK_DSIR_LR},
     doc AS (SELECT doc_id, CAST(SUM(lr_u) AS BIGINT) AS wt_unats
             FROM tok JOIN lr USING (term)
             GROUP BY 1),

@@ -700,7 +700,12 @@ def ivf_probes(
     "q43_ivf_ann",
     oracle=f"""
     WITH v AS ({_DUCK_V_NONZERO}),
-    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {IVF_K}),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v
+          ORDER BY vec_id LIMIT {IVF_K}),  -- RANK, mirroring the
+          -- Spark side's orderBy(vec_id).limit(k): identical to
+          -- vec_id < k on dense-from-0 fixtures, but a regen with
+          -- an id gap (or zero-norm row) below k stays consistent
+          -- across engines (round-11b review finding)
     d AS (SELECT v.vec_id, c.cid, {_DUCK_L2SQ} AS dist
           FROM v CROSS JOIN c),
     ranked AS (SELECT vec_id, cid,
@@ -970,7 +975,12 @@ def semd_cell_count(emb: DataFrame) -> int:
     declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle=f"""
     WITH v AS ({_DUCK_V_NONZERO}),
-    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {IVF_K}),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v
+          ORDER BY vec_id LIMIT {IVF_K}),  -- RANK, mirroring the
+          -- Spark side's orderBy(vec_id).limit(k): identical to
+          -- vec_id < k on dense-from-0 fixtures, but a regen with
+          -- an id gap (or zero-norm row) below k stays consistent
+          -- across engines (round-11b review finding)
     d AS (SELECT v.vec_id, c.cid, {_DUCK_L2SQ} AS dist
           FROM v CROSS JOIN c),
     assign AS (SELECT vec_id, cid AS cell_id FROM

@@ -113,6 +113,22 @@ def load_importance_model(spark: SparkSession, root: str) -> tuple[DataFrame, di
     }
 
 
+def check_model_generation(
+    spark: SparkSession, model_root: str, expected_gen: int
+) -> None:
+    """Raise if the saved model's generation moved past
+    ``expected_gen`` — the per-micro-batch staleness guard of
+    :func:`stream_importance_weights`, exposed for direct testing."""
+    cur = spark.read.parquet(_table_path(model_root, META)).first()
+    if cur is None or int(cur["gen"]) != expected_gen:
+        raise ValueError(
+            f"importance model at {model_root!r} was retrained "
+            f"mid-stream (gen {expected_gen} -> "
+            f"{None if cur is None else int(cur['gen'])}) — restart "
+            "the stream to score against the new model"
+        )
+
+
 def stream_importance_weights(
     doc_stream: DataFrame,
     model_root: str,
@@ -138,36 +154,58 @@ def stream_importance_weights(
     spark = doc_stream.sparkSession
     lr, meta = load_importance_model(spark, model_root)
     oov = meta["oov_lr_u"]
+    gen0 = meta["gen"]
 
     def _score(batch_df: DataFrame, batch_id: int) -> None:
-        scored = score_importance(batch_df, lr, oov_lr_u=oov, mark_oov=True)
-        out = scored.select(
-            "doc_id",
-            "lang",
-            "source",
-            "n_tok",
-            "wt_unats",
-            F.when(F.col("wt_unats") >= 0, 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("tgt_like"),
-        )
-        _idempotent_append(out, batch_id, out_path)
-        if metrics_path is not None:
-            m = scored.agg(
-                F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("n_tok"),
-                F.coalesce(F.sum("n_oov"), F.lit(0)).cast("bigint").alias("n_oov"),
-            ).select(
+        # Re-verify the model generation EVERY batch (round-11b review
+        # finding): the lazy ``lr`` frame re-reads the parquet files per
+        # action, so a save_importance_model retrain mid-stream would
+        # silently pair the NEW lr table with the OLD captured oov
+        # constant — the exact mixed-generation state load exists to
+        # refuse. One tiny meta-file read per batch; fail the stream
+        # loudly so the operator restarts it against the new model.
+        check_model_generation(spark, model_root, gen0)
+        from eventsgateway_spark.queries._util import released_checkpoints
+
+        with released_checkpoints() as ckpt:
+            # ONE scoring pass feeds both sinks (the sibling
+            # foreachBatch bodies' released_checkpoints discipline —
+            # without it the tokenize + lr-join lineage runs once per
+            # action when metrics are enabled)
+            scored = score_importance(batch_df, lr, oov_lr_u=oov, mark_oov=True)
+            if metrics_path is not None:
+                scored = ckpt(scored)
+            out = scored.select(
+                "doc_id",
+                "lang",
+                "source",
                 "n_tok",
-                "n_oov",
-                (
-                    F.col("n_oov") * 1_000_000
-                    / F.greatest(F.col("n_tok"), F.lit(1))
-                )
-                .cast("bigint")
-                .alias("oov_ppm"),
+                "wt_unats",
+                F.when(F.col("wt_unats") >= 0, 1)
+                .otherwise(0)
+                .cast("int")
+                .alias("tgt_like"),
             )
-            _idempotent_append(m, batch_id, metrics_path)
+            _idempotent_append(out, batch_id, out_path)
+            if metrics_path is not None:
+                m = scored.agg(
+                    F.coalesce(F.sum("n_tok"), F.lit(0))
+                    .cast("bigint")
+                    .alias("n_tok"),
+                    F.coalesce(F.sum("n_oov"), F.lit(0))
+                    .cast("bigint")
+                    .alias("n_oov"),
+                ).select(
+                    "n_tok",
+                    "n_oov",
+                    (
+                        F.col("n_oov") * 1_000_000
+                        / F.greatest(F.col("n_tok"), F.lit(1))
+                    )
+                    .cast("bigint")
+                    .alias("oov_ppm"),
+                )
+                _idempotent_append(m, batch_id, metrics_path)
 
     writer = doc_stream.writeStream.foreachBatch(_score).option(
         "checkpointLocation", checkpoint

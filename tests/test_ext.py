@@ -1251,3 +1251,23 @@ def test_bigram_lm_catches_shuffled_tokens(spark, tmp_path):
     assert uni[99] == uni[0], "unigram LM must be blind to token order"
     bi = {r.doc_id: r.avg_nll_u for r in QUERIES["q84_bigram_lm_score"](spark, sf).collect()}
     assert bi[99] > bi[0], f"bigram LM must flag the shuffle: {bi[99]} vs {bi[0]}"
+
+
+def test_lsh_bucket_survives_high_dims(spark):
+    """Round-11b regression (caught in code review): the mod-1021
+    pre-reduced plane coefficients are small enough that F.lit makes
+    them int32 literals, and c2*(d+1)^2 in int32 overflows at
+    dim >= ~1451 — ARITHMETIC_OVERFLOW under ANSI, silent wraparound
+    (= oracle divergence) without it. The BIGINT lift must keep
+    lsh_bucket working at any plausible embedding width."""
+    rows = [(0, [0.25] * 2048), (1, [-0.25] * 2048)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", lsh_bucket(F.col("embedding"), 8, 0).alias("b")
+        ).collect()
+    }
+    assert set(got) == {0, 1}
+    # antipodal vectors flip every projection sign: complementary buckets
+    assert got[0] ^ got[1] == (1 << 8) - 1

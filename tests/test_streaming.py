@@ -2402,3 +2402,36 @@ def test_ivf_sq8_quantized_lookup(spark, tmp_path):
     legacy = idx.assign.drop("qs")
     with pytest.raises(ValueError, match="SQ8"):
         ann_lookup_batch(queries, legacy, idx.cents, quantized=True)
+
+
+def test_stream_importance_refuses_mid_stream_retrain(spark, tmp_path):
+    """Round-11b review finding: the lazy lr frame re-reads parquet per
+    action, so a retrain between micro-batches would silently pair the
+    NEW lr table with the OLD captured OOV constant. The stream calls
+    check_model_generation before every batch; pin the guard directly
+    (deterministic — driving it through a live availableNow stream
+    races the retrain against the first batch)."""
+    import pytest as _pytest
+
+    from eventsgateway_spark.streaming.importance import (
+        check_model_generation,
+        load_importance_model,
+        save_importance_model,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "alpha beta gamma", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    model = str(tmp_path / "model")
+    save_importance_model(ref, model)
+    _lr, meta = load_importance_model(spark, model)
+    check_model_generation(spark, model, meta["gen"])  # fresh: passes
+
+    save_importance_model(ref, model)  # retrain: gen+1
+    with _pytest.raises(ValueError, match="retrained mid-stream"):
+        check_model_generation(spark, model, meta["gen"])
+    # a restarted stream loads the new gen and proceeds
+    _lr2, meta2 = load_importance_model(spark, model)
+    assert meta2["gen"] == meta["gen"] + 1
+    check_model_generation(spark, model, meta2["gen"])
