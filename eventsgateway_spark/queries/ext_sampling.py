@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from eventsgateway_spark.queries import query
-from eventsgateway_spark.queries._util import spread, table
+from eventsgateway_spark.queries._util import pin, spread, table
 
 # split thresholds on the hash-percent: [0,80) train, [80,90) val, rest test
 TRAIN_PCT = 80
@@ -665,11 +665,21 @@ def importance_model(
     from eventsgateway_spark.functions.text import tokens
 
     tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
-    cs = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c_src"))
-    ct = (
+    # cs/ct are each consumed TWICE (the lr join and the consts agg)
+    # and their aggregation exchanges do not canonicalize for
+    # ReusedExchange, so without a pin each consumer re-tokenizes the
+    # corpus. The term tables are |vocab| rows — pin(persist) is the
+    # q60 survivor-set convention: eager, tiny, cuts the corpus
+    # tokenization passes from 5 to 3 above fixture scale (untouched
+    # at fixture scale, where the driver hash-checks full lineage).
+    cs = pin(
+        tok.groupBy("term").agg(F.count(F.lit(1)).alias("c_src")), "persist"
+    )
+    ct = pin(
         tok.filter(F.col("lang") == target_lang)
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c_tgt"))
+        .agg(F.count(F.lit(1)).alias("c_tgt")),
+        "persist",
     )
     # V, T_src, T_tgt all derive from the ALREADY-AGGREGATED term
     # tables (Σ counts = total tokens) — the naive tok.agg forms cost
