@@ -64,8 +64,9 @@ def q01_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle="""
     WITH k0 AS (
-        SELECT TRY_CAST(CASE WHEN regexp_matches(
-                   json_extract_string(props, '$.k'), '^-?[0-9]+$')
+        SELECT TRY_CAST(CASE WHEN translate(
+                   json_extract_string(props, '$.k'), '0123456789', '')
+                   IN ('', '-')
                    THEN json_extract_string(props, '$.k') END AS INTEGER) AS k
         FROM events
     )
@@ -86,13 +87,24 @@ def q13_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLIENT-controlled JSON, and under ANSI a single malformed '$.k'
     would otherwise kill the whole query instead of grouping under the
     null bucket (round-10 ANSI audit — same defined-null discipline as
-    the division guards). The integral-form regexp guard runs in BOTH
-    engines before the cast (ADVICE r10): on fractional numeric strings
-    the engines' bare casts DISAGREE — Spark try_cast('12.5' AS INT) is
+    the division guards). The integral-form guard runs in BOTH engines
+    before the cast (ADVICE r10): on fractional numeric strings the
+    engines' bare casts DISAGREE — Spark try_cast('12.5' AS INT) is
     NULL while DuckDB TRY_CAST rounds to 13 — so a client prop like
-    {"k": "12.5"} would silently diverge; guarding to ^-?[0-9]+$ first
-    makes both sides define exactly the same k (out-of-range integral
-    strings still fall to NULL identically via try_cast). The oracle
+    {"k": "12.5"} would silently diverge. Since round 12 the guard is
+    the REGEX-FREE ``translate(k, '0123456789', '') IN ('', '-')``
+    (VERDICT r11 #2 — the ^-?[0-9]+$ rlike was the only >1.1× bench
+    regression of round 11, a per-row regex on every props
+    extraction): translate admits a SUPERSET of the regex language —
+    digits-and-dashes strings like '1-2', '12-', '-' — but every
+    extra member fails try_cast(... AS INT) to NULL identically in
+    both engines, so the defined k is unchanged (0 divergences on a
+    6,782-string hostile fuzz incl. unicode digits, underscores,
+    exponent forms — both cross-engine and vs the old regex; the
+    alternative bare decimal(18,0) double-cast was REJECTED by the
+    same fuzz: DuckDB parses '3_4'→34, '27e '→27, '+'→0 where Spark
+    yields NULL). Out-of-range integral strings still fall to NULL
+    identically via try_cast. The oracle
     buckets with FLOOR(k/10.0), not DuckDB's ``//``: integer ``//``
     TRUNCATES toward zero there (-3//10 = 0) while Spark's
     floor(k/10) floors (-1) — a second latent divergence the hostile
@@ -106,7 +118,9 @@ def q13_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('7.0' vs '7'), hash-diverging every row, not just the null one."""
     ev = table(spark, sf_dir, "events")
     raw = F.get_json_object("props", "$.k")
-    k = F.when(raw.rlike("^-?[0-9]+$"), raw).try_cast("int")
+    k = F.when(
+        F.translate(raw, "0123456789", "").isin("", "-"), raw
+    ).try_cast("int")
     null_bucket = F.lit(-2147483648).cast("bigint")
     zero = F.lit(0).cast("bigint")
     return (

@@ -210,6 +210,58 @@ def lsh_plane_count(emb: DataFrame, floor_planes: int) -> int:
     return planes_for_rows(max(b // _EMB_ROW_BYTES, 1), floor_planes)
 
 
+# Table-count ladder (round 12 — the OR-construction recall knob,
+# VERDICT r11 #1). The plane ladder alone holds candidate volume
+# ~linear, but recall per table decays as planes grow (a cos-0.9 pair
+# agrees on one plane w.p. ~0.86, on 11 planes w.p. ~0.18), and a
+# FIXED table count caps the OR over tables. The trade that buys
+# recall without buying candidates: each table-DOUBLING adds ONE
+# plane per table, leaving the uniform-ideal candidate volume
+# T·N²/2^p invariant. Measured (tools/lsh_ladder_probe.py, 100k
+# gaussian 64-d vectors + 30 planted pairs per similarity band,
+# SCALE.md round-12 table): 2×11 → 8×13 lifts banded recall
+# cos0.90 10/30 → 21/30, cos0.95 19/30 → 28/30, cos0.99 26/30 →
+# 28/30, with Σocc² at 1.61× the uniform ideal (vs 1.33× — both
+# within the 2× skew bound) and the ideal itself unchanged. Cost is
+# bucket-computation CPU only (T·p folds per vector: 22 → 104 at the
+# top rung — still O(dim) per row, map-side, no shuffle).
+#
+# Ladder rule: one table-doubling per TWO plane-steps of the base
+# plane ladder above its floor, capped at 4× the floor table count
+# (the probe's top rung); the EFFECTIVE planes-per-table is the base
+# count + log2(T/floor_T). At every fixture/oracle scale the base
+# ladder sits at its floor, so tables and planes both floor and the
+# static DuckDB mirrors stay exact (pinned by tests/test_ansi_guards).
+_LSH_TABLE_CAP_FACTOR = 4
+
+
+def tables_for_rows(est_rows: int, floor_planes: int, floor_tables: int) -> int:
+    """The pure table ladder: floor_tables doubled once per two
+    plane-steps of ``planes_for_rows`` above its floor, capped at
+    ``_LSH_TABLE_CAP_FACTOR × floor_tables``."""
+    extra = planes_for_rows(est_rows, floor_planes) - floor_planes
+    t = floor_tables << (extra // 2)
+    return min(t, floor_tables * _LSH_TABLE_CAP_FACTOR)
+
+
+def lsh_family(
+    emb: DataFrame, floor_planes: int, floor_tables: int
+) -> tuple[int, int]:
+    """Deterministic (n_planes, n_tables) for an embeddings frame —
+    the coupled ladder. Unknown-size inputs floor both knobs (the
+    oracle constants; semd_cell_count / ADVICE-r5 rule)."""
+    from eventsgateway_spark.queries._util import known_input_bytes
+
+    b = known_input_bytes(emb)
+    if b is None:
+        return floor_planes, floor_tables
+    est = max(b // _EMB_ROW_BYTES, 1)
+    base = planes_for_rows(est, floor_planes)
+    t = tables_for_rows(est, floor_planes, floor_tables)
+    # one extra plane per table-doubling keeps T·N²/2^p invariant
+    return base + (t // floor_tables).bit_length() - 1, t
+
+
 @query(
     "q34_lsh_buckets",
     oracle=f"""
@@ -461,15 +513,18 @@ def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same candidate generation, so the result is exact for the
     operator AS DEFINED. Norms are computed ONCE per vector and joined
     in (higher-order-function folds are not codegen'd, so per-PAIR
-    work must be a single dot fold). The plane count is input-size-
-    derived with floor 6 (lsh_plane_count — at every oracle scale the
-    estimate stays below the first growth threshold, so the static
-    6-plane mirror is exact; past ~4k vectors the count rises with
-    log2(N/occupancy), holding candidate volume ~linear in N instead
-    of N²/2^6). Zero-norm vectors are excluded on both sides
-    (norm_view semantic; the verify step divides by n1 * n2)."""
+    work must be a single dot fold). Planes AND tables are input-size-
+    derived with floors (6, 2) via the coupled ladder (lsh_family —
+    at every oracle scale both knobs floor, so the static 6-plane/
+    2-table mirror is exact; past ~4k vectors planes rise with
+    log2(N/occupancy) holding candidate volume ~linear, and past ~16k
+    the table count doubles per two plane-steps — the OR-construction
+    recall knob, volume-invariant because each doubling also adds one
+    plane; measured recall/occupancy in SCALE.md round-12). Zero-norm
+    vectors are excluded on both sides (norm_view semantic; the
+    verify step divides by n1 * n2)."""
     emb = table(spark, sf_dir, "embeddings")
-    np_ = lsh_plane_count(emb, _ND_PLANES)
+    np_, nt_ = lsh_family(emb, _ND_PLANES, _ND_TABLES)
     v = pin(
         spread(emb)
         .select(
@@ -484,7 +539,7 @@ def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "raw", "e", norm(F.col("e")).alias("nrm"))
     )
     cand = None
-    for t in range(_ND_TABLES):
+    for t in range(nt_):
         b = v.select("vec_id", lsh_bucket(F.col("raw"), np_, t).alias("bucket"))
         x, y = b.alias("x"), b.alias("y")
         p = x.join(

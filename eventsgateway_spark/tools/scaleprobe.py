@@ -172,8 +172,12 @@ def run_lsh_probe(mults: tuple[int, ...] = (1, 10, 50), runs: int = 2,
     for i, mult in enumerate(mults):
         sf_dir = gen_embeddings(os.path.join(root, f"x{mult}"), mult)
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        np_auto = ext_similarity.lsh_plane_count(emb, ext_similarity._ND_PLANES)
-        row: dict = {"n_vecs": BASE_VECS * mult, "planes": np_auto}
+        np_auto, nt_auto = ext_similarity.lsh_family(
+            emb, ext_similarity._ND_PLANES, ext_similarity._ND_TABLES
+        )
+        row: dict = {
+            "n_vecs": BASE_VECS * mult, "planes": np_auto, "tables": nt_auto,
+        }
         for variant in ("auto",) + (("floor6",) if i == len(mults) // 2 else ()):
             if variant == "floor6":
                 # pin the floor by making the row estimate degenerate

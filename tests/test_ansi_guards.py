@@ -55,12 +55,20 @@ _DOCS = [
 
 _PROPS = [
     '{"k": "12.5"}',  # THE divergence: DuckDB TRY_CAST rounds to 13,
-    # Spark try_cast yields NULL — the regexp guard nulls it in BOTH
+    # Spark try_cast yields NULL — the integral guard nulls it in BOTH
     '{"k": "7"}',
     '{"k": "-3"}',
     '{"k": "abc"}',
     '{"k": "99999999999"}',  # integral but > int32: try_cast NULL in both
     "{}",
+    # round-12 translate-guard bombs (the regex-free guard admits a
+    # SUPERSET of ^-?[0-9]+$ — digits-and-dashes strings — relying on
+    # try_cast to NULL the extras identically in both engines):
+    '{"k": "1-2"}',  # admitted by translate, NULLed by try_cast (both)
+    '{"k": "007"}',  # leading zeros: k = 7 in both (regex semantics)
+    '{"k": "\\u0661\\u0662"}',  # arabic-indic '12': Spark's bare cast
+    # PARSES it (→12), DuckDB's doesn't — translate excludes it in both
+    '{"k": "+5"}',  # regex/translate both exclude; Spark bare cast wouldn't
 ]
 
 
@@ -170,10 +178,11 @@ def test_q13_guard_is_exercised(spark, hostile_sf_dir):
     from eventsgateway_spark.queries import QUERIES
 
     rows = QUERIES["q13_props_json_extract"](spark, hostile_sf_dir).collect()
-    # 12.5/abc/{}/overflow all land in the sentinel bucket; 7->0, -3->-1
-    # (floor semantics in BOTH engines — DuckDB's integer // truncates)
+    # 12.5/abc/{}/overflow/1-2/unicode-digits/+5 all land in the
+    # sentinel bucket; 7 and 007 -> 0, -3 -> -1 (floor semantics in
+    # BOTH engines — DuckDB's integer // truncates)
     by_bucket = {r["k_bucket"]: r["n_events"] for r in rows}
-    assert by_bucket == {-2147483648: 4, 0: 1, -1: 1}
+    assert by_bucket == {-2147483648: 7, 0: 2, -1: 1}
 
 
 def test_zero_norm_vector_never_appears(spark, hostile_sf_dir):
@@ -235,6 +244,60 @@ def test_lsh_plane_ladder_boundaries():
 
         assert planes_for_rows(max(b // _EMB_ROW_BYTES, 1), 6) == 6, sf
         assert planes_for_rows(max(b // _EMB_ROW_BYTES, 1), 8) == 8, sf
+
+
+def test_lsh_table_ladder_boundaries():
+    """The round-12 OR-construction ladder: tables double once per two
+    plane-steps above the floor (cap 4× floor); each doubling adds one
+    EFFECTIVE plane per table, so the uniform-ideal candidate volume
+    T·N²/2^p is invariant along the ladder (the probe-measured trade —
+    SCALE.md round-12)."""
+    from eventsgateway_spark.queries.ext_similarity import (
+        LSH_TARGET_BUCKET_OCC as OCC,
+        planes_for_rows,
+        tables_for_rows,
+    )
+
+    # below the first plane-growth threshold: floor tables
+    assert tables_for_rows(1, 6, 2) == 2
+    assert tables_for_rows((1 << 6) * OCC, 6, 2) == 2
+    # one plane-step (extra=1): still floor; two steps: first doubling
+    assert tables_for_rows((1 << 6) * OCC + 1, 6, 2) == 2  # extra 1
+    assert tables_for_rows((1 << 7) * OCC + 1, 6, 2) == 4  # extra 2
+    assert tables_for_rows((1 << 9) * OCC + 1, 6, 2) == 8  # extra 4
+    # cap: 4× the floor, regardless of further growth
+    assert tables_for_rows((1 << 11) * OCC + 1, 6, 2) == 8  # extra 6
+    assert tables_for_rows(10**12, 6, 2) == 8
+    # scaleprobe's x50 shape (100k rows, floor 6 → base 11, extra 5):
+    # the probe's 8×13 top rung
+    est_x50 = 100_000
+    assert planes_for_rows(est_x50, 6) == 11
+    assert tables_for_rows(est_x50, 6, 2) == 8
+
+    # uniform-ideal volume invariance: T/2^(base + log2(T/floor_T))
+    # never exceeds floor_T/2^base along the ladder
+    for est in (10_000, 50_000, 100_000, 400_000, 5_000_000):
+        base = planes_for_rows(est, 6)
+        t = tables_for_rows(est, 6, 2)
+        eff = base + (t // 2).bit_length() - 1
+        assert t / (1 << eff) <= 2 / (1 << base) + 1e-12, est
+
+
+def test_lsh_family_floors_at_fixture_scale():
+    """lsh_family must return the exact oracle constants (floor planes,
+    floor tables) for every shipped fixture AND for unknown-size
+    inputs — the static DuckDB q38 mirror (6 planes × 2 tables) is
+    only exact under that guarantee."""
+    from eventsgateway_spark.queries.ext_similarity import (
+        _EMB_ROW_BYTES,
+        tables_for_rows,
+    )
+    import os
+
+    for sf in ("0.001", "0.01", "0.1"):
+        b = os.path.getsize(f"/root/testdata/sf{sf}/embeddings.parquet")
+        est = max(b // _EMB_ROW_BYTES, 1)
+        assert tables_for_rows(est, 6, 2) == 2, sf
 
 
 # ---------------------------------------------------------------------------

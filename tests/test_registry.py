@@ -112,7 +112,11 @@ def test_bench_json_line_fits_driver_tail():
             "sf": 0.1,
         }
     )
-    assert len(line) < 1900, (len(line), "shorten keys or drop precision")
+    # VERDICT r11 #5: ~1800 keeps ≥200 chars of true margin under the
+    # 2000-char tail even in the worst all-4-digit-seconds case
+    # (measured 1607 at 84 queries — ~16 chars of headroom per query,
+    # so this bound trips at ~96 queries, before the window does)
+    assert len(line) < 1800, (len(line), "shorten keys or drop precision")
 
 
 def test_declared_is_exactly_cap_every_phase():
