@@ -12,9 +12,9 @@ arrays), with ``localCheckpoint`` cutting lineage between rounds.
 Scale posture (100 TB of vectors): per iteration the corpus is scanned
 once and shuffled once on (cell_id, dim) — k·d groups, tiny; the
 centroid row stays KB-sized and broadcasts. Iterations are O(5-20).
-At realistic k (corpus/occupancy) set SPARK_GRAFT_ARROW_SCORER=1: the
-assignment step routes through the Arrow matmul path
-(ext_similarity.ivf_assign_arrow — the interpreted fold is measured
+At realistic k (corpus/occupancy) the assignment step AUTO-routes
+through the Arrow matmul path (round 12 — k > _IVF_ARROW_K in
+ext_similarity.ivf_assign_with; the interpreted fold is measured
 infeasible at k=250; see SCALE.md similarity section).
 Means accumulate doubles, so results are deterministic for a FIXED
 partitioning but not bit-stable across different partitionings — fine
@@ -71,7 +71,7 @@ def train_centroids(
         # aggregation and the inertia job consume it; unpinned, each
         # would re-run the full assignment scan (doubling the step the
         # module documents as the bottleneck)
-        assigned = ivf_assign_with(v, cents).localCheckpoint()
+        assigned = ivf_assign_with(v, cents, k=k).localCheckpoint()
         # A cell that loses every member (duplicate seeds: ties all
         # break to the lower cid) vanishes from the means output; left-
         # joining against the previous round's cells carries its old

@@ -159,7 +159,12 @@ ROTATION: list[tuple[str, ...]] = [
     # q75/q76 (temperature mixture weights / weighted training order)
     # debut in the even phase; their slot-mates q07/q17 are long-green
     # statics demoted because family Q6 keeps q06 declared every phase.
-    ("q75_domain_mixture", "q07_rollup_revenue"),
+    # Round 12 extends the pair with q86 (IVF cell-occupancy audit at
+    # the derived cell count) at INDEX 0 — 12 % 3 == 0 gives it a
+    # driver row the round it lands; q75 (last row r10) takes r13,
+    # q07 (last row r11) takes r14 — both at the 2-round ceiling.
+    # Family coverage: Q18 keeps q33/q34/q38/q43 declared every phase.
+    ("q86_ivf_cell_stats", "q75_domain_mixture", "q07_rollup_revenue"),
     ("q76_training_order", "q17_cube_event_stats"),
     # q77 (leakage-safe split) debuted even-phase round 6; slot-mate
     # q29 is a demoted Q19 static (q30/q31/q32 keep the family
@@ -170,8 +175,12 @@ ROTATION: list[tuple[str, ...]] = [
      "q80_quality_propagation"),
     # q78 (Gopher char-fraction repetition filters) debuts even-phase
     # (round 8); slot-mate q67 is a demoted Q21 static (q66/q68/q69
-    # keep the curation family declared every phase).
-    ("q78_repetition_filters", "q67_quality_rules"),
+    # keep the curation family declared every phase). Round 12 extends
+    # the pair with q85 (LSH table-family occupancy audit — the
+    # candidate-volume contract of the round-12 OR-construction
+    # ladder) at INDEX 0 for an immediate driver row; q78 (last row
+    # r10) takes r13, q67 (last row r11) takes r14.
+    ("q85_lsh_table_stats", "q78_repetition_filters", "q67_quality_rules"),
 ]
 
 # Approximate by nature (approx_count_distinct / HLL / Bloom false

@@ -664,21 +664,32 @@ def _dist_structs():
     )
 
 
-def ivf_assign_with(v: DataFrame, cents: DataFrame) -> DataFrame:
+# Above this cell count the interpreted-fold assignment is auto-routed
+# to the Arrow kernel even without the env flag (round 12): the JVM
+# path's O(k·dim) lambda evaluations per row are CPU-infeasible at the
+# k ≈ corpus/occupancy a real deployment derives (measured: k=250 ×
+# 50k vectors did not finish in 120 s; Arrow does it in seconds), and
+# the Arrow kernel computes IDENTICAL assignments (HALF_UP-at-6dp
+# distance, cid tie-break — parity pinned by the flag-parity test), so
+# the route is a physical choice, never semantic. The fixture regime
+# (k = IVF_K = 8) stays on the JVM fold — the bit-level oracle path.
+_IVF_ARROW_K = 32
+
+
+def ivf_assign_with(
+    v: DataFrame, cents: DataFrame, k: int | None = None
+) -> DataFrame:
     """(vec_id, e, nrm, cell_id) for a (vec_id, e, nrm) frame against a
     prebuilt centroid row. The centroids broadcast, so assignment is a
     per-row ``array_min`` over k fold distances inside the scan — a
     map-only stage, NO shuffle of the corpus, which is the property
     that makes IVF viable at 100 TB.
 
-    CPU note: the fold distances are interpreted higher-order
-    functions, O(k·dim) lambda evaluations per row — fine at the
-    fixture's k=8, CPU-infeasible at the k≈corpus/occupancy a real
-    SemDeDup/IVF deployment needs (measured: k=250 × 50k vectors did
-    not finish in 120 s; the Arrow path below does it in seconds).
-    ``SPARK_GRAFT_ARROW_SCORER=1`` routes through
-    :func:`ivf_assign_arrow` (same assignments — pinned by tests)."""
-    if arrow_scorer():
+    ``k`` is a routing HINT (the caller usually knows its cell count):
+    above ``_IVF_ARROW_K`` the Arrow kernel is auto-picked — see the
+    constant's comment. ``SPARK_GRAFT_ARROW_SCORER=1`` still forces
+    Arrow at any k (the parity-test hook)."""
+    if arrow_scorer() or (k is not None and k > _IVF_ARROW_K):
         return ivf_assign_arrow(v, cents)
     return v.crossJoin(F.broadcast(cents)).select(
         "vec_id", "e", "nrm", F.array_min(_dist_structs())["cid"].alias("cell_id")
@@ -719,7 +730,7 @@ def ivf_assign_arrow(v: DataFrame, cents: DataFrame) -> DataFrame:
 
 def ivf_assign(emb: DataFrame, k: int = IVF_K) -> DataFrame:
     """Corpus-side IVF assignment (see :func:`ivf_assign_with`)."""
-    return ivf_assign_with(norm_view(emb), ivf_centroids(emb, k))
+    return ivf_assign_with(norm_view(emb), ivf_centroids(emb, k), k=k)
 
 
 def ivf_probe_with(
@@ -1117,4 +1128,122 @@ def q70_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("max_prior_sim_u", sentinel).alias("max_prior_sim_u"),
         )
         .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q85 — LSH table-family occupancy audit (the candidate-volume contract)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q85_lsh_table_stats",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH v AS ({_DUCK_V_NONZERO}),
+    b AS ({_DUCK_ND_BUCKETS}),
+    occ AS (SELECT tbl, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2)
+    SELECT tbl,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(n) AS BIGINT) AS n_vectors,
+           CAST(SUM(n * n) AS BIGINT) AS occ_sq,
+           CAST(MAX(n) AS BIGINT) AS max_occ
+    FROM occ
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q85_lsh_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table occupancy audit of q38's OR-construction LSH family —
+    the candidate-volume CONTRACT as a driver-checked number: per
+    table, ``occ_sq`` (Σ count² over buckets) IS the table's bucket-
+    join pair volume, the quantity the round-12 coupled ladder holds
+    ~linear in N (SCALE.md round-12 table; tools/lsh_ladder_probe.py
+    measures the same statistic at 100k vectors). Planes and tables
+    come from the same ``lsh_family`` call q38 uses, flooring to
+    (6, 2) at every oracle scale so the static two-table mirror is
+    exact. Physical shape: one scan computing T×p projections per
+    row (map-only), then a (tbl, bucket) hash aggregate and a T-row
+    rollup — no joins, no window, nothing corpus-grain crosses the
+    shuffle except the (tbl, bucket) occupancy table."""
+    emb = table(spark, sf_dir, "embeddings")
+    np_, nt_ = lsh_family(emb, _ND_PLANES, _ND_TABLES)
+    v = (
+        spread(emb)
+        # squared-sum filter BEFORE any norm projection (q33 plan-test
+        # discipline; mirrors _DUCK_V_NONZERO's input universe)
+        .filter(norm_sq(as_double(F.col("embedding"))) > 0)
+        .select("vec_id", "embedding")
+    )
+    per_table = None
+    for t in range(nt_):
+        b = v.select(
+            F.lit(t).alias("tbl"),
+            lsh_bucket(F.col("embedding"), np_, t).alias("bucket"),
+        )
+        per_table = b if per_table is None else per_table.unionAll(b)
+    occ = per_table.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        occ.groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n").cast("bigint").alias("n_vectors"),
+            F.sum(F.col("n") * F.col("n")).cast("bigint").alias("occ_sq"),
+            F.max("n").cast("bigint").alias("max_occ"),
+        )
+        .orderBy("tbl")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q86 — IVF cell-occupancy audit (the serving index's balance contract)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q86_ivf_cell_stats",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH v AS ({_DUCK_V_NONZERO}),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v
+          ORDER BY vec_id LIMIT {IVF_K}),  -- RANK (q43/q70 convention)
+    d AS (SELECT v.vec_id, c.cid, {_DUCK_L2SQ} AS dist
+          FROM v CROSS JOIN c),
+    assign AS (SELECT vec_id, cid AS cell_id FROM
+               (SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM d)
+               WHERE rn = 1)
+    SELECT cell_id,
+           COUNT(*) AS n_vectors,
+           MIN(vec_id) AS min_vec_id,
+           MAX(vec_id) AS max_vec_id
+    FROM assign
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q86_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-occupancy audit of the IVF index at the INPUT-DERIVED cell
+    count (semd_cell_count — build_ivf_index's round-12 default; the
+    per-probe candidate cost the serving path pays is exactly one
+    cell's occupancy × nprobe, so balance here is the latency
+    contract; append_ivf_index reports the same statistic as
+    ``cell_skew`` on every mutation). Floors to the oracle constant
+    IVF_K=8 at every fixture scale; above the fixture regime the
+    count grows with corpus bytes and assignment auto-routes to the
+    Arrow kernel (identical assignments, parity-pinned). Physical
+    shape: map-only assignment (broadcast centroid row), one hash
+    aggregate on cell_id — the corpus is never reshuffled."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    assign = ivf_assign(emb, semd_cell_count(emb))
+    return (
+        assign.groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("cell_id")
     )

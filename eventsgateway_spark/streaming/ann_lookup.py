@@ -34,12 +34,33 @@ from eventsgateway_spark.functions.vectors import (
 )
 from eventsgateway_spark.queries._util import arrow_scorer
 from eventsgateway_spark.queries.ext_similarity import (
-    IVF_NPROBE,
     ivf_assign_with,
     ivf_centroids,
     ivf_probe_with,
     norm_view,
 )
+
+
+# Serving-path nprobe default, pinned by the round-12 recall sweep
+# (scaleprobe --ivf at 100k vectors / 262 derived cells, SCALE.md):
+# near-dup-grade queries (the dedup/serving regime) hit 27-29/30
+# recall@1 at nprobe=4 vs 12-22/30 at the oracle constant 2, for
+# ~1.4× the candidate volume; nprobe=8 only adds 1-2 hits for 2×.
+# The declared q43 keeps IVF_NPROBE=2 — that constant is baked into
+# its DuckDB mirror and defines the operator; this one tunes the
+# non-oracle serving APIs below.
+ANN_SERVING_NPROBE = 4
+
+
+def _cents_k(cents: DataFrame) -> int:
+    """Cell count of a centroid row — the Arrow-routing hint for
+    batch-against-loaded-index assignment (ivf_assign_with k=...).
+    One tiny job over the one-row frame (milliseconds against a saved
+    table; append/foreachBatch sites already run per-batch driver
+    jobs). Without the hint a batch assigned against a derived-k
+    (hundreds-of-cells) index would silently take the interpreted
+    O(k·dim)-per-row JVM fold."""
+    return int(cents.select(F.size("cents").alias("k")).first()["k"])
 
 
 class IvfIndex(NamedTuple):
@@ -56,12 +77,27 @@ class IvfIndex(NamedTuple):
     cents: DataFrame  # single row: array of (cid, ce) centroid structs
 
 
-def build_ivf_index(corpus_emb: DataFrame) -> IvfIndex:
+def build_ivf_index(corpus_emb: DataFrame, k: int | None = None) -> IvfIndex:
     """In-session index (localCheckpoint pins); the durable form is
-    :func:`save_ivf_index` + :func:`load_ivf_index`."""
-    cents = ivf_centroids(corpus_emb).localCheckpoint()
+    :func:`save_ivf_index` + :func:`load_ivf_index`.
+
+    ``k`` (cell count) defaults to the input-size-derived
+    ``semd_cell_count`` (round 12 — a FIXED 8-cell index over a
+    growing corpus degrades per-probe work linearly in corpus size;
+    the derived count holds cell occupancy ~constant instead). At
+    every fixture/oracle scale the derivation floors to ``IVF_K`` = 8,
+    so existing indexes and tests are unchanged; above the fixture
+    regime assignment auto-routes to the Arrow kernel
+    (``_IVF_ARROW_K`` in queries/ext_similarity.py — identical
+    assignments, parity-pinned). Recall-vs-nprobe at the derived cell
+    count is measured in SCALE.md round-12 (``scaleprobe --ivf``)."""
+    from eventsgateway_spark.queries.ext_similarity import semd_cell_count
+
+    if k is None:
+        k = semd_cell_count(corpus_emb)
+    cents = ivf_centroids(corpus_emb, k).localCheckpoint()
     assign = (
-        ivf_assign_with(norm_view(corpus_emb), cents)
+        ivf_assign_with(norm_view(corpus_emb), cents, k=k)
         .withColumn("qs", sq8_codes(F.col("e"), F.col("nrm")))
         .localCheckpoint()
     )
@@ -303,7 +339,7 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
         n_new = fresh.count()
         if n_new:
             cents = spark.table(f"{table_prefix}_centroids")
-            assigned = ivf_assign_with(norm_view(fresh), cents)
+            assigned = ivf_assign_with(norm_view(fresh), cents, k=_cents_k(cents))
             if "qs" in spark.table(f"{table_prefix}_assign").columns:
                 # appended rows carry SQ8 codes iff the saved table
                 # does (a legacy pre-SQ8 table keeps its shape — a
@@ -339,7 +375,7 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
 
 def ann_lookup_batch(
     queries: DataFrame, assign: DataFrame, cents: DataFrame,
-    nprobe: int = IVF_NPROBE, topk: int = 3,
+    nprobe: int = ANN_SERVING_NPROBE, topk: int = 3,
     quantized: bool = False,
 ) -> DataFrame:
     """(qid, rn, neighbor_id, cos_sim) — top-k corpus neighbors for a
@@ -407,7 +443,7 @@ def ann_lookup_stream(
     corpus_emb: DataFrame | None,
     out_path: str,
     checkpoint: str,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int = ANN_SERVING_NPROBE,
     topk: int = 3,
     trigger_once: bool = False,
     index: IvfIndex | None = None,
@@ -466,7 +502,7 @@ def semantic_dedup_batch(
     from eventsgateway_spark.queries.ext_similarity import SEMD_TAU_U
 
     tau = SEMD_TAU_U if tau_u is None else tau_u
-    q = ivf_assign_with(norm_view(batch), cents).select(
+    q = ivf_assign_with(norm_view(batch), cents, k=_cents_k(cents)).select(
         F.col("vec_id").alias("qid"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qn"),

@@ -211,6 +211,114 @@ def run_lsh_probe(mults: tuple[int, ...] = (1, 10, 50), runs: int = 2,
     return report
 
 
+def run_ivf_probe(mult: int = 50, nprobes: tuple[int, ...] = (1, 2, 4, 8),
+                  n_queries: int = 30, root: str = "/tmp/scaleprobe_ivf",
+                  train_iters: int = 4) -> dict:
+    """Recall-vs-nprobe for the IVF serving index at scale (VERDICT
+    r11 #8): build the index over the x``mult`` embedding corpus with
+    the INPUT-DERIVED cell count (build_ivf_index's round-12 default;
+    the fixture floor of 8 cells would make every probe scan 1/8 of
+    the corpus and fake perfect recall), then answer two query
+    populations at each nprobe, scoring recall@1 against the exact
+    numpy top-1:
+
+    - **fresh** gaussian queries — the hard ANN regime (the exact NN
+      has moderate cosine; gaussian data has no cluster structure, so
+      this is IVF's worst case and the nprobe knob's true price);
+    - **neardup** queries (corpus members + noise at ~cos 0.95) — the
+      dedup/serving regime the engine actually runs (semantic_dedup
+      over an index); a near-copy lands in (or next to) its base's
+      cell, so recall here is what the SemDeDup path relies on.
+
+    Both are measured with the deterministic first-k seeding AND with
+    ``train_iters`` Lloyd rounds (operators.kmeans.train_centroids) —
+    trained centers are the production posture; first-k is the
+    oracle-reproducible stand-in."""
+    import numpy as np
+
+    from eventsgateway_spark.operators.kmeans import train_centroids
+    from eventsgateway_spark.queries import ext_similarity
+    from eventsgateway_spark.queries.ext_similarity import (
+        ivf_assign_with,
+        norm_view,
+    )
+    from eventsgateway_spark.session import get_spark
+    from eventsgateway_spark.streaming.ann_lookup import (
+        IvfIndex,
+        ann_lookup_batch,
+        build_ivf_index,
+    )
+
+    sf_dir = gen_embeddings(os.path.join(root, f"x{mult}"), mult)
+    spark = get_spark("ivfprobe")
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    k = ext_similarity.semd_cell_count(emb)
+
+    # exact top-1 (numpy, float32-faithful: the corpus parquet stores
+    # float32, so compare against the same promotion Spark reads)
+    pdf = emb.toPandas().sort_values("vec_id")
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+
+    rng = np.random.default_rng(23)
+    fresh = rng.normal(0, 1, size=(n_queries, EMB_DIM))
+    base_idx = rng.choice(len(ids), size=n_queries, replace=False)
+    # sigma for ~cos 0.95 on unit-variance coords: sqrt(1/c^2 - 1)
+    raw = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    neardup = raw[base_idx] + rng.normal(0, 0.3287, size=(n_queries, EMB_DIM))
+
+    def query_frame(vecs, id0):
+        return spark.createDataFrame(
+            [(id0 + i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+
+    def exact_top1(vecs):
+        Q = vecs.astype(np.float32).astype(np.float64)
+        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+        return [int(ids[int(np.argmax(M @ q))]) for q in Q]
+
+    pops = {
+        "fresh": (query_frame(fresh, 100_000_000), exact_top1(fresh)),
+        "neardup": (query_frame(neardup, 200_000_000), exact_top1(neardup)),
+    }
+
+    report: dict = {"n_vecs": BASE_VECS * mult, "cells": k}
+    seeded = build_ivf_index(emb, k)
+    seeded.assign.count()
+    trained_cents, history = train_centroids(emb, k=k, iters=train_iters)
+    trained = IvfIndex(
+        assign=ivf_assign_with(norm_view(emb), trained_cents, k=k)
+        .localCheckpoint(),
+        cents=trained_cents,
+    )
+    report["inertia"] = [round(h / 1e6, 1) for h in history]
+    for label, idx in (("seeded", seeded), ("trained", trained)):
+        for pop, (qdf, exact) in pops.items():
+            id0 = 100_000_000 if pop == "fresh" else 200_000_000
+            for np_ in nprobes:
+                t0 = time.perf_counter()
+                got = {
+                    r["qid"]: r["neighbor_id"]
+                    for r in ann_lookup_batch(
+                        qdf, idx.assign, idx.cents, nprobe=np_, topk=1
+                    ).collect()
+                }
+                wall = time.perf_counter() - t0
+                hits = sum(
+                    1 for i, e in enumerate(exact) if got.get(id0 + i) == e
+                )
+                key = f"{label}_{pop}_nprobe{np_}"
+                report[key] = {
+                    "recall@1": f"{hits}/{n_queries}", "wall_s": round(wall, 2),
+                }
+                print(f"{key}: {report[key]}", flush=True)
+    print(json.dumps(report))
+    spark.stop()
+    return report
+
+
 def run_probe(mults: tuple[int, ...] = (1, 10, 100), runs: int = 2,
               root: str = "/tmp/scaleprobe",
               probe_queries: tuple[str, ...] = PROBE_QUERIES) -> dict:
@@ -280,8 +388,12 @@ if __name__ == "__main__":
                     help="comma-separated subset of the probe set")
     ap.add_argument("--lsh", action="store_true",
                     help="run the embeddings/LSH plane-scaling probe instead")
+    ap.add_argument("--ivf", action="store_true",
+                    help="run the IVF recall-vs-nprobe probe instead")
     args = ap.parse_args()
-    if args.lsh:
+    if args.ivf:
+        run_ivf_probe(int(args.mults.split(",")[-1]))
+    elif args.lsh:
         run_lsh_probe(tuple(int(m) for m in args.mults.split(",")), args.runs)
     else:
         run_probe(tuple(int(m) for m in args.mults.split(",")), args.runs,

@@ -164,6 +164,7 @@ _BNLJ_ALLOWED = {
     "q82_importance_weights",  # 1-row smoothing constants (v, totals)
     "q83_importance_resample",  # same 1-row constants via importance_model
     "q84_bigram_lm_score",  # 1-row vocabulary count
+    "q86_ivf_cell_stats",  # 1-row centroid array (ivf_assign, q43's shape)
 }
 
 
