@@ -316,8 +316,8 @@ def ann_topk_bucketed(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 3,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     scorer: str = "fold",
 ) -> DataFrame:
     """ANN top-k restricted to same-LSH-bucket candidates (the scale
@@ -326,6 +326,13 @@ def ann_topk_bucketed(
     shares a bucket in ANY table) — the standard recall amplification;
     each table is still an equi-join on an int key, so candidate volume
     per query tracks bucket occupancy × tables, not corpus size.
+    Defaults (round 12): both knobs come from the coupled
+    ``lsh_family`` ladder over the CORPUS side, with this helper's
+    historical (4 planes, 8 tables) as the floors — the recall-heavy
+    end of the family, matching its query-lookup shape (per-query
+    candidate cost is occupancy × tables, so lower planes per table
+    are affordable here); pass explicit values to pin a configuration
+    (the recall test does).
     Norms are precomputed once per VECTOR (not per pair), so per-pair
     work is one dot product. ``scorer='fold'`` (default) keeps the
     sequential JVM fold — bit-reproducible, and MEASURED faster at
@@ -335,6 +342,10 @@ def ann_topk_bucketed(
     outgrows transfer (high dims, heavier kernels). Returns
     (qid, rn, neighbor_id, cos_sim). Recall and fold/arrow agreement
     are tested in tests/test_ext.py."""
+    if n_planes is None or n_tables is None:
+        p_auto, t_auto = lsh_family(emb, 4, 8)
+        n_planes = p_auto if n_planes is None else n_planes
+        n_tables = t_auto if n_tables is None else n_tables
     c_base = (
         emb.select(
             F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("ce"),
@@ -1168,7 +1179,11 @@ def q85_lsh_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle except the (tbl, bucket) occupancy table."""
     emb = table(spark, sf_dir, "embeddings")
     np_, nt_ = lsh_family(emb, _ND_PLANES, _ND_TABLES)
-    v = (
+    # pin: the frame fans out to nt_ per-table branches — unpinned,
+    # every branch would re-run the scan + zero-norm filter fold
+    # (q38's discipline; identity at the fixture's nt_=2, material at
+    # the ladder's 8-table top rung)
+    v = pin(
         spread(emb)
         # squared-sum filter BEFORE any norm projection (q33 plan-test
         # discipline; mirrors _DUCK_V_NONZERO's input universe)

@@ -465,3 +465,37 @@ def test_quality_propagation_random_graphs(spark):
             }
         want = {v: (len(nbrs[v]), s0[v], s[v]) for v in range(n)}
         assert got == want, f"trial {trial}"
+
+
+@given(est=st.integers(min_value=1, max_value=10**14),
+       floor_p=st.integers(min_value=4, max_value=10),
+       floor_t=st.integers(min_value=1, max_value=4))
+@settings(max_examples=300, deadline=None)
+def test_lsh_ladder_invariants(est, floor_p, floor_t):
+    """Round-12 OR-construction ladder properties, for ANY input size
+    and family floors:
+
+    - floors respected and monotone non-decreasing in est_rows;
+    - tables capped at 4x the floor, planes at 16 + 2 doublings;
+    - uniform-ideal candidate volume T / 2^p_eff never exceeds the
+      floor family's floor_t / 2^base (each table-doubling must buy
+      its plane — the budget-neutrality contract);
+    - the effective plane count equals base + log2(T / floor_t)."""
+    from eventsgateway_spark.queries.ext_similarity import (
+        planes_for_rows,
+        tables_for_rows,
+    )
+
+    base = planes_for_rows(est, floor_p)
+    t = tables_for_rows(est, floor_p, floor_t)
+    assert base >= floor_p and t >= floor_t
+    assert t <= 4 * floor_t
+    assert t % floor_t == 0 and (t // floor_t).bit_length() - 1 >= 0
+    doublings = (t // floor_t).bit_length() - 1
+    assert floor_t << doublings == t  # a power-of-two multiple
+    p_eff = base + doublings
+    assert t / (1 << p_eff) <= floor_t / (1 << base) + 1e-15
+    # monotonicity in input size (same floors)
+    base2 = planes_for_rows(est * 2, floor_p)
+    t2 = tables_for_rows(est * 2, floor_p, floor_t)
+    assert base2 >= base and t2 >= t
