@@ -328,11 +328,11 @@ def ann_topk_bucketed(
     per query tracks bucket occupancy × tables, not corpus size.
     Defaults (round 12): both knobs come from the coupled
     ``lsh_family`` ladder over the CORPUS side, with this helper's
-    historical (4 planes, 8 tables) as the floors — the recall-heavy
-    end of the family, matching its query-lookup shape (per-query
-    candidate cost is occupancy × tables, so lower planes per table
-    are affordable here); pass explicit values to pin a configuration
-    (the recall test does).
+    historical defaults (8 planes, 4 tables) as the floors — so a
+    fixture-scale or unknown-size corpus gets exactly the historical
+    operating point, and only genuinely large corpora climb the
+    ladder. Pass explicit values to pin a configuration (the recall
+    test pins the 4-plane/8-table recall-heavy protocol).
     Norms are precomputed once per VECTOR (not per pair), so per-pair
     work is one dot product. ``scorer='fold'`` (default) keeps the
     sequential JVM fold — bit-reproducible, and MEASURED faster at
@@ -343,10 +343,15 @@ def ann_topk_bucketed(
     (qid, rn, neighbor_id, cos_sim). Recall and fold/arrow agreement
     are tested in tests/test_ext.py."""
     if n_planes is None or n_tables is None:
-        p_auto, t_auto = lsh_family(emb, 4, 8)
+        p_auto, t_auto = lsh_family(emb, 8, 4)
         n_planes = p_auto if n_planes is None else n_planes
         n_tables = t_auto if n_tables is None else n_tables
-    c_base = (
+    # pin both sides: they fan out to n_tables bucket branches PLUS the
+    # scoring join — unpinned, every branch re-runs the scan + promote
+    # + norm fold + zero-norm filter (q38/q85 discipline; at the
+    # ladder's multi-table rungs that multiplies the dominant map-side
+    # CPU by the table count)
+    c_base = pin(
         emb.select(
             F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("ce"),
             F.col("embedding").alias("c_raw"),
@@ -354,7 +359,7 @@ def ann_topk_bucketed(
         .withColumn("cn", norm(F.col("ce")))
         .filter(F.col("cn") > 0)  # norm_view semantic — the score divides by cn
     )
-    q_base = (
+    q_base = pin(
         queries.select(
             F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qe"),
             F.col("embedding").alias("q_raw"),
@@ -745,11 +750,22 @@ def ivf_assign(emb: DataFrame, k: int = IVF_K) -> DataFrame:
 
 
 def ivf_probe_with(
-    v: DataFrame, cents: DataFrame, nprobe: int = IVF_NPROBE
+    v: DataFrame, cents: DataFrame, nprobe: int = IVF_NPROBE,
+    k: int | None = None,
 ) -> DataFrame:
     """(qid, qe, qn, cell_id): the ``nprobe`` nearest centroid cells per
     query row — ``array_sort`` on the same (dist, cid) structs, then
-    ``slice``. One row per (query, probed cell)."""
+    ``slice``. One row per (query, probed cell).
+
+    ``k`` is the same Arrow-routing hint as :func:`ivf_assign_with`
+    (round-12 review finding: the corpus-side assignment auto-routes
+    past ``_IVF_ARROW_K``, but the query side pays the identical
+    O(k·dim) interpreted fold per row — and an availableNow backlog
+    replay makes the "query side" corpus-sized). The Arrow probe
+    replicates the fold's semantics exactly: HALF_UP-at-6dp squared-L2,
+    (dist, cid) ordering, first ``nprobe`` cells."""
+    if arrow_scorer() or (k is not None and k > _IVF_ARROW_K):
+        return ivf_probe_arrow(v, cents, nprobe)
     return v.crossJoin(F.broadcast(cents)).select(
         F.col("vec_id").alias("qid"),
         F.col("e").alias("qe"),
@@ -759,6 +775,45 @@ def ivf_probe_with(
                 F.slice(F.array_sort(_dist_structs()), 1, nprobe), lambda s: s["cid"]
             )
         ).alias("cell_id"),
+    )
+
+
+def ivf_probe_arrow(
+    v: DataFrame, cents: DataFrame, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """Arrow-vectorized probe: one numpy matmul per batch computes all
+    K distances, HALF_UP-rounded at 6dp like the JVM fold; per row the
+    ``nprobe`` cells in (dist, cid) order are returned as an array and
+    exploded — identical rows to the ``array_sort``+``slice`` path
+    (pinned by tests/test_ext.py::test_ivf_probe_arrow_matches_fold)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = cents.first()["cents"]
+    order = sorted(range(len(rows)), key=lambda i: rows[i]["cid"])
+    cids = np.array([rows[i]["cid"] for i in order], dtype=np.int64)
+    C = np.stack([np.asarray(rows[i]["ce"], dtype=np.float64) for i in order])
+    c_sq = (C * C).sum(axis=1)
+    take = min(nprobe, len(cids))
+
+    # no type annotations (pandas_udf hint inference vs lazy pd import
+    # — the ivf_assign_arrow convention)
+    def _cells_of(es):
+        X = np.stack(es.values).astype(np.float64, copy=False)
+        d2 = (X * X).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (X @ C.T)
+        d2 = np.floor(np.maximum(d2, 0.0) * 1e6 + 0.5)  # HALF_UP at 6dp
+        # cids are ascending, so a stable argsort on d2 alone breaks
+        # distance ties toward the smaller cid — the struct order
+        nearest = np.argsort(d2, axis=1, kind="stable")[:, :take]
+        return pd.Series(list(cids[nearest]))
+
+    cells_of = F.pandas_udf(_cells_of, "array<bigint>")
+
+    return v.select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.explode(cells_of(F.col("e"))).alias("cell_id"),
     )
 
 

@@ -376,7 +376,7 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
 def ann_lookup_batch(
     queries: DataFrame, assign: DataFrame, cents: DataFrame,
     nprobe: int = ANN_SERVING_NPROBE, topk: int = 3,
-    quantized: bool = False,
+    quantized: bool = False, k: int | None = None,
 ) -> DataFrame:
     """(qid, rn, neighbor_id, cos_sim) — top-k corpus neighbors for a
     (vec_id, embedding) query frame, searching only the probed cells.
@@ -394,7 +394,9 @@ def ann_lookup_batch(
     frame carries the ``qs`` column (every index built or saved by
     this version does; a legacy table without it is refused loudly —
     re-save to upgrade)."""
-    probes = ivf_probe_with(norm_view(queries), cents, nprobe)
+    if k is None:
+        k = _cents_k(cents)
+    probes = ivf_probe_with(norm_view(queries), cents, nprobe, k=k)
     if quantized:
         if "qs" not in assign.columns:
             raise ValueError(
@@ -459,12 +461,17 @@ def ann_lookup_stream(
             raise ValueError("need corpus_emb or a prebuilt index")
         index = build_ivf_index(corpus_emb)
     assign, cents = index.assign, index.cents
+    # cell count hoisted ONCE at stream setup (round-12 review finding:
+    # cents is constant for the stream's lifetime — resolving it inside
+    # foreachBatch would pay a driver job per micro-batch forever)
+    k = _cents_k(cents)
 
     def _answer(batch_df: DataFrame, batch_id: int) -> None:
         # batch_id partition + dynamic overwrite: a checkpoint replay
         # rewrites its own partition instead of appending duplicates
         (
-            ann_lookup_batch(batch_df, assign, cents, nprobe, topk, quantized)
+            ann_lookup_batch(batch_df, assign, cents, nprobe, topk, quantized,
+                             k=k)
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -486,7 +493,8 @@ def ann_lookup_stream(
 
 
 def semantic_dedup_batch(
-    batch: DataFrame, assign: DataFrame, cents: DataFrame, tau_u: int | None = None
+    batch: DataFrame, assign: DataFrame, cents: DataFrame,
+    tau_u: int | None = None, k: int | None = None,
 ) -> DataFrame:
     """(vec_id, cell_id, dropped, max_sim_u) — mark each incoming
     vector a semantic duplicate iff some CORPUS vector in its IVF cell
@@ -502,7 +510,9 @@ def semantic_dedup_batch(
     from eventsgateway_spark.queries.ext_similarity import SEMD_TAU_U
 
     tau = SEMD_TAU_U if tau_u is None else tau_u
-    q = ivf_assign_with(norm_view(batch), cents, k=_cents_k(cents)).select(
+    if k is None:
+        k = _cents_k(cents)
+    q = ivf_assign_with(norm_view(batch), cents, k=k).select(
         F.col("vec_id").alias("qid"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qn"),

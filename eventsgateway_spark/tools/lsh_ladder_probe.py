@@ -35,9 +35,14 @@ SEED = 11  # scaleprobe.gen_embeddings's seed — same corpus law
 
 
 def gen_vectors(n: int, seed: int = SEED):
-    """Same generator law as scaleprobe.gen_embeddings (python
-    random.Random so the corpus is bit-identical to the parquet one),
-    returning (matrix, planted_pairs)."""
+    """REPLICATES scaleprobe.gen_embeddings' corpus law (same seed,
+    same RNG-consumption order, same constants — keep the two in sync
+    when the law changes; gen_embeddings needs pyarrow+disk while this
+    probe wants an in-memory matrix, hence the copy), returning
+    (matrix, planted_pairs). Values go through float32 exactly as the
+    parquet storage does, so projections match what q38 actually
+    reads (a float64 probe can flip the sign of near-zero
+    projections relative to the real input)."""
     rng = random.Random(seed)
     vecs: list[list[float]] = []
     planted: list[tuple[int, int]] = []
@@ -49,7 +54,8 @@ def gen_vectors(n: int, seed: int = SEED):
             planted.append((j, i))
         else:
             vecs.append([rng.gauss(0, 1) for _ in range(DIM)])
-    return np.array(vecs, dtype=np.float64), planted
+    m = np.array(vecs, dtype=np.float32).astype(np.float64)
+    return m, planted
 
 
 def plane_matrix(j0: int, j1: int, dim: int = DIM) -> np.ndarray:
@@ -91,7 +97,8 @@ def banded_pairs(X: np.ndarray, seed: int = 99):
             rows.append(X[i] + rng.normal(0, sigma, size=X.shape[1]))
             pairs[c].append((int(i), nxt))
             nxt += 1
-    return np.vstack([X] + [np.array(rows)]), pairs
+    ext = np.array(rows, dtype=np.float32).astype(np.float64)  # parquet law
+    return np.vstack([X, ext]), pairs
 
 
 def probe_config(X: np.ndarray, planted, band_map, n_tables: int,

@@ -32,6 +32,7 @@ import json
 import math
 import os
 import random
+import sys
 import time
 
 BASE_DOCS = 5_000  # sf0.1 documents row count
@@ -392,7 +393,13 @@ if __name__ == "__main__":
                     help="run the IVF recall-vs-nprobe probe instead")
     args = ap.parse_args()
     if args.ivf:
-        run_ivf_probe(int(args.mults.split(",")[-1]))
+        # --ivf is a single-scale probe: take the last of an EXPLICIT
+        # --mults, else x50 (the SCALE.md round-12 protocol — 100k
+        # vectors / 262 derived cells). Reusing --mults' multi-scale
+        # default would silently run x100 and desync every recorded
+        # recall number (round-12 review finding).
+        explicit = any(a.startswith("--mults") or a == "-m" for a in sys.argv[1:])
+        run_ivf_probe(int(args.mults.split(",")[-1]) if explicit else 50)
     elif args.lsh:
         run_lsh_probe(tuple(int(m) for m in args.mults.split(",")), args.runs)
     else:

@@ -283,13 +283,17 @@ def test_lsh_table_ladder_boundaries():
         assert t / (1 << eff) <= 2 / (1 << base) + 1e-12, est
 
 
-def test_lsh_family_floors_at_fixture_scale():
-    """lsh_family must return the exact oracle constants (floor planes,
-    floor tables) for every shipped fixture AND for unknown-size
-    inputs — the static DuckDB q38 mirror (6 planes × 2 tables) is
-    only exact under that guarantee."""
+def test_lsh_family_floors_at_fixture_scale(spark):
+    """lsh_family ITSELF (not just the pure ladders) must return the
+    exact oracle constants (floor planes, floor tables) for every
+    shipped fixture AND for unknown-size inputs — the static DuckDB
+    q38 mirror (6 planes × 2 tables) is only exact under that
+    guarantee. (Round-12 review finding: the original test asserted
+    only tables_for_rows, so a regression in lsh_family's None branch
+    or its effective-plane arithmetic would have passed.)"""
     from eventsgateway_spark.queries.ext_similarity import (
         _EMB_ROW_BYTES,
+        lsh_family,
         tables_for_rows,
     )
     import os
@@ -298,6 +302,28 @@ def test_lsh_family_floors_at_fixture_scale():
         b = os.path.getsize(f"/root/testdata/sf{sf}/embeddings.parquet")
         est = max(b // _EMB_ROW_BYTES, 1)
         assert tables_for_rows(est, 6, 2) == 2, sf
+        emb = spark.read.parquet(f"/root/testdata/sf{sf}/embeddings.parquet")
+        assert lsh_family(emb, 6, 2) == (6, 2), sf
+        assert lsh_family(emb, 8, 4) == (8, 4), sf
+    # unknown-size input (createDataFrame — no file stats): floors,
+    # in (planes, tables) order
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assert lsh_family(tiny, 6, 2) == (6, 2)
+    # effective-plane arithmetic at a ladder rung: 100k rows with
+    # floors (6, 2) → base 11, extra 5 → 8 tables, 13 effective planes
+    big = 100_000 * _EMB_ROW_BYTES
+
+    import eventsgateway_spark.queries.ext_similarity as xs
+    import eventsgateway_spark.queries._util as util
+
+    orig = util.known_input_bytes
+    util.known_input_bytes = lambda df: big
+    try:
+        assert xs.lsh_family(tiny, 6, 2) == (13, 8)
+    finally:
+        util.known_input_bytes = orig
 
 
 # ---------------------------------------------------------------------------

@@ -1271,3 +1271,31 @@ def test_lsh_bucket_survives_high_dims(spark):
     assert set(got) == {0, 1}
     # antipodal vectors flip every projection sign: complementary buckets
     assert got[0] ^ got[1] == (1 << 8) - 1
+
+
+def test_ivf_probe_arrow_matches_fold(spark):
+    """ivf_probe_arrow must emit exactly the JVM array_sort+slice
+    path's rows — HALF_UP-at-6dp squared-L2, (dist, cid) tie-break,
+    first nprobe cells — at several nprobe values including past the
+    cell count (slice truncates; argsort take must too)."""
+    from eventsgateway_spark.queries.ext_similarity import (
+        IVF_K,
+        ivf_centroids,
+        ivf_probe_arrow,
+        ivf_probe_with,
+        norm_view,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    v = norm_view(emb).filter(F.col("vec_id") < 40)
+    cents = ivf_centroids(emb, IVF_K).localCheckpoint()
+    for nprobe in (1, 2, 3, IVF_K, IVF_K + 5):
+        fold = {
+            (r["qid"], r["cell_id"])
+            for r in ivf_probe_with(v, cents, nprobe).collect()
+        }
+        arrow = {
+            (r["qid"], r["cell_id"])
+            for r in ivf_probe_arrow(v, cents, nprobe).collect()
+        }
+        assert fold == arrow and len(arrow) > 0, nprobe
