@@ -188,6 +188,66 @@ def dot_codes(a: Column, b: Column) -> Column:
     )
 
 
+def lsh_buckets_arrow(vec: Column, n_planes: int, n_tables: int) -> Column:
+    """ALL ``n_tables`` bucket ids for a vector in one Arrow batch —
+    ``array<bigint>`` indexed by table id; bit/plane layout identical
+    to ``lsh_bucket`` (plane j = table_id·n_planes + b).
+
+    The round-12 table ladder made bucket computation the hot loop
+    (T·p interpreted fold projections per vector — 104 at the 8×13
+    rung); this kernel computes the whole T·p × dim projection as one
+    numpy matmul per batch. Numerics: each product x·w is EXACT in
+    float64 (float32-promoted mantissa 24 bits × |w| ≤ 510 ≈ 10 bits),
+    so summation order cannot flip a sign unless the 53-bit budget is
+    exceeded — fixture-scale equality with the JVM fold is pinned by
+    tests/test_ext.py::test_lsh_buckets_arrow_matches_fold. Used only
+    ABOVE the oracle regime (q38/q85 gate on the family being past
+    its floors), so hash-checked rows never depend on it.
+
+    Coefficients are captured as plain ints in the closure (no module
+    references — cloudpickle ships the nested function by value, so
+    no ship_package dependency)."""
+    import numpy as np
+    import pandas as pd
+
+    coeffs = [_plane_coeffs(j) for j in range(n_tables * n_planes)]
+    pw = np.left_shift(1, np.arange(n_planes, dtype=np.int64))
+
+    def _buckets(es):
+        w_cache: dict[int, np.ndarray] = _buckets._w  # per-worker
+        try:
+            X = np.stack(es.values).astype(np.float64, copy=False)
+        except ValueError:
+            # NULL / ragged rows: the JVM fold would yield NULL buckets
+            # for them; mirror per-row (taken only on bad batches)
+            out = []
+            for v in es.values:
+                if v is None:
+                    out.append(None)
+                    continue
+                one = _buckets(pd.Series([v]))
+                out.append(one.iloc[0])
+            return pd.Series(out)
+        dim = X.shape[1]
+        W = w_cache.get(dim)
+        if W is None:
+            d1 = np.arange(2, dim + 2, dtype=np.int64)
+            W = np.array(
+                [(c1 * d1 + c2 * d1 * d1) % 1021 - 510 for c1, c2 in coeffs],
+                dtype=np.float64,
+            ).T  # dim × (T·p)
+            w_cache[dim] = W
+        bits = (X @ W) >= 0  # B × (T·p)
+        per_table = [
+            bits[:, t * n_planes:(t + 1) * n_planes] @ pw
+            for t in range(n_tables)
+        ]
+        return pd.Series(list(np.stack(per_table, axis=1)))
+
+    _buckets._w = {}
+    return F.pandas_udf(_buckets, "array<bigint>")(vec)
+
+
 def lsh_bucket(vec: Column, n_planes: int = 8, table_id: int = 0) -> Column:
     """Signed-random-projection bucket id in [0, 2^n_planes).
 

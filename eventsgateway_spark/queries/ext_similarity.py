@@ -33,6 +33,7 @@ from eventsgateway_spark.functions.vectors import (
     dot,
     dot_arrow,
     lsh_bucket,
+    lsh_buckets_arrow,
     norm,
     norm_sq,
 )
@@ -554,16 +555,43 @@ def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(norm_sq(F.col("e")) > 0)
         .select("vec_id", "raw", "e", norm(F.col("e")).alias("nrm"))
     )
-    cand = None
-    for t in range(nt_):
-        b = v.select("vec_id", lsh_bucket(F.col("raw"), np_, t).alias("bucket"))
+    if (np_, nt_) == (_ND_PLANES, _ND_TABLES):
+        # oracle regime (family at its floors): JVM fold buckets, one
+        # equi-join per table — bit-level oracle reproducibility
+        cand = None
+        for t in range(nt_):
+            b = v.select(
+                "vec_id", lsh_bucket(F.col("raw"), np_, t).alias("bucket")
+            )
+            x, y = b.alias("x"), b.alias("y")
+            p = x.join(
+                y,
+                (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            ).select(
+                F.col("x.vec_id").alias("id1"), F.col("y.vec_id").alias("id2")
+            )
+            cand = p if cand is None else cand.unionAll(p)
+    else:
+        # above the floors (no oracle runs here): ONE Arrow pass
+        # computes all nt_ buckets per vector (the ladder made T·p
+        # fold projections the hot loop — lsh_buckets_arrow's matmul
+        # kernel; fixture equality with the fold pinned in
+        # tests/test_ext.py), and the per-table joins collapse into a
+        # single self-join on (tbl, bucket) — same candidate set
+        b = v.select(
+            "vec_id",
+            F.posexplode(
+                lsh_buckets_arrow(F.col("raw"), np_, nt_)
+            ).alias("tbl", "bucket"),
+        )
         x, y = b.alias("x"), b.alias("y")
-        p = x.join(
+        cand = x.join(
             y,
-            (F.col("x.bucket") == F.col("y.bucket"))
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         ).select(F.col("x.vec_id").alias("id1"), F.col("y.vec_id").alias("id2"))
-        cand = p if cand is None else cand.unionAll(p)
     # explicit repartition: the candidate pairs are only a few MB, so
     # AQE would coalesce them to 1 partition — but the per-pair dot
     # fold is CPU-bound (higher-order functions are interpreted, not
@@ -1245,13 +1273,22 @@ def q85_lsh_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(norm_sq(as_double(F.col("embedding"))) > 0)
         .select("vec_id", "embedding")
     )
-    per_table = None
-    for t in range(nt_):
-        b = v.select(
-            F.lit(t).alias("tbl"),
-            lsh_bucket(F.col("embedding"), np_, t).alias("bucket"),
+    if (np_, nt_) == (_ND_PLANES, _ND_TABLES):
+        # oracle regime: JVM fold buckets (bit-level reproducibility)
+        per_table = None
+        for t in range(nt_):
+            b = v.select(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col("embedding"), np_, t).alias("bucket"),
+            )
+            per_table = b if per_table is None else per_table.unionAll(b)
+    else:
+        # above the floors: one Arrow pass for all tables (q38's gate)
+        per_table = v.select(
+            F.posexplode(
+                lsh_buckets_arrow(F.col("embedding"), np_, nt_)
+            ).alias("tbl", "bucket")
         )
-        per_table = b if per_table is None else per_table.unionAll(b)
     occ = per_table.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("n"))
     return (
         occ.groupBy("tbl")

@@ -1299,3 +1299,37 @@ def test_ivf_probe_arrow_matches_fold(spark):
             for r in ivf_probe_arrow(v, cents, nprobe).collect()
         }
         assert fold == arrow and len(arrow) > 0, nprobe
+
+
+def test_lsh_buckets_arrow_matches_fold(spark):
+    """lsh_buckets_arrow must emit, per vector, EXACTLY the per-table
+    lsh_bucket fold values for every table — at the q38 floors and at
+    a ladder rung (8x13: plane indices up to 103, the BIGINT-lift
+    regime). Each product x·w is exact in float64, so the matmul's
+    summation order cannot diverge from the sequential fold within
+    the 53-bit budget; this pins it on real fixture data."""
+    from eventsgateway_spark.functions.vectors import (
+        lsh_bucket,
+        lsh_buckets_arrow,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    for n_planes, n_tables in ((6, 2), (13, 8)):
+        cols = [
+            lsh_bucket(F.col("embedding"), n_planes, t).alias(f"f{t}")
+            for t in range(n_tables)
+        ]
+        fold = {
+            r["vec_id"]: tuple(r[f"f{t}"] for t in range(n_tables))
+            for r in emb.select("vec_id", *cols).collect()
+        }
+        arrow = {
+            r["vec_id"]: tuple(r["bs"])
+            for r in emb.select(
+                "vec_id",
+                lsh_buckets_arrow(
+                    F.col("embedding"), n_planes, n_tables
+                ).alias("bs"),
+            ).collect()
+        }
+        assert fold == arrow and len(arrow) > 0, (n_planes, n_tables)
