@@ -217,18 +217,32 @@ def lsh_buckets_arrow(vec: Column, n_planes: int, n_tables: int) -> Column:
         w_cache: dict[int, np.ndarray] = _buckets._w  # per-worker
         try:
             X = np.stack(es.values).astype(np.float64, copy=False)
-        except ValueError:
-            # NULL / ragged rows: the JVM fold would yield NULL buckets
-            # for them; mirror per-row (taken only on bad batches)
+            if X.ndim != 2:
+                # an all-NULL batch stacks 0-d Nones into a 1-D object
+                # array instead of raising — route it to the fallback
+                raise ValueError("non-rectangular batch")
+        except (ValueError, TypeError):
+            # NULL / ragged rows break np.stack; mirror the fold
+            # per-row (taken only on bad batches — the q38/q85 gates
+            # filter norm_sq > 0 first, so neither occurs in practice).
+            # A NULL vector folds to bucket 0 in EVERY table on the
+            # JVM path (NULL projection → when(NULL >= 0) is false-ish
+            # → otherwise(0) per bit), so mirror that, not NULL.
             out = []
             for v in es.values:
                 if v is None:
-                    out.append(None)
+                    out.append(np.zeros(n_tables, dtype=np.int64))
                     continue
                 one = _buckets(pd.Series([v]))
                 out.append(one.iloc[0])
             return pd.Series(out)
         dim = X.shape[1]
+        if dim == 0:
+            # empty vectors fold to bucket 0 on the JVM path (its
+            # zip_with against sequence(1, 0) = [1, 0] pads with NULLs
+            # → NULL projection → otherwise(0) per bit), NOT to the
+            # all-ones bucket a literal 0.0-projection would give
+            return pd.Series([np.zeros(n_tables, dtype=np.int64)] * len(X))
         W = w_cache.get(dim)
         if W is None:
             d1 = np.arange(2, dim + 2, dtype=np.int64)

@@ -1333,3 +1333,31 @@ def test_lsh_buckets_arrow_matches_fold(spark):
             ).collect()
         }
         assert fold == arrow and len(arrow) > 0, (n_planes, n_tables)
+    # hostile shapes: NULL vector (JVM folds to bucket 0 per table via
+    # the NULL-projection otherwise(0)), ragged lengths, EMPTY array
+    # (zip_with vs sequence(1,0) pads to NULL → bucket 0, not the
+    # all-ones a literal 0.0 projection would set), all-zero vector
+    # (0.0 projections → all-ones bucket on BOTH paths)
+    hostile = spark.createDataFrame(
+        [(0, [1.0, -2.0, 0.5]), (1, None), (2, [0.25] * 7), (3, []),
+         (4, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    fold = {
+        r["vec_id"]: tuple(r[f"f{t}"] for t in range(3))
+        for r in hostile.select(
+            "vec_id",
+            *[lsh_bucket(F.col("embedding"), 5, t).alias(f"f{t}")
+              for t in range(3)],
+        ).collect()
+    }
+    arrow = {
+        r["vec_id"]: tuple(r["bs"])
+        for r in hostile.select(
+            "vec_id",
+            lsh_buckets_arrow(F.col("embedding"), 5, 3).alias("bs"),
+        ).collect()
+    }
+    assert fold == arrow
+    assert fold[1] == (0, 0, 0) and fold[3] == (0, 0, 0)  # NULL + empty
+    assert fold[4] == (31, 31, 31)  # all-zero vector: every proj 0.0 >= 0
