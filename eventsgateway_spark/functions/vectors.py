@@ -262,6 +262,88 @@ def lsh_buckets_arrow(vec: Column, n_planes: int, n_tables: int) -> Column:
     return F.pandas_udf(_buckets, "array<bigint>")(vec)
 
 
+def lsh_probe_buckets_arrow(
+    vec: Column, n_planes: int, n_tables: int, n_flips: int
+) -> Column:
+    """Query-directed MULTIPROBE buckets: per table, the exact bucket
+    followed by ``n_flips`` single-bit variants, flipping the planes
+    whose |projection| is smallest — the bits most likely to disagree
+    with a true near neighbor's signature (Lv et al.'s multi-probe
+    LSH, the recall knob that costs NO extra index: only the QUERY
+    side probes extra buckets; the corpus keeps one bucket per
+    table). Returns ``array<bigint>`` of length n_tables·(1+n_flips),
+    position-major by table: ``pos // (1+n_flips)`` is the table id —
+    the join-side contract ann_topk_bucketed's multiprobe path
+    decodes. Tie-break on equal |projection| is stable argsort →
+    plane index order, deterministic. The exact bucket (flip 0) is
+    bit-equal to ``lsh_bucket``/``lsh_buckets_arrow`` (same exact-
+    float64-product argument; pinned by tests/test_ext.py::
+    test_lsh_multiprobe_contract)."""
+    import numpy as np
+    import pandas as pd
+
+    coeffs = [_plane_coeffs(j) for j in range(n_tables * n_planes)]
+    pw = np.left_shift(1, np.arange(n_planes, dtype=np.int64))
+    width = 1 + n_flips
+
+    def _degenerate_row():
+        # NULL/empty vector: exact bucket 0 per table (lsh_bucket's
+        # NULL-projection semantics); flip variants resolve the all-tie
+        # |projection| order stably in plane order → single-bit buckets
+        per_table = np.concatenate((
+            [0],
+            np.left_shift(1, np.arange(min(n_flips, n_planes), dtype=np.int64)),
+            np.zeros(max(0, n_flips - n_planes), dtype=np.int64),
+        ))
+        return np.concatenate([per_table] * n_tables)
+
+    def _probes(es):
+        w_cache: dict[int, np.ndarray] = _probes._w
+        out_width = n_tables * width
+        try:
+            X = np.stack(es.values).astype(np.float64, copy=False)
+            if X.ndim != 2:
+                raise ValueError("non-rectangular batch")
+        except (ValueError, TypeError):
+            out = []
+            for v in es.values:
+                if v is None:
+                    out.append(_degenerate_row())
+                    continue
+                out.append(_probes(pd.Series([v])).iloc[0])
+            return pd.Series(out)
+        dim = X.shape[1]
+        if dim == 0:
+            return pd.Series([_degenerate_row() for _ in range(len(X))])
+        W = w_cache.get(dim)
+        if W is None:
+            d1 = np.arange(2, dim + 2, dtype=np.int64)
+            W = np.array(
+                [(c1 * d1 + c2 * d1 * d1) % 1021 - 510 for c1, c2 in coeffs],
+                dtype=np.float64,
+            ).T
+            w_cache[dim] = W
+        P = X @ W  # B × (T·p) signed projections
+        bits = P >= 0
+        cols = []
+        for t in range(n_tables):
+            seg = slice(t * n_planes, (t + 1) * n_planes)
+            b0 = bits[:, seg] @ pw  # exact bucket
+            cols.append(b0)
+            if n_flips:
+                order = np.argsort(np.abs(P[:, seg]), axis=1, kind="stable")
+                for f in range(min(n_flips, n_planes)):
+                    cols.append(b0 ^ np.left_shift(1, order[:, f].astype(np.int64)))
+                for _ in range(max(0, n_flips - n_planes)):
+                    cols.append(b0)  # degenerate n_flips > planes: repeat
+        M = np.stack(cols, axis=1)  # B × (T·width)
+        assert M.shape[1] == out_width
+        return pd.Series(list(M))
+
+    _probes._w = {}
+    return F.pandas_udf(_probes, "array<bigint>")(vec)
+
+
 def lsh_bucket(vec: Column, n_planes: int = 8, table_id: int = 0) -> Column:
     """Signed-random-projection bucket id in [0, 2^n_planes).
 

@@ -320,6 +320,7 @@ def ann_topk_bucketed(
     n_planes: int | None = None,
     n_tables: int | None = None,
     scorer: str = "fold",
+    n_flips: int = 0,
 ) -> DataFrame:
     """ANN top-k restricted to same-LSH-bucket candidates (the scale
     path behind q33's brute-force baseline). ``n_tables`` independent
@@ -342,7 +343,19 @@ def ann_topk_bucketed(
     in the einsum batch scorer for workloads where per-pair compute
     outgrows transfer (high dims, heavier kernels). Returns
     (qid, rn, neighbor_id, cos_sim). Recall and fold/arrow agreement
-    are tested in tests/test_ext.py."""
+    are tested in tests/test_ext.py.
+
+    ``n_flips`` (round 12) is query-directed MULTIPROBE — the recall
+    knob that costs no extra index: per table the QUERY also probes
+    the ``n_flips`` single-bit-flip buckets of its lowest-|projection|
+    planes (the bits most likely to disagree with a true neighbor's
+    signature), so per-query candidate volume grows at most
+    (1+n_flips)× while the corpus keeps exactly one bucket per table.
+    Measured at the fixture recall protocol (500 uniform vectors,
+    4×8): recall@1 26/30 → 28/30 (flips=1) → **30/30** (flips=2); at
+    100k vectors see SCALE.md round-12c. Buckets for BOTH sides come
+    from the Arrow kernels (bit-equal to the fold — pinned), one pass
+    per side regardless of table count."""
     if n_planes is None or n_tables is None:
         p_auto, t_auto = lsh_family(emb, 8, 4)
         n_planes = p_auto if n_planes is None else n_planes
@@ -368,17 +381,35 @@ def ann_topk_bucketed(
         .withColumn("qn", norm(F.col("qe")))
         .filter(F.col("qn") > 0)
     )
-    cand = None
-    for t in range(n_tables):
-        c = c_base.select(
-            "neighbor_id", lsh_bucket(F.col("c_raw"), n_planes, t).alias("bucket")
-        )
-        q = q_base.select(
-            "qid", lsh_bucket(F.col("q_raw"), n_planes, t).alias("bucket")
-        )
-        pairs = c.join(F.broadcast(q), "bucket").select("qid", "neighbor_id")
-        cand = pairs if cand is None else cand.unionAll(pairs)
-    cand = cand.distinct().filter(F.col("neighbor_id") != F.col("qid"))
+    from eventsgateway_spark.functions.vectors import (
+        lsh_buckets_arrow,
+        lsh_probe_buckets_arrow,
+    )
+
+    # one Arrow pass per side computes every table's bucket (bit-equal
+    # to the per-table fold loop this replaces — kernel parity pinned);
+    # the per-table joins collapse into one equi-join on (tbl, bucket)
+    c = c_base.select(
+        "neighbor_id",
+        F.posexplode(
+            lsh_buckets_arrow(F.col("c_raw"), n_planes, n_tables)
+        ).alias("tbl", "bucket"),
+    )
+    width = 1 + n_flips
+    q = q_base.select(
+        "qid",
+        F.posexplode(
+            lsh_probe_buckets_arrow(F.col("q_raw"), n_planes, n_tables, n_flips)
+        ).alias("pos", "bucket"),
+    ).select(
+        "qid", (F.col("pos") / width).cast("int").alias("tbl"), "bucket"
+    )
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .select("qid", "neighbor_id")
+        .distinct()
+        .filter(F.col("neighbor_id") != F.col("qid"))
+    )
     pair_dot = dot_arrow if scorer == "arrow" else dot
     scored = (
         cand.join(c_base.select("neighbor_id", "ce", "cn"), "neighbor_id")
