@@ -179,9 +179,12 @@ def q33_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # largest fixture estimates ~2080, pinned with margin by
 # tests/test_ansi_guards.py), so the static DuckDB mirrors stay exact,
 # and the count only rises past ~2^floor × occupancy vectors. Cap 16:
-# past 65k buckets/table, add tables or multiprobe instead (recall per
-# table collapses before the int32 bucket id does — SCALE.md
-# similarity section).
+# past 65k buckets/table, recall per table collapses before the int32
+# bucket id does — and BOTH recall levers for that regime are now
+# implemented and measured (round 12): the table-count ladder
+# (tables_for_rows below) and query-directed multiprobe
+# (functions.vectors.lsh_probe_buckets_arrow / ann_topk_bucketed's
+# n_flips — SCALE.md round-12/12c tables).
 LSH_TARGET_BUCKET_OCC = 64
 # measured parquet bytes/row of the embeddings fixtures (387-400 across
 # sf0.001-0.1); the estimate only needs to land the right power of two
