@@ -22,6 +22,8 @@ hash-match after a defensive round(6).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -34,6 +36,7 @@ from eventsgateway_spark.functions.vectors import (
     dot_arrow,
     lsh_bucket,
     lsh_buckets_arrow,
+    lsh_probe_buckets_arrow,
     norm,
     norm_sq,
 )
@@ -359,6 +362,8 @@ def ann_topk_bucketed(
     100k vectors see SCALE.md round-12c. Buckets for BOTH sides come
     from the Arrow kernels (bit-equal to the fold — pinned), one pass
     per side regardless of table count."""
+    if n_flips < 0:
+        raise ValueError(f"n_flips must be >= 0, got {n_flips}")
     if n_planes is None or n_tables is None:
         p_auto, t_auto = lsh_family(emb, 8, 4)
         n_planes = p_auto if n_planes is None else n_planes
@@ -384,11 +389,6 @@ def ann_topk_bucketed(
         .withColumn("qn", norm(F.col("qe")))
         .filter(F.col("qn") > 0)
     )
-    from eventsgateway_spark.functions.vectors import (
-        lsh_buckets_arrow,
-        lsh_probe_buckets_arrow,
-    )
-
     # one Arrow pass per side computes every table's bucket (bit-equal
     # to the per-table fold loop this replaces — kernel parity pinned);
     # the per-table joins collapse into one equi-join on (tbl, bucket)
@@ -774,31 +774,76 @@ def ivf_assign_with(
     )
 
 
-def ivf_assign_arrow(v: DataFrame, cents: DataFrame) -> DataFrame:
-    """Arrow-vectorized IVF assignment: the K×dim centroid matrix is
-    collected once (KBs — the same 'centroid row is KB-sized' contract
-    the JVM path's broadcast relies on) and captured in a pandas_udf
-    closure; each Arrow batch computes all K distances with one numpy
-    matmul. Distance semantics replicate the JVM fold exactly:
-    squared-L2 rounded HALF_UP to 6 decimals (``floor(x*1e6+0.5)`` on
-    the non-negative distances), argmin with cid tie-break."""
-    import numpy as np
-    import pandas as pd
+# One collected-centroid tuple per cents FRAME, weak-keyed so a
+# released frame frees its matrix: the streaming paths build their
+# probe/assign plans once per micro-batch against the SAME centroid
+# frame, and without the memo each batch would re-pay a driver
+# cents.first() job + K×dim stack (round-12 review finding — the
+# hoisted _cents_k saved one job per batch and the un-memoized
+# collection immediately spent one back).
+_CENTS_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
+
+def _collect_centroids(cents: DataFrame):
+    """(cids, C, c_sq) for a centroid row — cid-ascending (argmin's
+    first-match = smallest cid), memoized per DataFrame object. The
+    ONE copy of the centroid-collection law both Arrow kernels share
+    (a forked copy would let a rounding/ordering fix silently split
+    assignment from probing)."""
+    import numpy as np
+
+    hit = _CENTS_CACHE.get(cents)
+    if hit is not None:
+        return hit
     rows = cents.first()["cents"]
     order = sorted(range(len(rows)), key=lambda i: rows[i]["cid"])
     cids = np.array([rows[i]["cid"] for i in order], dtype=np.int64)
-    C = np.stack(
-        [np.asarray(rows[i]["ce"], dtype=np.float64) for i in order]
-    )  # K x dim, cid-ascending so np.argmin's first-match = smallest cid
+    C = np.stack([np.asarray(rows[i]["ce"], dtype=np.float64) for i in order])
     c_sq = (C * C).sum(axis=1)
+    _CENTS_CACHE[cents] = (cids, C, c_sq)
+    return cids, C, c_sq
+
+
+def _rounded_d2(X, C, c_sq):
+    """HALF_UP-at-6dp squared-L2 of every (row, centroid) pair — the
+    ONE copy of the Arrow distance law (mirrors the JVM fold's
+    round(Σ(x−y)², 6); the expanded form x²+c²−2x·c can differ from
+    the sequential fold in the last float64 ulps BEFORE rounding, so
+    a distance lying within ~1e-12·1e6 of a .5 boundary could round
+    differently — measure-zero on real data, pinned equal on the
+    fixtures, and harmless to IVF recall either way; callers that
+    need bit-level oracle parity stay on the fold path by design)."""
+    import numpy as np
+
+    d2 = (X * X).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (X @ C.T)
+    return np.floor(np.maximum(d2, 0.0) * 1e6 + 0.5)
+
+
+def ivf_assign_arrow(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Arrow-vectorized IVF assignment: the K×dim centroid matrix is
+    collected once per centroid FRAME (KBs — the same 'centroid row
+    is KB-sized' contract the JVM path's broadcast relies on; memoized
+    across micro-batches) and captured in a pandas_udf closure; each
+    Arrow batch computes all K distances with one numpy matmul.
+    Distance law shared with :func:`ivf_probe_arrow` via
+    :func:`_rounded_d2`; argmin with cid tie-break."""
+    import pandas as pd
+
+    from eventsgateway_spark.shipping import ship_package
+
+    # the closure references module-level _rounded_d2 (pickled by
+    # REFERENCE — the dot_arrow precedent): ship the package so
+    # executors spawned without this repo on PYTHONPATH can resolve it
+    ship_package(v.sparkSession)
+    cids, C, c_sq = _collect_centroids(cents)
 
     # no type annotations: pandas_udf's hint inference can't resolve
     # the lazily-imported pd module (same pattern as shingles_arrow)
     def _cell_of(es):
+        import numpy as np
+
         X = np.stack(es.values).astype(np.float64, copy=False)  # B x dim
-        d2 = (X * X).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (X @ C.T)
-        d2 = np.floor(np.maximum(d2, 0.0) * 1e6 + 0.5)  # HALF_UP at 6dp
+        d2 = _rounded_d2(X, C, c_sq)
         return pd.Series(cids[np.argmin(d2, axis=1)])
 
     cell_of = F.pandas_udf(_cell_of, "bigint")
@@ -844,26 +889,30 @@ def ivf_probe_arrow(
     v: DataFrame, cents: DataFrame, nprobe: int = IVF_NPROBE
 ) -> DataFrame:
     """Arrow-vectorized probe: one numpy matmul per batch computes all
-    K distances, HALF_UP-rounded at 6dp like the JVM fold; per row the
+    K distances via the shared :func:`_rounded_d2` law; per row the
     ``nprobe`` cells in (dist, cid) order are returned as an array and
-    exploded — identical rows to the ``array_sort``+``slice`` path
-    (pinned by tests/test_ext.py::test_ivf_probe_arrow_matches_fold)."""
-    import numpy as np
+    exploded — same rows as the ``array_sort``+``slice`` path on every
+    fixture (pinned by tests/test_ext.py::
+    test_ivf_probe_arrow_matches_fold; see _rounded_d2's docstring for
+    the last-ulp rounding-boundary caveat the fold path avoids).
+    Centroid collection is memoized per frame (streaming builds one
+    plan per micro-batch against the SAME cents — uncached, each batch
+    would re-pay the driver collect)."""
     import pandas as pd
 
-    rows = cents.first()["cents"]
-    order = sorted(range(len(rows)), key=lambda i: rows[i]["cid"])
-    cids = np.array([rows[i]["cid"] for i in order], dtype=np.int64)
-    C = np.stack([np.asarray(rows[i]["ce"], dtype=np.float64) for i in order])
-    c_sq = (C * C).sum(axis=1)
+    from eventsgateway_spark.shipping import ship_package
+
+    ship_package(v.sparkSession)  # _rounded_d2 pickles by reference
+    cids, C, c_sq = _collect_centroids(cents)
     take = min(nprobe, len(cids))
 
     # no type annotations (pandas_udf hint inference vs lazy pd import
     # — the ivf_assign_arrow convention)
     def _cells_of(es):
+        import numpy as np
+
         X = np.stack(es.values).astype(np.float64, copy=False)
-        d2 = (X * X).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (X @ C.T)
-        d2 = np.floor(np.maximum(d2, 0.0) * 1e6 + 0.5)  # HALF_UP at 6dp
+        d2 = _rounded_d2(X, C, c_sq)
         # cids are ascending, so a stable argsort on d2 alone breaks
         # distance ties toward the smaller cid — the struct order
         nearest = np.argsort(d2, axis=1, kind="stable")[:, :take]

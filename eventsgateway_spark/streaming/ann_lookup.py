@@ -566,10 +566,14 @@ def semantic_dedup_stream(
             raise ValueError("need corpus_emb or a prebuilt index")
         index = build_ivf_index(corpus_emb)
     assign, cents = index.assign, index.cents
+    # cell count hoisted ONCE at stream setup (ann_lookup_stream's
+    # rule — round-12 review finding caught this site passing k=None
+    # and paying a driver job per micro-batch)
+    k = _cents_k(cents)
 
     def _decide(batch_df: DataFrame, batch_id: int) -> None:
         (
-            semantic_dedup_batch(batch_df, assign, cents, tau_u)
+            semantic_dedup_batch(batch_df, assign, cents, tau_u, k=k)
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -32,7 +32,6 @@ import json
 import math
 import os
 import random
-import sys
 import time
 
 BASE_DOCS = 5_000  # sf0.1 documents row count
@@ -383,7 +382,13 @@ def run_probe(mults: tuple[int, ...] = (1, 10, 100), runs: int = 2,
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mults", default="1,10,100")
+    # default=None so each mode can pick ITS recorded protocol when the
+    # flag is absent: sniffing sys.argv instead missed argparse's
+    # prefix abbreviations (--mult) and silently ran the wrong scale
+    # (round-12 review follow-up)
+    ap.add_argument("--mults", default=None,
+                    help="comma-separated scale multipliers "
+                         "(default: 1,10,100; --ivf default: 50)")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--queries", default=",".join(PROBE_QUERIES),
                     help="comma-separated subset of the probe set")
@@ -393,15 +398,14 @@ if __name__ == "__main__":
                     help="run the IVF recall-vs-nprobe probe instead")
     args = ap.parse_args()
     if args.ivf:
-        # --ivf is a single-scale probe: take the last of an EXPLICIT
-        # --mults, else x50 (the SCALE.md round-12 protocol — 100k
-        # vectors / 262 derived cells). Reusing --mults' multi-scale
-        # default would silently run x100 and desync every recorded
-        # recall number (round-12 review finding).
-        explicit = any(a.startswith("--mults") or a == "-m" for a in sys.argv[1:])
-        run_ivf_probe(int(args.mults.split(",")[-1]) if explicit else 50)
+        # single-scale probe: last element of an explicit --mults, else
+        # x50 — the SCALE.md round-12 protocol (100k vectors / 262
+        # derived cells)
+        run_ivf_probe(int(args.mults.split(",")[-1]) if args.mults else 50)
     elif args.lsh:
-        run_lsh_probe(tuple(int(m) for m in args.mults.split(",")), args.runs)
+        mults = args.mults or "1,10,100"
+        run_lsh_probe(tuple(int(m) for m in mults.split(",")), args.runs)
     else:
-        run_probe(tuple(int(m) for m in args.mults.split(",")), args.runs,
+        mults = args.mults or "1,10,100"
+        run_probe(tuple(int(m) for m in mults.split(",")), args.runs,
                   probe_queries=tuple(args.queries.split(",")))
