@@ -1431,3 +1431,24 @@ def test_lsh_multiprobe_contract(spark):
             assert hits >= 20, hits
         else:
             assert hits >= 26, hits
+
+    # degenerate shapes: NULL and empty vectors probe bucket 0 plus
+    # single-bit flips in plane order (the fold's NULL-projection
+    # semantics + stable all-tie ordering); all-zero vectors probe the
+    # all-ones bucket and its flips; ragged dims are per-row fine
+    hostile = spark.createDataFrame(
+        [(0, [1.0, -2.0, 0.5]), (1, None), (2, [0.25] * 7), (3, []),
+         (4, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    ps = {
+        r["vec_id"]: list(r["ps"])
+        for r in hostile.select(
+            "vec_id",
+            lsh_probe_buckets_arrow(F.col("embedding"), 4, 2, 2).alias("ps"),
+        ).collect()
+    }
+    assert ps[1] == [0, 1, 2, 0, 1, 2]  # NULL
+    assert ps[3] == [0, 1, 2, 0, 1, 2]  # empty
+    assert ps[4] == [15, 14, 13, 15, 14, 13]  # all-zero → all-ones
+    assert len(ps[0]) == 6 and len(ps[2]) == 6
