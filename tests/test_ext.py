@@ -107,8 +107,11 @@ def test_ann_bucketed_recall_vs_exact(spark):
     hits = sum(1 for q, n in ann.items() if exact.get(q) == n)
     # 8 tables × 4 hyperplanes over 500 UNIFORM-random 64-d vectors —
     # the hardest case for LSH (nearest neighbors barely beat random).
-    # Measured recall@1 is 16/30 and deterministic; assert with margin
-    # so other scale factors stay green. Chance would be ≈ 1/500.
+    # Measured recall@1: 16/30 under the round-10 additive family,
+    # 26/30 under the round-11 decorrelated quadratic family (and
+    # 30/30 with n_flips=2 multiprobe — test_lsh_multiprobe_contract);
+    # assert with margin so other scale factors stay green. Chance
+    # would be ≈ 1/500.
     assert len(ann) >= 25, f"too few queries got candidates: {len(ann)}"
     assert hits >= 10, f"recall collapsed: {hits}/{len(ann)}"
     # every returned neighbor must share a bucket with its query in at
