@@ -121,7 +121,14 @@ from eventsgateway_spark.queries import relational  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 ROTATION: list[tuple[str, ...]] = [
     ("q13_props_json_extract", "q21_token_explode"),  # Q12: must stay a pair
-    ("q05_priority_with_bulk_lineitems", "q12_late_shipments"),
+    # Round 12 extends the pair with q87 (near-dup cluster-size
+    # histogram — the dedup yield report over the q32 lineage) at
+    # INDEX 1: 13 % 3 == 1 gives it a driver row in round 13, the
+    # round after it lands (the q80 registered-then-debut precedent);
+    # q05 keeps its round-12 slot (12 % 3 == 0), q12 takes r14. Family
+    # coverage: Q19 keeps q30/q31/q32 declared every phase.
+    ("q05_priority_with_bulk_lineitems", "q87_cluster_size_histogram",
+     "q12_late_shipments"),
     # q84 (bigram-LM coherence score — q71's order-sensitive
     # complement) debuts at index 2 like its round-11 siblings.
     ("q45_gap_fill_daily", "q14_user_running_stats",
@@ -154,7 +161,12 @@ ROTATION: list[tuple[str, ...]] = [
     # holds because q73 is itself a skew-family member (distributed
     # prefix sum) and q74 a sampling-family member (tests/test_registry
     # FAMILIES).
-    ("q73_sequence_packing", "q61_skew_safe_running_sum"),
+    # Round 12 extends the pair with q88 (per-sequence packing-density
+    # audit — shares q73's bucketed-prefix-sum lineage) at INDEX 1 for
+    # a round-13 driver debut; q73 keeps its round-12 slot, q61 takes
+    # r14 (its Q8 family keeps q08/q46-adjacent statics declared).
+    ("q73_sequence_packing", "q88_packing_density",
+     "q61_skew_safe_running_sum"),
     ("q74_token_budget_sample", "q47_hash_split"),
     # q75/q76 (temperature mixture weights / weighted training order)
     # debut in the even phase; their slot-mates q07/q17 are long-green

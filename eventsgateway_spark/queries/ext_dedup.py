@@ -1119,3 +1119,60 @@ def quality_propagation(
     return cur.select(
         "doc_id", "deg", "s0", F.col("s").alias(f"s{iters}")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q87 — duplicate-cluster size histogram (the dedup yield report)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q87_cluster_size_histogram",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTES},
+    e AS (SELECT d1 AS u, d2 AS v FROM jac WHERE jaccard >= 0.5
+          UNION ALL
+          SELECT d2, d1 FROM jac WHERE jaccard >= 0.5),
+    nodes AS (SELECT DISTINCT u FROM e),
+    reach(u, r) AS (
+        SELECT u, u FROM nodes
+        UNION
+        SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+    ),
+    lbl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+    csz AS (SELECT cluster_id, COUNT(*) AS sz FROM lbl GROUP BY 1)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           MIN(cluster_id) AS example_cluster_id
+    FROM csz
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q87_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of near-dup cluster sizes — the dedup YIELD report
+    every corpus run reads first: how many 2-doc mirrors vs viral
+    N-doc clusters exist, and how many documents each size class
+    removes (keep-first drops ``n_docs - n_clusters`` per row). Rides
+    THE shared cluster lineage (``dedup_cluster_labels`` — same
+    session-cached frame q32/q77/q80 consume; at fixture scale the
+    uncached plan hash-checks the full lineage), then two tiny hash
+    aggregates: cluster_id → size, size → (n_clusters, n_docs). Scale
+    shape: the histogram is ≤ max-cluster-size rows — nothing
+    corpus-grain crosses the second shuffle; no window, no join after
+    the label table. ``example_cluster_id`` (min per class) keeps the
+    output deterministic and gives an auditor a concrete cluster to
+    pull."""
+    labels = dedup_cluster_labels(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.min("cluster_id").alias("example_cluster_id"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -291,6 +291,13 @@ def q73_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_id div prefix_bucket_docs(docs)``: contiguous doc ranges,
     order-aligned by construction, with the width growing with input
     size so the phase-2 per-bucket window never exceeds ~2^16 rows."""
+    return _packed_chunks(spark, sf_dir).orderBy("doc_id", "chunk_id")
+
+
+def _packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE packed-sequence lineage (chunks → bucketed prefix sum →
+    seq_id/seq_pos projection) — one copy shared by q73 (per-chunk
+    report) and q88 (per-sequence density audit)."""
     from eventsgateway_spark.operators.skew import skew_safe_running_sum
     from eventsgateway_spark.queries.ext_text import chunk_documents
 
@@ -306,4 +313,68 @@ def q73_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=F.expr(f"doc_id div {prefix_bucket_docs(docs)}"),
         sum_col="_cum",
     )
-    return pack_projection(packed).orderBy("doc_id", "chunk_id")
+    return pack_projection(packed)
+
+
+# ---------------------------------------------------------------------------
+# q88 — packing-density audit (per-sequence chunk/boundary stats)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q88_packing_density",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+          FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id,
+                 CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+                 len(list_slice(toks, start + 1, start + {CHUNK_TOKENS})) AS n_tokens
+          FROM s),
+    o AS (SELECT doc_id, chunk_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                     ORDER BY doc_id, chunk_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS off
+          FROM c),
+    p AS (SELECT doc_id, n_tokens,
+                 CAST(off // {SEQ_LEN} AS BIGINT) AS seq_id,
+                 CAST(CASE WHEN (off + n_tokens - 1) // {SEQ_LEN}
+                                <> off // {SEQ_LEN}
+                      THEN 1 ELSE 0 END AS BIGINT) AS crosses_boundary
+          FROM o)
+    SELECT seq_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(crosses_boundary) AS BIGINT) AS n_crossing,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id
+    FROM p
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q88_packing_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-sequence packing audit over q73's lineage: how
+    many chunks START in each SEQ_LEN window, the token mass they
+    contribute, how many straddle the cut (the trainer's split-or-pad
+    cost, the number a packing config is tuned against), and the
+    doc-id range each sequence draws from (attention-contamination
+    audit: how many documents share one context window). One hash
+    aggregate on seq_id after the shared bucketed prefix sum — output
+    is total_tokens/SEQ_LEN rows, nothing corpus-grain shuffles twice,
+    no window beyond the prefix sum itself. All-integer columns
+    (hash-exact under any partitioning)."""
+    return (
+        _packed_chunks(spark, sf_dir)
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum("crosses_boundary").cast("bigint").alias("n_crossing"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("seq_id")
+    )

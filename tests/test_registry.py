@@ -72,6 +72,7 @@ FAMILIES: dict[str, list[str]] = {
         "q61_skew_safe_running_sum",
         "q62_salted_topk_orders",
         "q73_sequence_packing",  # distributed prefix sum, q61's operator
+        "q88_packing_density",  # same bucketed prefix sum, q73's lineage
     ],
 }
 
