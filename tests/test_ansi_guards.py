@@ -158,6 +158,13 @@ _GUARDED = [
     "q72_substring_dedup",
     "q75_domain_mixture",
     "q76_training_order",
+    # round-12 additions: q87 runs the full cluster lineage (shingle
+    # generators over empty/short docs + the recursive oracle) and q88
+    # the chunk/prefix-sum lineage (empty docs produce no chunks) —
+    # both must define the same universe as their oracles on hostile
+    # rows, not just on the well-formed fixtures
+    "q87_cluster_size_histogram",
+    "q88_packing_density",
 ]
 
 
