@@ -519,6 +519,26 @@ def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("d1", "d2")
 
 
+# DuckDB mirror of dedup_cluster_labels' component lineage (edges at
+# Jaccard >= 0.5 -> undirected closure -> min-member label) — ONE copy
+# shared by the q32 and q87 oracles, the _SH_CTES discipline one level
+# up (round-12 review finding: two verbatim copies would let a
+# threshold/labeling change drift them apart, surfacing only as a
+# one-query hash failure in a later rotation round). Requires WITH
+# RECURSIVE and the jac CTE from _SH_CTES.
+_CLUSTER_CTES = """
+    e AS (SELECT d1 AS u, d2 AS v FROM jac WHERE jaccard >= 0.5
+          UNION ALL
+          SELECT d2, d1 FROM jac WHERE jaccard >= 0.5),
+    nodes AS (SELECT DISTINCT u FROM e),
+    reach(u, r) AS (
+        SELECT u, u FROM nodes
+        UNION
+        SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+    ),
+    lbl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)"""
+
+
 # ---------------------------------------------------------------------------
 # q32 — duplicate clustering: connected components
 # ---------------------------------------------------------------------------
@@ -632,17 +652,7 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q32_dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE {_SH_CTES},
-    e AS (SELECT d1 AS u, d2 AS v FROM jac WHERE jaccard >= 0.5
-          UNION ALL
-          SELECT d2, d1 FROM jac WHERE jaccard >= 0.5),
-    nodes AS (SELECT DISTINCT u FROM e),
-    reach(u, r) AS (
-        SELECT u, u FROM nodes
-        UNION
-        SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
-    ),
-    lbl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)
+    WITH RECURSIVE {_SH_CTES},{_CLUSTER_CTES}
     SELECT doc_id, cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
     FROM lbl
@@ -1130,17 +1140,7 @@ def quality_propagation(
     "q87_cluster_size_histogram",
     declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle=f"""
-    WITH RECURSIVE {_SH_CTES},
-    e AS (SELECT d1 AS u, d2 AS v FROM jac WHERE jaccard >= 0.5
-          UNION ALL
-          SELECT d2, d1 FROM jac WHERE jaccard >= 0.5),
-    nodes AS (SELECT DISTINCT u FROM e),
-    reach(u, r) AS (
-        SELECT u, u FROM nodes
-        UNION
-        SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
-    ),
-    lbl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+    WITH RECURSIVE {_SH_CTES},{_CLUSTER_CTES},
     csz AS (SELECT cluster_id, COUNT(*) AS sz FROM lbl GROUP BY 1)
     SELECT CAST(sz AS BIGINT) AS cluster_size,
            COUNT(*) AS n_clusters,

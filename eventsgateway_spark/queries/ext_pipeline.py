@@ -253,11 +253,15 @@ def pack_projection(packed: DataFrame, base_off: int = 0) -> DataFrame:
 
 
 
-@query(
-    "q73_sequence_packing",
-    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# DuckDB mirror of the chunk -> exclusive-prefix-offset lineage
+# (_packed_chunks' t/s/c/o chain) — ONE copy shared by the q73 and q88
+# oracles (round-12 review finding: a packing-rule tweak edited in one
+# verbatim copy but not the other would surface only as a driver hash
+# mismatch in whichever round declares the stale one). The cut math on
+# top of it (seq_id = off // SEQ_LEN, crosses_boundary) is likewise
+# held to the two shared expression constants below.
+_PACKED_CTES = f"""
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     s AS (SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
           FROM t WHERE len(toks) > 0),
     c AS (SELECT doc_id,
@@ -269,12 +273,23 @@ def pack_projection(packed: DataFrame, base_off: int = 0) -> DataFrame:
                      ORDER BY doc_id, chunk_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                      AS off
-          FROM c)
+          FROM c)"""
+_DUCK_SEQ_ID = f"CAST(off // {SEQ_LEN} AS BIGINT)"
+_DUCK_CROSSES = (
+    f"CAST(CASE WHEN (off + n_tokens - 1) // {SEQ_LEN} <> off // {SEQ_LEN}"
+    " THEN 1 ELSE 0 END AS BIGINT)"
+)
+
+
+@query(
+    "q73_sequence_packing",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH{_PACKED_CTES}
     SELECT doc_id, chunk_id, n_tokens,
-           CAST(off // {SEQ_LEN} AS BIGINT) AS seq_id,
+           {_DUCK_SEQ_ID} AS seq_id,
            CAST(off % {SEQ_LEN} AS BIGINT) AS seq_pos,
-           CAST(CASE WHEN (off + n_tokens - 1) // {SEQ_LEN} <> off // {SEQ_LEN}
-                THEN 1 ELSE 0 END AS BIGINT) AS crosses_boundary
+           {_DUCK_CROSSES} AS crosses_boundary
     FROM o
     ORDER BY doc_id, chunk_id
     """,
@@ -325,24 +340,10 @@ def _packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q88_packing_density",
     declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    s AS (SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
-          FROM t WHERE len(toks) > 0),
-    c AS (SELECT doc_id,
-                 CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
-                 len(list_slice(toks, start + 1, start + {CHUNK_TOKENS})) AS n_tokens
-          FROM s),
-    o AS (SELECT doc_id, chunk_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-                 COALESCE(SUM(n_tokens) OVER (
-                     ORDER BY doc_id, chunk_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                     AS off
-          FROM c),
+    WITH{_PACKED_CTES},
     p AS (SELECT doc_id, n_tokens,
-                 CAST(off // {SEQ_LEN} AS BIGINT) AS seq_id,
-                 CAST(CASE WHEN (off + n_tokens - 1) // {SEQ_LEN}
-                                <> off // {SEQ_LEN}
-                      THEN 1 ELSE 0 END AS BIGINT) AS crosses_boundary
+                 {_DUCK_SEQ_ID} AS seq_id,
+                 {_DUCK_CROSSES} AS crosses_boundary
           FROM o)
     SELECT seq_id,
            COUNT(*) AS n_chunks,

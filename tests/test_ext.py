@@ -1454,4 +1454,27 @@ def test_lsh_multiprobe_contract(spark):
     assert ps[1] == [0, 1, 2, 0, 1, 2]  # NULL
     assert ps[3] == [0, 1, 2, 0, 1, 2]  # empty
     assert ps[4] == [15, 14, 13, 15, 14, 13]  # all-zero → all-ones
-    assert len(ps[0]) == 6 and len(ps[2]) == 6
+    # the well-formed rows in the ragged batch must carry the SAME
+    # probe values the vectorized path computes for them in a clean
+    # single-dim frame — pins the per-row fallback recursion's VALUES,
+    # not just its shape (round-12 review finding)
+    clean = {
+        r["vec_id"]: list(r["ps"])
+        for r in spark.createDataFrame(
+            [(0, [1.0, -2.0, 0.5])], "vec_id long, embedding array<float>"
+        ).select(
+            "vec_id",
+            lsh_probe_buckets_arrow(F.col("embedding"), 4, 2, 2).alias("ps"),
+        ).collect()
+    }
+    assert ps[0] == clean[0]
+    clean7 = {
+        r["vec_id"]: list(r["ps"])
+        for r in spark.createDataFrame(
+            [(2, [0.25] * 7)], "vec_id long, embedding array<float>"
+        ).select(
+            "vec_id",
+            lsh_probe_buckets_arrow(F.col("embedding"), 4, 2, 2).alias("ps"),
+        ).collect()
+    }
+    assert ps[2] == clean7[2]
