@@ -337,13 +337,21 @@ def run_probe(mults: tuple[int, ...] = (1, 10, 100), runs: int = 2,
         for name in probe_queries:
             samples = []
             for _ in range(runs):
-                # q77's cluster-label table is cached per (session,
-                # fixture) by design (shared with q32); a cached run
-                # would time the ~0 s reuse path and fake the growth
-                # exponent — clear it so every sample pays the build
+                # q77/q87's cluster-label table AND the near-dup pair
+                # frame one level below it (round 11b) are cached per
+                # (session, fixture) by design (shared with q30/q32/
+                # q80); a cached run would time the ~0 s reuse path
+                # and fake the growth exponent — clear BOTH so every
+                # sample pays the full build (the pairs cache was
+                # missed when it landed; round-12 fix)
                 from eventsgateway_spark.queries import ext_dedup
+                from eventsgateway_spark.queries._util import release_frame
 
-                ext_dedup._LABELS_CACHE.clear()
+                for cache in (ext_dedup._LABELS_CACHE,
+                              ext_dedup._PAIRS_CACHE):
+                    for _fp, frame in cache.values():
+                        release_frame(frame)
+                    cache.clear()
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
