@@ -13,6 +13,7 @@ regressions from drift), and prints ONE JSON line:
      "unit": "sec", "queries": {qNN: sec, ...}, "sf": 0.1,
      "floor_total": <sum of per-query best samples>,
      "ctrl": {"min": s, "med": s, "max": s},
+     "value_norm": <value * CTRL_REF / ctrl.med>,
      "inflated": {qNN: med/floor ratio, ...}}
 
 Reading a row: `queries[qNN]` is the per-query MEDIAN across passes;
@@ -21,6 +22,14 @@ sample in this very run — the best sample proves the plan can run
 that fast on this box today, so the row is drift, not plan.
 `ctrl.max/ctrl.min` is the run-level contamination factor; a clean
 run reads ~1.0-1.3.
+
+``value_norm`` (round 13 — VERDICT r12 #4) rescales the total by the
+run's OWN control-probe regime against the pinned reference control
+(CTRL_REF, BASELINE.md round-13): cross-run comparisons of raw totals
+conflate plan changes with host regime (BENCH_r12's raw 113.7 s vs
+r11's 89.1 s was a 1.30x ctrl shift, not a regression), while
+value_norm/value_norm comparisons cancel the regime. The raw value
+stays primary; value_norm is the cross-run comparator.
 
 Execution is forced with a cheap ``count()``-style action
 (``df.write.format("noop")``) so the timing covers scan→compute without
@@ -48,6 +57,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+# Reference control-probe median (seconds) for value_norm: the r11
+# quiet-regime reading of the fixed 40M-row codegen range-sum probe on
+# this box (BASELINE.md round-13 pins it; BENCH_r11 ctrl.med = 0.268,
+# BENCH_r12's hot-host run read 0.348 = a 1.30x regime every query row
+# absorbed). Update ONLY with a BASELINE.md entry explaining why.
+CTRL_REF = 0.268
 
 
 def _sf_from_dir(d: str) -> float:
@@ -121,8 +137,13 @@ def main() -> None:
             if i % CTRL_EVERY == 0:
                 ctrl.append(run_control())
             samples[name].append(run_once(QUERIES[name]))
+    # 3-decimal medians (round 13): millisecond resolution is below
+    # this host's drift noise anyway, and the shaved digit keeps the
+    # worst-case stdout line (every value 4-digit seconds) inside the
+    # driver's 2000-char tail with the annotation fields included
+    # (tests/test_registry.py models the full line).
     timings = {
-        n: round(statistics.median(samples[n]), 4) for n in names
+        n: round(statistics.median(samples[n]), 3) for n in names
     }
     floors = {n: round(min(samples[n]), 4) for n in names}
     # self-annotation: rows whose median exceeds 2x their own best
@@ -167,6 +188,15 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 "floor_total": round(sum(floors.values()), 2),
                 "ctrl": ctrl_stats,
+                # regime-normalized total (module docstring): raw value
+                # stays primary; compare value_norm across runs
+                "value_norm": (
+                    round(
+                        sum(timings.values()) * CTRL_REF / ctrl_stats["med"], 2
+                    )
+                    if ctrl_stats
+                    else None
+                ),
                 "inflated": inflated,
             }
         )

@@ -167,7 +167,14 @@ ROTATION: list[tuple[str, ...]] = [
     # r14 (its Q8 family keeps q08/q46-adjacent statics declared).
     ("q73_sequence_packing", "q88_packing_density",
      "q61_skew_safe_running_sum"),
-    ("q74_token_budget_sample", "q47_hash_split"),
+    # Round 13 extends the pair with q89 (perceptual-hash image
+    # near-dup pairs — the multimodal member of the dedup family) at
+    # INDEX 1: 13 % 3 == 1 gives it a driver row the round it lands
+    # (the q86 immediate-debut precedent); q74 keeps its round-12 slot
+    # (12 % 3 == 0), q47 takes r14. Family coverage: Q19 keeps
+    # q30/q31/q32 and Q20 keeps q36/q52 declared every phase.
+    ("q74_token_budget_sample", "q89_image_dhash_near_dup",
+     "q47_hash_split"),
     # q75/q76 (temperature mixture weights / weighted training order)
     # debut in the even phase; their slot-mates q07/q17 are long-green
     # statics demoted because family Q6 keeps q06 declared every phase.

@@ -234,12 +234,22 @@ def lsh_plane_count(emb: DataFrame, floor_planes: int) -> int:
 # top rung — still O(dim) per row, map-side, no shuffle).
 #
 # Ladder rule: one table-doubling per TWO plane-steps of the base
-# plane ladder above its floor, capped at 4× the floor table count
-# (the probe's top rung); the EFFECTIVE planes-per-table is the base
-# count + log2(T/floor_T). At every fixture/oracle scale the base
-# ladder sits at its floor, so tables and planes both floor and the
-# static DuckDB mirrors stay exact (pinned by tests/test_ansi_guards).
-_LSH_TABLE_CAP_FACTOR = 4
+# plane ladder above its floor, capped at 8× the floor table count;
+# the EFFECTIVE planes-per-table is the base count + log2(T/floor_T).
+# At every fixture/oracle scale the base ladder sits at its floor, so
+# tables and planes both floor and the static DuckDB mirrors stay
+# exact (pinned by tests/test_ansi_guards).
+#
+# Cap history: round 12 set 4× from 100k-vector evidence (where the
+# cap never binds — the 100k rung is 8 tables either way); round 13
+# measured the binding regime at 1M vectors (lsh_ladder_probe,
+# SCALE.md round-13): the 4×-capped rung (8 tables × 16 eff planes)
+# sagged to cos-0.95 recall 24/30 / cos-0.90 16/30, the 8× rung
+# (16×17) restores 28/30 / 18/30 at the invariant ideal volume
+# (realized Σocc² 2.27× ideal — gaussian-bucket skew at 1M, 2.03× even
+# when capped), and the uncapped 16× rung (32×18) buys only +1 more
+# at cos-0.95 for 2× further bucket CPU — kept capped at 8×.
+_LSH_TABLE_CAP_FACTOR = 8
 
 
 def tables_for_rows(est_rows: int, floor_planes: int, floor_tables: int) -> int:
@@ -340,7 +350,11 @@ def ann_topk_bucketed(
     fixture-scale or unknown-size corpus gets exactly the historical
     operating point, and only genuinely large corpora climb the
     ladder. Pass explicit values to pin a configuration (the recall
-    test pins the 4-plane/8-table recall-heavy protocol).
+    test pins the 4-plane/8-table recall-heavy protocol) — BOTH or
+    NEITHER: pinning only one knob is refused (ADVICE r12), because
+    the other would silently come from the (8,4)-floored ladder and
+    break the T·N²/2^p candidate-volume invariance the coupled
+    ladder exists to hold.
     Norms are precomputed once per VECTOR (not per pair), so per-pair
     work is one dot product. ``scorer='fold'`` (default) keeps the
     sequential JVM fold — bit-reproducible, and MEASURED faster at
@@ -364,10 +378,14 @@ def ann_topk_bucketed(
     per side regardless of table count."""
     if n_flips < 0:
         raise ValueError(f"n_flips must be >= 0, got {n_flips}")
-    if n_planes is None or n_tables is None:
-        p_auto, t_auto = lsh_family(emb, 8, 4)
-        n_planes = p_auto if n_planes is None else n_planes
-        n_tables = t_auto if n_tables is None else n_tables
+    if (n_planes is None) != (n_tables is None):
+        raise ValueError(
+            "pin n_planes and n_tables together or not at all — with "
+            "one pinned, the other would come from the (8,4)-floored "
+            "ladder and break the T*N^2/2^p volume-invariance contract"
+        )
+    if n_planes is None:
+        n_planes, n_tables = lsh_family(emb, 8, 4)
     # pin both sides: they fan out to n_tables bucket branches PLUS the
     # scoring join — unpinned, every branch re-runs the scan + promote
     # + norm fold + zero-norm filter (q38/q85 discipline; at the
@@ -781,6 +799,16 @@ def ivf_assign_with(
 # cents.first() job + K×dim stack (round-12 review finding — the
 # hoisted _cents_k saved one job per batch and the un-memoized
 # collection immediately spent one back).
+#
+# CONTRACT (ADVICE r12): the cache key is the DataFrame OBJECT, with
+# no content fingerprint — a cents frame, once passed to an Arrow
+# kernel, must be treated as IMMUTABLE for its lifetime. Every engine
+# path honors this: build/train emit localCheckpointed one-shot
+# frames, and save_ivf_index writes a NEW generation (load returns a
+# fresh spark.table frame → fresh cache entry). What the cache cannot
+# detect is a caller holding ONE long-lived spark.table("..._cents")
+# frame across an out-of-band table overwrite — reopen the table
+# (load_ivf_index) after any rewrite instead of reusing the old frame.
 _CENTS_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
@@ -870,8 +898,15 @@ def ivf_probe_with(
     O(k·dim) interpreted fold per row — and an availableNow backlog
     replay makes the "query side" corpus-sized). The Arrow probe
     replicates the fold's semantics exactly: HALF_UP-at-6dp squared-L2,
-    (dist, cid) ordering, first ``nprobe`` cells."""
-    if arrow_scorer() or (k is not None and k > _IVF_ARROW_K):
+    (dist, cid) ordering, first ``nprobe`` cells.
+
+    Routing (ADVICE r12): the env flag forces Arrow only at call
+    sites that pass a ``k`` hint (the serving paths). The hintless
+    call is q43's oracle path — it stays on the sequential fold
+    unconditionally, so a hash-declared plan can never depend on
+    ``_rounded_d2``'s expanded-form rounding (see its docstring's
+    .5-ulp caveat)."""
+    if k is not None and (arrow_scorer() or k > _IVF_ARROW_K):
         return ivf_probe_arrow(v, cents, nprobe)
     return v.crossJoin(F.broadcast(cents)).select(
         F.col("vec_id").alias("qid"),

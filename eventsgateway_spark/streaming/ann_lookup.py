@@ -75,9 +75,15 @@ class IvfIndex(NamedTuple):
     #: one that streams through cache.
     assign: DataFrame
     cents: DataFrame  # single row: array of (cid, ce) centroid structs
+    #: Lloyd rounds the centroids were trained with (0 = deterministic
+    #: first-k seeding — the oracle regime). Carried into the saved
+    #: index's ``_meta`` so a reopened index reports how it was built.
+    train_iters: int = 0
 
 
-def build_ivf_index(corpus_emb: DataFrame, k: int | None = None) -> IvfIndex:
+def build_ivf_index(
+    corpus_emb: DataFrame, k: int | None = None, train_iters: int = 0
+) -> IvfIndex:
     """In-session index (localCheckpoint pins); the durable form is
     :func:`save_ivf_index` + :func:`load_ivf_index`.
 
@@ -90,18 +96,34 @@ def build_ivf_index(corpus_emb: DataFrame, k: int | None = None) -> IvfIndex:
     regime assignment auto-routes to the Arrow kernel
     (``_IVF_ARROW_K`` in queries/ext_similarity.py — identical
     assignments, parity-pinned). Recall-vs-nprobe at the derived cell
-    count is measured in SCALE.md round-12 (``scaleprobe --ivf``)."""
+    count is measured in SCALE.md round-12 (``scaleprobe --ivf``).
+
+    ``train_iters`` (round 13 — VERDICT r12 #2): Lloyd rounds run by
+    ``operators.kmeans.train_centroids`` before assignment. Default 0
+    keeps the deterministic first-k seeding (every oracle constant and
+    saved-index generation unchanged); the round-12 sweep measured
+    trained centroids nearly doubling nprobe=1 serving recall (12/30
+    → 21/30 fresh-gaussian at 100k vectors, SCALE.md), so serving
+    indexes should pass ``train_iters>=3``. Training is iters× one
+    corpus scan + one (cell, dim) shuffle — see kmeans.py's scale
+    posture."""
     from eventsgateway_spark.queries.ext_similarity import semd_cell_count
 
     if k is None:
         k = semd_cell_count(corpus_emb)
-    cents = ivf_centroids(corpus_emb, k).localCheckpoint()
+    if train_iters > 0:
+        from eventsgateway_spark.operators.kmeans import train_centroids
+
+        # train_centroids localCheckpoints its final cents frame
+        cents, _ = train_centroids(corpus_emb, k=k, iters=train_iters)
+    else:
+        cents = ivf_centroids(corpus_emb, k).localCheckpoint()
     assign = (
         ivf_assign_with(norm_view(corpus_emb), cents, k=k)
         .withColumn("qs", sq8_codes(F.col("e"), F.col("nrm")))
         .localCheckpoint()
     )
-    return IvfIndex(assign=assign, cents=cents)
+    return IvfIndex(assign=assign, cents=cents, train_iters=train_iters)
 
 
 def _table_gen(spark, table_name: str) -> int | None:
@@ -151,6 +173,7 @@ def save_ivf_index(
     table_prefix: str,
     buckets: int = 32,
     index: IvfIndex | None = None,
+    train_iters: int = 0,
 ) -> None:
     """Materialize the IVF index as catalog tables — the 100 TB
     posture: the assignment table is BUCKETED on ``cell_id`` (the
@@ -214,9 +237,16 @@ def save_ivf_index(
         m = spark.table(f"{table_prefix}_meta")
         gen = (int(m.collect()[0]["gen"]) if "gen" in m.columns else 0) + 1
     built_here = index is None
-    idx = index if index is not None else build_ivf_index(corpus_emb)
+    idx = (
+        index
+        if index is not None
+        else build_ivf_index(corpus_emb, train_iters=train_iters)
+    )
+    # _meta records how the centroids were built (0 = first-k seeded);
+    # a caller-passed index carries its own count in the named tuple
     spark.createDataFrame(
-        [(int(buckets), int(gen))], "buckets int, gen int"
+        [(int(buckets), int(gen), int(idx.train_iters))],
+        "buckets int, gen int, train_iters int",
     ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
     # _centroids (one tiny row) lands BEFORE the corpus-sized _assign:
     # _assign is the commit point — a first save that crashes anywhere
@@ -253,11 +283,20 @@ def save_ivf_index(
 def load_ivf_index(spark, table_prefix: str) -> IvfIndex:
     """Reopen a saved index after verifying all tables carry one
     generation (see :func:`_check_same_generation`); the stamp column
-    is dropped so the served frames keep the build-time shape."""
+    is dropped so the served frames keep the build-time shape.
+    ``train_iters`` is read back from ``_meta`` (0 for an index saved
+    before round 13 recorded it)."""
     _check_same_generation(spark, table_prefix)
+    meta = spark.table(f"{table_prefix}_meta")
+    ti = (
+        int(meta.collect()[0]["train_iters"])
+        if "train_iters" in meta.columns
+        else 0
+    )
     return IvfIndex(
         assign=spark.table(f"{table_prefix}_assign").drop("gen"),
         cents=spark.table(f"{table_prefix}_centroids").drop("gen"),
+        train_iters=ti,
     )
 
 

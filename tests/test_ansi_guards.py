@@ -165,6 +165,11 @@ _GUARDED = [
     # rows, not just on the well-formed fixtures
     "q87_cluster_size_histogram",
     "q88_packing_density",
+    # round-13: q89's image synth + dHash must agree with the oracle
+    # on an id universe unlike the shipped fixtures (9 docs, one
+    # partial group, empty/whitespace docs — images derive from
+    # doc_id alone so every row still carries a valid payload)
+    "q89_image_dhash_near_dup",
 ]
 
 
@@ -255,7 +260,7 @@ def test_lsh_plane_ladder_boundaries():
 
 def test_lsh_table_ladder_boundaries():
     """The round-12 OR-construction ladder: tables double once per two
-    plane-steps above the floor (cap 4× floor); each doubling adds one
+    plane-steps above the floor (cap 8× floor, round 13); each doubling adds one
     EFFECTIVE plane per table, so the uniform-ideal candidate volume
     T·N²/2^p is invariant along the ladder (the probe-measured trade —
     SCALE.md round-12)."""
@@ -272,9 +277,12 @@ def test_lsh_table_ladder_boundaries():
     assert tables_for_rows((1 << 6) * OCC + 1, 6, 2) == 2  # extra 1
     assert tables_for_rows((1 << 7) * OCC + 1, 6, 2) == 4  # extra 2
     assert tables_for_rows((1 << 9) * OCC + 1, 6, 2) == 8  # extra 4
-    # cap: 4× the floor, regardless of further growth
-    assert tables_for_rows((1 << 11) * OCC + 1, 6, 2) == 8  # extra 6
-    assert tables_for_rows(10**12, 6, 2) == 8
+    assert tables_for_rows((1 << 11) * OCC + 1, 6, 2) == 16  # extra 6
+    # cap: 8× the floor regardless of further growth (round 13 — the
+    # 1M-vector probe showed the old 4× cap sagging cos-0.95 banded
+    # recall to 24/30 where 8× restores 28/30; SCALE.md round-13)
+    assert tables_for_rows((1 << 13) * OCC + 1, 6, 2) == 16  # extra 8
+    assert tables_for_rows(10**12, 6, 2) == 16
     # scaleprobe's x50 shape (100k rows, floor 6 → base 11, extra 5):
     # the probe's 8×13 top rung
     est_x50 = 100_000

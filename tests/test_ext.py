@@ -1478,3 +1478,135 @@ def test_lsh_multiprobe_contract(spark):
         ).collect()
     }
     assert ps[2] == clean7[2]
+
+
+def test_ann_topk_bucketed_rejects_single_pinned_knob(spark):
+    """Pinning exactly one of n_planes/n_tables is refused (ADVICE
+    r12): the other knob would silently come from the (8,4)-floored
+    ladder and break the T*N^2/2^p candidate-volume invariance the
+    coupled ladder holds. Both-pinned and neither-pinned still work."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="together"):
+        ann_topk_bucketed(emb, q, k=1, n_planes=16)
+    with pytest.raises(ValueError, match="together"):
+        ann_topk_bucketed(emb, q, k=1, n_tables=8)
+    assert ann_topk_bucketed(emb, q, k=1, n_planes=4, n_tables=2).count() > 0
+    assert ann_topk_bucketed(emb, q, k=1).count() > 0
+
+
+def test_oracle_probe_path_ignores_arrow_flag(spark, monkeypatch):
+    """ADVICE r12: the env flag must never reroute a HINTLESS
+    ivf_probe_with call (q43's oracle path) through the Arrow kernel —
+    _rounded_d2's expanded-form distance can in principle round
+    differently from the sequential fold at a .5-ulp boundary, so
+    hash-declared plans stay on the fold unconditionally. With a k
+    hint (the serving paths) the flag still forces Arrow."""
+    from eventsgateway_spark.queries.ext_similarity import (
+        IVF_K,
+        ivf_centroids,
+        ivf_probe_with,
+        norm_view,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    v = norm_view(emb).filter(F.col("vec_id") < 5)
+    cents = ivf_centroids(emb, IVF_K).localCheckpoint()
+    monkeypatch.setenv("SPARK_GRAFT_ARROW_SCORER", "1")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    hintless = ivf_probe_with(v, cents, 2)
+    assert "EvalPython" not in plan(hintless)  # fold: no Python stage
+    hinted = ivf_probe_with(v, cents, 2, k=IVF_K)
+    assert "EvalPython" in plan(hinted)  # flag + hint: Arrow kernel
+    # same rows either way (the kernel parity the flag exists to test)
+    rows = lambda df: {(r["qid"], r["cell_id"]) for r in df.collect()}
+    assert rows(hintless) == rows(hinted) and len(rows(hintless)) > 0
+
+
+def test_dhash_invariant_to_upscale_and_reencode(spark):
+    """The planted-near-dup transforms q89 exists to catch: a 2x
+    nearest-neighbor upscale and a lossless PPM->PNG re-encode must
+    hash IDENTICALLY (integer NN sampling picks the same pixels;
+    decode returns the same array), and the REAL Spark pipeline
+    (mapInPandas decode) must agree with the local hash."""
+    import numpy as np
+
+    from eventsgateway_spark.operators.multimodal import (
+        _nn_resize,
+        _synth_pixel_vals,
+        dhash56,
+        encode_png,
+        encode_ppm,
+        image_dhash,
+    )
+
+    v = _synth_pixel_vals([7])[0].astype(np.uint8)
+    img = np.repeat(v[:, :, None], 3, axis=2)
+    base = dhash56(img)
+    up = _nn_resize(img, 32, 32)  # 2x NN upscale
+    assert dhash56(up) == base
+    rows = [
+        (0, "image/ppm", bytearray(encode_ppm(img))),
+        (1, "image/ppm", bytearray(encode_ppm(up))),
+        (2, "image/png", bytearray(encode_png(img))),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    got = {r["asset_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert got == {0: base, 1: base, 2: base}
+    # PIL seam: an unsupported media type fails loudly, never a fake hash
+    bad = spark.createDataFrame(
+        [(9, "image/jpeg", bytearray(b"\xff\xd8"))],
+        "asset_id long, media_type string, payload binary",
+    )
+    with pytest.raises(Exception, match="needs PIL"):
+        image_dhash(bad).collect()
+
+
+def test_q89_banding_recall_exact_for_bound(spark):
+    """The Manku pigeonhole claim, verified: q89's banded pairs over
+    the sf-oracle fixture must EQUAL the brute-force all-pairs set at
+    Hamming <= 6 (banding is a candidate filter with exact recall for
+    the bound, not an approximation), and the planted levels must give
+    a non-trivial mix of distances."""
+    import numpy as np
+
+    from eventsgateway_spark.operators.multimodal import (
+        _synth_pixel_vals,
+        dhash56,
+    )
+    from eventsgateway_spark.queries import QUERIES
+
+    got = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in QUERIES["q89_image_dhash_near_dup"](spark, SF_ORACLE).collect()
+    }
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*), MIN(doc_id), MAX(doc_id) FROM "
+        f"'{SF_ORACLE}/documents.parquet'"
+    ).fetchone()
+    ids = list(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{SF_ORACLE}/documents.parquet' ORDER BY 1"
+        ).fetchall()
+    )
+    vals = _synth_pixel_vals(ids).astype(np.uint8)
+    hs = {
+        d: dhash56(np.repeat(v[:, :, None], 3, axis=2))
+        for d, v in zip(ids, vals)
+    }
+    brute = {}
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            h = bin(hs[d1] ^ hs[d2]).count("1")
+            if h <= 6:
+                brute[(d1, d2)] = h
+    assert got == brute and len(got) > 100
+    assert len(set(got.values())) >= 4  # a real distance gradient

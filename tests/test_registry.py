@@ -51,7 +51,11 @@ FAMILIES: dict[str, list[str]] = {
         "q31_minhash_lsh_pairs",
         "q32_dedup_clusters",
     ],
-    "Q20_multimodal": ["q36_binary_payloads", "q52_embedding_quantize"],
+    "Q20_multimodal": [
+        "q36_binary_payloads",
+        "q52_embedding_quantize",
+        "q89_image_dhash_near_dup",
+    ],
     "Q21_curation": [
         "q66_pii_redaction",
         "q67_quality_rules",
@@ -109,8 +113,15 @@ def test_bench_json_line_fits_driver_tail():
             "metric": "declared_queries_total",
             "value": 9999.9999,
             "unit": "sec",
-            "queries": {n.split("_", 1)[0]: 9999.9999 for n in Q.QUERIES},
+            "queries": {n.split("_", 1)[0]: 9999.999 for n in Q.QUERIES},
             "sf": 0.1,
+            # the fixed-size annotation fields bench.py also emits
+            # (floor/ctrl/value_norm; inflated is bounded at 10 rows
+            # but near-empty on a clean run — model 3)
+            "floor_total": 9999.99,
+            "ctrl": {"min": 9.999, "med": 9.999, "max": 9.999},
+            "value_norm": 9999.99,
+            "inflated": {"q00": 9.9, "q01": 9.9, "q02": 9.9},
         }
     )
     # VERDICT r11 #5: ~1800 keeps ≥200 chars of true margin under the
@@ -121,7 +132,7 @@ def test_bench_json_line_fits_driver_tail():
 
 
 def test_declared_is_exactly_cap_every_phase():
-    for rn in range(1, 13):
+    for rn in range(1, 16):
         qs, osql = Q.rotated_declared(rn)
         assert len(qs) == 50, rn
         # every declared query carries an oracle — the driver can
