@@ -758,3 +758,121 @@ def synthetic_doc_images(docs: DataFrame) -> DataFrame:
 
     ship_package(docs.sparkSession)
     return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio perceptual fingerprint (round 13 — the audio sibling of dHash):
+# 56-bit energy-envelope hash over the real PCM WAV decode tier, paired
+# by the same Manku Hamming banding (queries/ext_dedup.q90). Catches
+# re-encoded / re-amplified / channel-duplicated audio copies.
+# ---------------------------------------------------------------------------
+
+AFP_FRAMES = 57  # 57 frame energies -> 56 adjacent comparisons
+AFP_FRAME_LEN = 8  # samples per frame
+AFP_BITS = AFP_FRAMES - 1  # 56: same signed-64-bit lane as dhash56
+
+
+def afp56(mono) -> int:
+    """56-bit audio fingerprint of a mono float array as produced by
+    ``parse_wav`` (exact int-PCM/32768 rationals): rescale to the
+    integer PCM lattice, frame into 57×8, per-frame L1 energy
+    (Σ|sample| — integer), bit fr = 1 iff e[fr] < e[fr+1]. The
+    time-domain analog of the Haitsma-Kalker sign-of-energy-delta
+    fingerprint with ONE band, chosen over a spectral version so the
+    whole computation is integer-exact (oracle-reproducible) — the
+    invariances that matter for dedup survive: amplitude scaling
+    (energies scale together, comparisons unchanged), channel
+    duplication (channel 0 is hashed), and lossless WAV re-encode.
+    Shorter payloads are zero-padded to the 456-sample window; longer
+    ones are truncated (a real system hashes fixed windows)."""
+    import numpy as np
+
+    q = np.rint(np.asarray(mono, dtype=np.float64) * 32768.0).astype(np.int64)
+    n = AFP_FRAMES * AFP_FRAME_LEN
+    if q.size < n:
+        q = np.pad(q, (0, n - q.size))
+    e = np.abs(q[:n]).reshape(AFP_FRAMES, AFP_FRAME_LEN).sum(axis=1)
+    bits = (e[:-1] < e[1:]).astype(np.int64)
+    weights = np.int64(1) << np.arange(AFP_BITS, dtype=np.int64)
+    return int((bits * weights).sum())
+
+
+AFP_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("afp", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprint(assets: DataFrame) -> DataFrame:
+    """(asset_id, afp) — REAL decode for ``audio/wav`` (stdlib
+    ``wave`` via ``parse_wav``), ``NotImplementedError`` for formats
+    needing libav (no stub tier — a fake fingerprint would manufacture
+    false dedup pairs; the image_dhash contract). Arrow-batched
+    ``mapInPandas``; payloads die inside the map stage, only 8-byte
+    fingerprints shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for mt, raw in zip(pdf["media_type"], pdf["payload"]):
+                if mt != "audio/wav":
+                    raise NotImplementedError(
+                        f"audio fingerprint for {mt!r} needs libav — "
+                        "audio/wav decodes natively"
+                    )
+                _, _, x, _ = parse_wav(bytes(raw))
+                fps.append(afp56(x[:, 0]))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "afp": fps})
+
+    from eventsgateway_spark.shipping import ship_package
+
+    ship_package(assets.sparkSession)
+    return assets.mapInPandas(run, AFP_SCHEMA)
+
+
+def _synth_audio_samples(doc_ids):
+    """(n, 456) int64 PCM sample grid (range ±2048) for a doc_id
+    vector — the ONE copy of the q90 fixture formula (DuckDB mirror in
+    the q90 oracle SQL; change both or neither). Same group/level
+    planting as the image fixture: level perturbs ~l/41 of the 57
+    FRAMES (whole frames move together, re-randomizing their energy),
+    so Hamming distance rises with level gap (measured 0→~11 across
+    levels 0..9; cross-group ~29-31)."""
+    import numpy as np
+
+    d = np.asarray(doc_ids, dtype=np.int64).reshape(-1, 1)
+    b, lvl = d // IMG_GROUP, d % IMG_GROUP
+    i = np.arange(AFP_FRAMES * AFP_FRAME_LEN, dtype=np.int64).reshape(1, -1)
+    fr = i // AFP_FRAME_LEN
+    bump = 977 * (1 + (i * 13) % 31)
+    t = (b * 131 + i * 37 + np.where((fr * 31) % 41 < lvl, bump, 0)) % _IMG_P
+    return ((t * t + t) % _IMG_P) % 4096 - 2048
+
+
+def synthetic_doc_audio(docs: DataFrame) -> DataFrame:
+    """One 456-sample 16 kHz mono PCM WAV asset per document row — the
+    deterministic audio corpus q90 deduplicates. Payloads are REAL
+    RIFF/WAVE bytes (``encode_wav``); samples are passed as q/32767
+    floats so the int16 lattice round-trips exactly (encode multiplies
+    by 32767; parse divides by 2^15, which is exact in float64, so
+    ``afp56`` recovers the integers bit-for-bit)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            qs = _synth_audio_samples(pdf["doc_id"].to_numpy())
+            payloads = [encode_wav(q / 32767.0, rate=16_000) for q in qs]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    from eventsgateway_spark.shipping import ship_package
+
+    ship_package(docs.sparkSession)
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)

@@ -184,7 +184,15 @@ ROTATION: list[tuple[str, ...]] = [
     # q07 (last row r11) takes r14 — both at the 2-round ceiling.
     # Family coverage: Q18 keeps q33/q34/q38/q43 declared every phase.
     ("q86_ivf_cell_stats", "q75_domain_mixture", "q07_rollup_revenue"),
-    ("q76_training_order", "q17_cube_event_stats"),
+    # Round 13 extends the pair with q90 (audio-fingerprint near-dup —
+    # q89's audio sibling) at INDEX 2: 14 % 3 == 2 gives it a round-14
+    # driver debut (the q87/q88 registered-then-debut precedent);
+    # phases 12/13 keep picking q76/q17 exactly as the pair did
+    # (12 % 3 == 0 → q76, 13 % 3 == 1 → q17), so no declared set
+    # before round 14 changes. Family coverage unchanged (Q19/Q20
+    # statics stay declared every phase).
+    ("q76_training_order", "q17_cube_event_stats",
+     "q90_audio_fingerprint_near_dup"),
     # q77 (leakage-safe split) debuted even-phase round 6; slot-mate
     # q29 is a demoted Q19 static (q30/q31/q32 keep the family
     # declared). Round 10 extends the pair with q80 (quality

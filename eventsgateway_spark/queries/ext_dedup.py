@@ -1239,28 +1239,34 @@ _IMG_SIG_CTES = """
             FROM bits GROUP BY doc_id)
 """
 
-_IMG_BANDS_SQL = "\n        UNION ALL ".join(
-    f"SELECT doc_id, dh, {b} AS band,"
-    f" (dh >> {_IMG_BAND_W * b}) & {(1 << _IMG_BAND_W) - 1} AS bval FROM sig"
-    for b in range(IMG_HAM_BANDS)
-)
-
-
-@query(
-    "q89_image_dhash_near_dup",
-    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
-    oracle=f"""
-    WITH {_IMG_SIG_CTES},
-    bands AS ({_IMG_BANDS_SQL}),
+def _ham_pairs_oracle(sig_ctes: str, bands: int, band_w: int, max_ham: int) -> str:
+    """DuckDB mirror of :func:`hamming_band_pairs` over a caller-
+    provided CTE chain ending in ``sig(doc_id, dh)`` — the ONE oracle
+    copy of the banding construction, shared by q89 (image dHash) and
+    q90 (audio fingerprint)."""
+    bands_sql = "\n        UNION ALL ".join(
+        f"SELECT doc_id, dh, {b} AS band,"
+        f" (dh >> {band_w * b}) & {(1 << band_w) - 1} AS bval FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {sig_ctes},
+    bands AS ({bands_sql}),
     cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
                     a.dh AS h1, b.dh AS h2
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
     SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
     FROM cand
-    WHERE bit_count(xor(h1, h2)) <= {IMG_HAM_MAX}
+    WHERE bit_count(xor(h1, h2)) <= {max_ham}
     ORDER BY d1, d2
-    """,
+    """
+
+
+@query(
+    "q89_image_dhash_near_dup",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=_ham_pairs_oracle(_IMG_SIG_CTES, IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX),
 )
 def q89_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate IMAGE pairs by perceptual hash (dHash-56) within
@@ -1294,4 +1300,85 @@ def q89_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hamming_band_pairs(
         sig, "dhash", IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX
+    )
+
+
+# ---------------------------------------------------------------------------
+# q90 — audio-fingerprint near-dup pairs (round 13, registered for the
+# round-14 driver debut)
+# ---------------------------------------------------------------------------
+# The audio sibling of q89: re-encoded / re-amplified / channel-
+# duplicated audio copies pass exact-hash dedup untouched; the 56-bit
+# energy-envelope fingerprint (operators/multimodal.afp56 over the
+# real stdlib-wave decode) collapses them to nearby signatures the
+# shared Manku banding pairs up. Same 7×8 banding, same ≤6 bound.
+
+# DuckDB mirror of the synthetic-audio fingerprint: the fixture's
+# sample formula (operators/multimodal._synth_audio_samples — change
+# both or neither) evaluated per (doc_id, sample index); per-frame L1
+# energies, adjacent-frame comparisons, 56-bit signature. The Spark
+# side round-trips every sample through encode_wav -> parse_wav on the
+# exact int16/2^15 lattice, so the oracle pins the whole audio decode
+# tier bit-for-bit.
+_AUDIO_SIG_CTES = """
+    g AS (SELECT doc_id, doc_id // 10 AS b, doc_id % 10 AS l FROM documents),
+    smp AS (
+      SELECT doc_id, i // 8 AS fr,
+             ABS(((t*t + t) % 65521) % 4096 - 2048) AS a
+      FROM (
+        SELECT g.doc_id, r.i,
+               (g.b*131 + r.i*37 +
+                CASE WHEN ((r.i // 8)*31) % 41 < g.l
+                     THEN 977*(1 + (r.i*13) % 31) ELSE 0 END
+               ) % 65521 AS t
+        FROM g, range(456) r(i))
+    ),
+    eng AS (SELECT doc_id, fr, SUM(a) AS e FROM smp GROUP BY 1, 2),
+    bits AS (
+      SELECT a.doc_id, a.fr, CASE WHEN a.e < n.e THEN 1 ELSE 0 END AS bit
+      FROM eng a JOIN eng n ON n.doc_id = a.doc_id AND n.fr = a.fr + 1
+      WHERE a.fr < 56
+    ),
+    sig AS (SELECT doc_id,
+                   CAST(SUM(bit * (1::BIGINT << fr)) AS BIGINT) AS dh
+            FROM bits GROUP BY doc_id)
+"""
+
+
+@query(
+    "q90_audio_fingerprint_near_dup",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=_ham_pairs_oracle(_AUDIO_SIG_CTES, IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX),
+)
+def q90_audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO pairs by energy-envelope fingerprint
+    (afp56) within Hamming ≤ 6. One synthetic 456-sample mono PCM WAV
+    asset per document (planted near-dup groups: the level re-
+    randomizes ~l/41 of the 57 frames; measured 0→~11-bit gradient,
+    cross-group ~29-31) flows through the REAL audio tier: encode_wav
+    → mapInPandas parse_wav → exact integer-PCM recovery → per-frame
+    L1 energies → 56-bit adjacent-comparison hash — pure integer math,
+    so the DuckDB oracle reproduces every signature from the sample
+    formula while the Spark side hash-checks the whole RIFF/WAVE
+    round-trip. Pairing is the shared Manku construction
+    (hamming_band_pairs, 7 bands × 8 bits — equi-join candidates,
+    EXACT recall for the bound). 100 TB shape: identical to q89 —
+    payloads die map-side, 8-byte signatures shuffle, candidate volume
+    tracks band-bucket occupancy. Invariance to amplitude scaling,
+    channel duplication, and lossless re-encode is pinned in
+    tests/test_ext.py."""
+    from eventsgateway_spark.operators.multimodal import (
+        audio_fingerprint,
+        synthetic_doc_audio,
+    )
+
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id"))
+    assets = synthetic_doc_audio(docs)
+    sig = pin(
+        audio_fingerprint(assets).select(
+            F.col("asset_id").alias("doc_id"), F.col("afp").alias("afp")
+        )
+    )
+    return hamming_band_pairs(
+        sig, "afp", IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX
     )

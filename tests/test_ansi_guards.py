@@ -165,11 +165,12 @@ _GUARDED = [
     # rows, not just on the well-formed fixtures
     "q87_cluster_size_histogram",
     "q88_packing_density",
-    # round-13: q89's image synth + dHash must agree with the oracle
-    # on an id universe unlike the shipped fixtures (9 docs, one
-    # partial group, empty/whitespace docs — images derive from
-    # doc_id alone so every row still carries a valid payload)
+    # round-13: q89/q90's media synth + perceptual hashes must agree
+    # with their oracles on an id universe unlike the shipped fixtures
+    # (9 docs, one partial group, empty/whitespace docs — payloads
+    # derive from doc_id alone so every row is still valid media)
     "q89_image_dhash_near_dup",
+    "q90_audio_fingerprint_near_dup",
 ]
 
 

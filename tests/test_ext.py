@@ -1610,3 +1610,82 @@ def test_q89_banding_recall_exact_for_bound(spark):
                 brute[(d1, d2)] = h
     assert got == brute and len(got) > 100
     assert len(set(got.values())) >= 4  # a real distance gradient
+
+
+def test_afp_invariant_to_amplitude_stereo_and_reencode(spark):
+    """The planted transforms q90 exists to catch: a 4x-amplified
+    copy, a stereo channel-duplicated copy, and a lossless WAV
+    re-encode must fingerprint IDENTICALLY (energies scale together /
+    channel 0 is hashed / the int16 lattice round-trips exactly), and
+    the REAL Spark pipeline must agree with the local hash. The libav
+    seam fails loudly for foreign formats."""
+    import numpy as np
+
+    from eventsgateway_spark.operators.multimodal import (
+        _synth_audio_samples,
+        afp56,
+        audio_fingerprint,
+        encode_wav,
+        parse_wav,
+    )
+
+    q = _synth_audio_samples([13])[0]
+    base_bytes = encode_wav(q / 32767.0, rate=16_000)
+    base = afp56(parse_wav(base_bytes)[2][:, 0])
+    amp4 = encode_wav(4 * q / 32767.0, rate=16_000)
+    stereo = encode_wav(np.stack([q, q], axis=1) / 32767.0, rate=16_000)
+    reenc = encode_wav(parse_wav(base_bytes)[2], rate=16_000)
+    rows = [
+        (0, "audio/wav", bytearray(base_bytes)),
+        (1, "audio/wav", bytearray(amp4)),
+        (2, "audio/wav", bytearray(stereo)),
+        (3, "audio/wav", bytearray(reenc)),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    got = {r["asset_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    assert got == {0: base, 1: base, 2: base, 3: base}
+    bad = spark.createDataFrame(
+        [(9, "audio/mp3", bytearray(b"ID3"))],
+        "asset_id long, media_type string, payload binary",
+    )
+    with pytest.raises(Exception, match="needs libav"):
+        audio_fingerprint(bad).collect()
+
+
+def test_q90_banding_recall_exact_for_bound(spark):
+    """q90's banded pairs over the sf-oracle fixture must EQUAL the
+    brute-force all-pairs set at Hamming <= 6 (exact recall by
+    pigeonhole), with a non-trivial distance mix."""
+    import duckdb
+    import numpy as np
+
+    from eventsgateway_spark.operators.multimodal import (
+        _synth_audio_samples,
+        afp56,
+    )
+    from eventsgateway_spark.queries import QUERIES
+
+    got = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in QUERIES["q90_audio_fingerprint_near_dup"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{SF_ORACLE}/documents.parquet' ORDER BY 1"
+        ).fetchall()
+    ]
+    qs = _synth_audio_samples(ids)
+    hs = {d: afp56(q / 32768.0) for d, q in zip(ids, qs)}
+    brute = {}
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            h = bin(hs[d1] ^ hs[d2]).count("1")
+            if h <= 6:
+                brute[(d1, d2)] = h
+    assert got == brute and len(got) > 100
+    assert len(set(got.values())) >= 4

@@ -55,6 +55,7 @@ FAMILIES: dict[str, list[str]] = {
         "q36_binary_payloads",
         "q52_embedding_quantize",
         "q89_image_dhash_near_dup",
+        "q90_audio_fingerprint_near_dup",
     ],
     "Q21_curation": [
         "q66_pii_redaction",
