@@ -668,7 +668,11 @@ def image_dhash(assets: DataFrame) -> DataFrame:
     seam; no stub tier: a fake perceptual hash would manufacture
     false dedup pairs). Arrow-batched ``mapInPandas``; the payload
     column dies inside the map stage, so only 8-byte signatures ever
-    shuffle — the property that makes image dedup 100 TB-viable."""
+    shuffle — the property that makes image dedup 100 TB-viable.
+    NULL payloads are EXCLUDED before the map (the zero-norm-vector
+    convention: an absent asset never enters a similarity index;
+    without the filter ``bytes(None)`` would TypeError mid-batch)."""
+    assets = assets.filter(F.col("payload").isNotNull())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -811,7 +815,9 @@ def audio_fingerprint(assets: DataFrame) -> DataFrame:
     needing libav (no stub tier — a fake fingerprint would manufacture
     false dedup pairs; the image_dhash contract). Arrow-batched
     ``mapInPandas``; payloads die inside the map stage, only 8-byte
-    fingerprints shuffle."""
+    fingerprints shuffle. NULL payloads are excluded before the map
+    (the image_dhash / zero-norm convention)."""
+    assets = assets.filter(F.col("payload").isNotNull())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1587,16 +1587,12 @@ def test_q89_banding_recall_exact_for_bound(spark):
     }
     import duckdb
 
-    n_docs = duckdb.sql(
-        f"SELECT COUNT(*), MIN(doc_id), MAX(doc_id) FROM "
-        f"'{SF_ORACLE}/documents.parquet'"
-    ).fetchone()
-    ids = list(
+    ids = [
         r[0]
         for r in duckdb.sql(
             f"SELECT doc_id FROM '{SF_ORACLE}/documents.parquet' ORDER BY 1"
         ).fetchall()
-    )
+    ]
     vals = _synth_pixel_vals(ids).astype(np.uint8)
     hs = {
         d: dhash56(np.repeat(v[:, :, None], 3, axis=2))
@@ -1689,3 +1685,39 @@ def test_q90_banding_recall_exact_for_bound(spark):
                 brute[(d1, d2)] = h
     assert got == brute and len(got) > 100
     assert len(set(got.values())) >= 4
+
+
+def test_perceptual_hash_null_payload_excluded(spark):
+    """A NULL payload row is EXCLUDED (the zero-norm-vector
+    convention), not a mid-batch TypeError — for both perceptual
+    hashers."""
+    import numpy as np
+
+    from eventsgateway_spark.operators.multimodal import (
+        _synth_audio_samples,
+        _synth_pixel_vals,
+        audio_fingerprint,
+        encode_ppm,
+        encode_wav,
+        image_dhash,
+    )
+
+    v = _synth_pixel_vals([1])[0].astype(np.uint8)
+    img_rows = [
+        (0, "image/ppm", bytearray(encode_ppm(np.repeat(v[:, :, None], 3, 2)))),
+        (1, "image/ppm", None),
+    ]
+    df = spark.createDataFrame(
+        img_rows, "asset_id long, media_type string, payload binary"
+    )
+    assert [r["asset_id"] for r in image_dhash(df).collect()] == [0]
+
+    q = _synth_audio_samples([1])[0]
+    wav_rows = [
+        (0, "audio/wav", bytearray(encode_wav(q / 32767.0))),
+        (1, "audio/wav", None),
+    ]
+    df = spark.createDataFrame(
+        wav_rows, "asset_id long, media_type string, payload binary"
+    )
+    assert [r["asset_id"] for r in audio_fingerprint(df).collect()] == [0]
