@@ -208,6 +208,13 @@ ROTATION: list[tuple[str, ...]] = [
     # ladder) at INDEX 0 for an immediate driver row; q78 (last row
     # r10) takes r13, q67 (last row r11) takes r14.
     ("q85_lsh_table_stats", "q78_repetition_filters", "q67_quality_rules"),
+    # Round 13: q91 (cross-modal dup consensus over the q89/q90 pair
+    # lineages) pairs with q36, a demoted Q20 static (q52 keeps the
+    # family declared every phase). Index math: 13 % 2 == 1 → q36
+    # keeps a round-13 row exactly as it had as a static (the r13
+    # declared SET is unchanged by this registration); 14 % 2 == 0 →
+    # q91 debuts in round 14 alongside its q90 input sibling.
+    ("q91_cross_modal_dup_consensus", "q36_binary_payloads"),
 ]
 
 # Approximate by nature (approx_count_distinct / HLL / Bloom false

@@ -817,20 +817,14 @@ def q63_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_band_pairs(sig, "simhash", HAM_BANDS, _HAM_BAND_W, HAM_MAX)
 
 
-def hamming_band_pairs(
-    sig: DataFrame, sig_col: str, bands: int, band_w: int, max_ham: int
+def banded_signatures(
+    sig: DataFrame, sig_col: str, bands: int, band_w: int
 ) -> DataFrame:
-    """(d1, d2, hamming) pairs within ``max_ham`` Hamming distance over
-    a (doc_id, <sig_col>) signature frame — the ONE copy of the Manku
-    pigeonhole banding (round 13; previously inlined in q63): split the
-    ``bands*band_w``-bit signature into ``bands`` bands; any pair
-    within Hamming ``bands - 1`` agrees on ≥1 whole band, so candidate
-    generation is an equi-join on (band, band_value) — never all-pairs
-    — with EXACT recall for the bound. Shared by q63 (32-bit SimHash,
-    4×8) and q89 (56-bit image dHash, 7×8). Callers pin ``sig``: it
-    fans out into every band branch of the self-join."""
-    assert max_ham <= bands - 1, "pigeonhole bound: need max_ham <= bands-1"
-    banded = sig.select(
+    """(doc_id, sig, band, bval) — one row per (signature, band): the
+    Manku band explode, factored out (round 13) so the batch pair
+    join, the durable media-signature index (streaming/media_dup.py),
+    and its lookup path all band signatures IDENTICALLY."""
+    return sig.select(
         "doc_id",
         F.col(sig_col).alias("sig"),
         F.explode(
@@ -847,6 +841,22 @@ def hamming_band_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "sig", "bk.band", "bk.bval")
+
+
+def hamming_band_pairs(
+    sig: DataFrame, sig_col: str, bands: int, band_w: int, max_ham: int
+) -> DataFrame:
+    """(d1, d2, hamming) pairs within ``max_ham`` Hamming distance over
+    a (doc_id, <sig_col>) signature frame — the ONE copy of the Manku
+    pigeonhole banding (round 13; previously inlined in q63): split the
+    ``bands*band_w``-bit signature into ``bands`` bands; any pair
+    within Hamming ``bands - 1`` agrees on ≥1 whole band, so candidate
+    generation is an equi-join on (band, band_value) — never all-pairs
+    — with EXACT recall for the bound. Shared by q63 (32-bit SimHash,
+    4×8) and q89 (56-bit image dHash, 7×8). Callers pin ``sig``: it
+    fans out into every band branch of the self-join."""
+    assert max_ham <= bands - 1, "pigeonhole bound: need max_ham <= bands-1"
+    banded = banded_signatures(sig, sig_col, bands, band_w)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -1286,20 +1296,23 @@ def q89_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket occupancy — true near-dups plus a 2^-8-per-band birthday
     floor — not corpus size. Invariance to NN-upscaling and lossless
     PPM↔PNG re-encode is pinned in tests/test_ext.py."""
+    return hamming_band_pairs(
+        pin(_image_sigs(spark, sf_dir)), "dhash",
+        IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX,
+    )
+
+
+def _image_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dhash) for the synthetic image corpus — shared by
+    q89 and q91 (callers pin)."""
     from eventsgateway_spark.operators.multimodal import (
         image_dhash,
         synthetic_doc_images,
     )
 
     docs = spread(table(spark, sf_dir, "documents").select("doc_id"))
-    assets = synthetic_doc_images(docs)
-    sig = pin(
-        image_dhash(assets).select(
-            F.col("asset_id").alias("doc_id"), F.col("dhash")
-        )
-    )
-    return hamming_band_pairs(
-        sig, "dhash", IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX
+    return image_dhash(synthetic_doc_images(docs)).select(
+        F.col("asset_id").alias("doc_id"), F.col("dhash")
     )
 
 
@@ -1367,18 +1380,95 @@ def q90_audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFram
     tracks band-bucket occupancy. Invariance to amplitude scaling,
     channel duplication, and lossless re-encode is pinned in
     tests/test_ext.py."""
+    return hamming_band_pairs(
+        pin(_audio_sigs(spark, sf_dir)), "afp",
+        IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX,
+    )
+
+
+def _audio_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, afp) for the synthetic audio corpus — shared by
+    q90 and q91 (callers pin)."""
     from eventsgateway_spark.operators.multimodal import (
         audio_fingerprint,
         synthetic_doc_audio,
     )
 
     docs = spread(table(spark, sf_dir, "documents").select("doc_id"))
-    assets = synthetic_doc_audio(docs)
-    sig = pin(
-        audio_fingerprint(assets).select(
-            F.col("asset_id").alias("doc_id"), F.col("afp").alias("afp")
-        )
+    return audio_fingerprint(synthetic_doc_audio(docs)).select(
+        F.col("asset_id").alias("doc_id"), F.col("afp").alias("afp")
     )
-    return hamming_band_pairs(
-        sig, "afp", IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX
+
+
+# ---------------------------------------------------------------------------
+# q91 — cross-modal duplicate consensus (round 13, registered for the
+# round-14 driver debut)
+# ---------------------------------------------------------------------------
+# A multimodal corpus run reads the per-modality pair reports (q89
+# image, q90 audio) through ONE consensus table: which near-dup pairs
+# are flagged by both modalities (high-confidence removals — e.g. a
+# re-encoded video clip matching on frames AND soundtrack) vs one
+# (modality-specific edits). Full-outer equi-join of two already-
+# banded pair sets — pair-grain, never corpus-grain.
+
+_Q91_IMG_SQL = _ham_pairs_oracle(
+    _IMG_SIG_CTES, IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX
+)
+_Q91_AUD_SQL = _ham_pairs_oracle(
+    _AUDIO_SIG_CTES, IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX
+)
+
+
+@query(
+    "q91_cross_modal_dup_consensus",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH img AS ({_Q91_IMG_SQL}),
+         aud AS ({_Q91_AUD_SQL})
+    SELECT COALESCE(img.d1, aud.d1) AS d1,
+           COALESCE(img.d2, aud.d2) AS d2,
+           COALESCE(img.hamming, -1) AS img_ham,
+           COALESCE(aud.hamming, -1) AS aud_ham,
+           (CASE WHEN img.hamming IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN aud.hamming IS NOT NULL THEN 1 ELSE 0 END)
+             AS n_modalities
+    FROM img FULL OUTER JOIN aud
+      ON img.d1 = aud.d1 AND img.d2 = aud.d2
+    ORDER BY 1, 2
+    """,
+)
+def q91_cross_modal_dup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup pair, which modalities flag it: full-outer join of
+    the image (q89 lineage) and audio (q90 lineage) banded pair sets
+    on (d1, d2), with ``n_modalities`` ∈ {1, 2} the consensus degree
+    and -1 the sentinel for a modality that did not flag the pair
+    (NULL in a BIGINT oracle column degrades to float64 in the
+    comparison frame — the engine-wide sentinel convention). Both
+    inputs are the EXACT q89/q90 constructions (shared ``_image_sigs``
+    / ``_audio_sigs`` + ``hamming_band_pairs``); the join is
+    pair-grain (equi on two ints), so q91's marginal cost over its
+    parents is one tiny shuffle. At 100 TB the pair tables are the
+    already-reduced dedup reports — consensus never touches payloads
+    or signatures again."""
+    img = hamming_band_pairs(
+        pin(_image_sigs(spark, sf_dir)), "dhash",
+        IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX,
+    ).withColumnRenamed("hamming", "img_h")
+    aud = hamming_band_pairs(
+        pin(_audio_sigs(spark, sf_dir)), "afp",
+        IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX,
+    ).withColumnRenamed("hamming", "aud_h")
+    j = img.join(aud, ["d1", "d2"], "full_outer")
+    return (
+        j.select(
+            "d1",
+            "d2",
+            F.coalesce(F.col("img_h"), F.lit(-1)).cast("bigint").alias("img_ham"),
+            F.coalesce(F.col("aud_h"), F.lit(-1)).cast("bigint").alias("aud_ham"),
+            (
+                F.when(F.col("img_h").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("aud_h").isNotNull(), 1).otherwise(0)
+            ).cast("int").alias("n_modalities"),
+        )
+        .orderBy("d1", "d2")
     )

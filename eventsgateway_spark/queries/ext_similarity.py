@@ -508,6 +508,10 @@ def q35_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q36_binary_payloads",
+    # demoted from the static tier in round 13: q36 now shares a
+    # rotation slot with q91 (cross-modal consensus); family Q20 keeps
+    # q52 declared every phase (+ q35's triple and q89/q90 slots)
+    declared=False,
     oracle="""
     SELECT doc_id,
            source,

@@ -171,6 +171,7 @@ _GUARDED = [
     # derive from doc_id alone so every row is still valid media)
     "q89_image_dhash_near_dup",
     "q90_audio_fingerprint_near_dup",
+    "q91_cross_modal_dup_consensus",  # full-outer of both lineages
 ]
 
 

@@ -56,6 +56,7 @@ FAMILIES: dict[str, list[str]] = {
         "q52_embedding_quantize",
         "q89_image_dhash_near_dup",
         "q90_audio_fingerprint_near_dup",
+        "q91_cross_modal_dup_consensus",
     ],
     "Q21_curation": [
         "q66_pii_redaction",

@@ -2491,3 +2491,197 @@ def test_build_ivf_index_trained_centroids(spark):
     finally:
         for t in ("ttr_ivf_meta", "ttr_ivf_assign", "ttr_ivf_centroids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_media_index_save_load_lookup_append(spark):
+    """Durable perceptual-signature index (streaming/media_dup.py):
+    save/load round-trips the geometry; lookup of the corpus's own
+    signatures reproduces EXACTLY the batch pair join
+    (hamming_band_pairs) — the serving path and the batch path must
+    agree on the pair universe; appends are per-doc idempotent and
+    banded with the SAVED geometry; crash windows (phantom meta,
+    mixed generations) and parameter mismatches are refused."""
+    import pytest
+
+    from eventsgateway_spark.operators.multimodal import (
+        image_dhash,
+        synthetic_doc_images,
+    )
+    from eventsgateway_spark.queries.ext_dedup import (
+        IMG_HAM_BANDS,
+        IMG_HAM_MAX,
+        _IMG_BAND_W,
+        hamming_band_pairs,
+    )
+    from eventsgateway_spark.queries._util import pin, unpin_all
+    from eventsgateway_spark.streaming.media_dup import (
+        append_media_index,
+        load_media_index,
+        media_lookup_batch,
+        save_media_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select("doc_id")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    sigs = pin(
+        image_dhash(synthetic_doc_images(corpus)).select(
+            F.col("asset_id").alias("doc_id"), "dhash"
+        )
+    )
+    try:
+        save_media_index(sigs, "tmidx", buckets=4)
+        idx = load_media_index(spark, "tmidx")
+        assert (idx.n_bands, idx.band_w, idx.max_ham) == (
+            IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX,
+        )
+
+        # serving == batch on the same corpus: every batch pair (d1<d2)
+        # appears in the lookup both ways, nothing else
+        batch = {
+            (r["d1"], r["d2"]): r["hamming"]
+            for r in hamming_band_pairs(
+                sigs, "dhash", IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX
+            ).collect()
+        }
+        served = {
+            (r["qid"], r["doc_id"]): r["hamming"]
+            for r in media_lookup_batch(sigs, idx).collect()
+        }
+        expect = dict(batch)
+        expect.update({(d2, d1): h for (d1, d2), h in batch.items()})
+        assert served == expect and len(batch) > 50
+
+        # append: new docs admitted once; replay admits nothing
+        more = pin(
+            image_dhash(
+                synthetic_doc_images(docs.filter(F.col("doc_id") >= 300))
+            ).select(F.col("asset_id").alias("doc_id"), "dhash")
+        )
+        r1 = append_media_index(spark, "tmidx", more)
+        assert r1["n_new_docs"] == more.count() > 0
+        r2 = append_media_index(spark, "tmidx", more)  # replay
+        assert r2["n_new_docs"] == 0
+        n_rows = spark.table("tmidx_bands").count()
+        assert n_rows == (corpus.count() + more.count()) * IMG_HAM_BANDS
+
+        # a lookup against the reopened index sees appended docs
+        idx2 = load_media_index(spark, "tmidx")
+        q = more.limit(5)
+        hits = media_lookup_batch(q, idx2).collect()
+        assert any(r["doc_id"] >= 300 for r in hits)
+
+        # geometry mismatch on re-save is refused
+        with pytest.raises(ValueError, match="refused"):
+            save_media_index(sigs, "tmidx", buckets=4, bands=4, band_w=8,
+                             max_ham=3)
+        # loosening the bound past the pigeonhole guarantee is refused
+        with pytest.raises(ValueError, match="pigeonhole"):
+            media_lookup_batch(sigs, idx2, max_ham=IMG_HAM_BANDS)
+        # tightening is allowed and subsets
+        tight = {
+            (r["qid"], r["doc_id"])
+            for r in media_lookup_batch(sigs, idx2, max_ham=2).collect()
+        }
+        assert tight and tight < set(
+            (r["qid"], r["doc_id"])
+            for r in media_lookup_batch(sigs, idx2).collect()
+        )
+
+        # phantom meta: first save crashed before _bands — next save
+        # clears it and completes
+        spark.createDataFrame(
+            [(7, 8, 6, 4, 1)],
+            "bands int, band_w int, max_ham int, buckets int, gen int",
+        ).write.mode("overwrite").saveAsTable("tmidx2_meta")
+        with pytest.raises(ValueError, match="phantom|save_media_index"):
+            load_media_index(spark, "tmidx2")
+        save_media_index(sigs, "tmidx2", buckets=4)
+        assert load_media_index(spark, "tmidx2").bands.count() > 0
+
+        # mixed generations: meta one gen ahead of bands → refused
+        spark.createDataFrame(
+            [(IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX, 4, 99)],
+            "bands int, band_w int, max_ham int, buckets int, gen int",
+        ).write.mode("overwrite").saveAsTable("tmidx2_meta")
+        with pytest.raises(ValueError, match="mixed-generation"):
+            load_media_index(spark, "tmidx2")
+        with pytest.raises(ValueError, match="mixed-generation"):
+            append_media_index(spark, "tmidx2", more)
+        # a completed re-save restores consistency
+        save_media_index(sigs, "tmidx2", buckets=4)
+        assert load_media_index(spark, "tmidx2").bands.count() > 0
+    finally:
+        unpin_all()
+        for t in ("tmidx_meta", "tmidx_bands", "tmidx2_meta", "tmidx2_bands"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_media_dedup_against_index(spark, tmp_path):
+    """Streaming perceptual dedup: incoming image assets are hashed
+    and checked against a signature index built once; a re-encoded /
+    upscaled copy of an indexed image routes to the dup sink with the
+    match's id + Hamming evidence, a genuinely different image routes
+    novel. Replay idempotence comes from batch_id dynamic overwrite
+    (the near_dup sink contract — shared _idempotent_append)."""
+    import numpy as np
+
+    from eventsgateway_spark.operators.multimodal import (
+        _nn_resize,
+        _synth_pixel_vals,
+        encode_png,
+        encode_ppm,
+        image_dhash,
+        synthetic_doc_images,
+    )
+    from eventsgateway_spark.queries._util import unpin_all
+    from eventsgateway_spark.streaming.media_dup import (
+        build_media_index,
+        stream_media_dedup,
+    )
+
+    corpus_docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    sigs = image_dhash(synthetic_doc_images(corpus_docs)).select(
+        F.col("asset_id").alias("doc_id"), "dhash"
+    )
+    index = build_media_index(sigs)
+
+    # incoming: asset 500 = corpus doc 7 re-encoded as PNG and 2x
+    # NN-upscaled (dhash-invariant transforms); asset 501 = an image
+    # from a FAR group (doc 9990: base 999 — unrelated content)
+    v7 = _synth_pixel_vals([7])[0].astype(np.uint8)
+    img7 = np.repeat(v7[:, :, None], 3, axis=2)
+    dup_payload = encode_png(_nn_resize(img7, 32, 32))
+    v_far = _synth_pixel_vals([9990])[0].astype(np.uint8)
+    novel_payload = encode_ppm(np.repeat(v_far[:, :, None], 3, axis=2))
+    incoming = spark.createDataFrame(
+        [
+            (500, "image/png", bytearray(dup_payload), len(dup_payload)),
+            (501, "image/ppm", bytearray(novel_payload), len(novel_payload)),
+        ],
+        "asset_id long, media_type string, payload binary, n_bytes long",
+    )
+    src = str(tmp_path / "assets")
+    incoming.coalesce(1).write.parquet(src)
+
+    q = stream_media_dedup(
+        spark.readStream.schema(incoming.schema).parquet(src),
+        index,
+        novel_path=str(tmp_path / "novel"),
+        dup_path=str(tmp_path / "dups"),
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    dups = spark.read.parquet(str(tmp_path / "dups")).collect()
+    novel = spark.read.parquet(str(tmp_path / "novel")).collect()
+    # invariant transforms give an exact signature match (hamming 0);
+    # docs 6 and 7 share one signature (adjacent planted levels can
+    # collide), so the min-struct law breaks the tie to the SMALLER id
+    assert [(r["asset_id"], r["matched_id"], r["hamming"]) for r in dups] == [
+        (500, 6, 0)
+    ]
+    assert [r["asset_id"] for r in novel] == [501]
+    unpin_all()
