@@ -1273,6 +1273,50 @@ def _ham_pairs_oracle(sig_ctes: str, bands: int, band_w: int, max_ham: int) -> s
     """
 
 
+# (applicationId, realpath(sf_dir), modality) -> materialized
+# (doc_id, sig) frame — the media analog of _PAIRS_CACHE: THREE
+# registry queries consume each signature lineage (q89 + q91 the image
+# one, q90 + q91 the audio one), and in a shared bench/notebook
+# session each used to re-run the synth+decode+hash mapInPandas chain
+# from scratch. Same keying, fingerprint eviction, and
+# survives-unpin_all discipline as the other session caches; active
+# only above fixture scale so driver oracle runs still hash-check the
+# full lineage per query. scaleprobe clears it between growth samples
+# (the round-12 pairs-cache lesson).
+_MEDIA_SIG_CACHE: dict[tuple[str, str, str], tuple[str, DataFrame]] = {}
+
+
+def media_sigs(spark: SparkSession, sf_dir: str, modality: str) -> DataFrame:
+    """(doc_id, dhash|afp) — THE shared perceptual-signature lineage
+    per modality, materialized once per (session, fixture) above
+    fixture scale (see ``_MEDIA_SIG_CACHE``)."""
+    from eventsgateway_spark.queries._util import is_fixture_scale
+
+    builder = {"image": _image_sigs, "audio": _audio_sigs}[modality]
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        modality,
+    )
+    fp = _fixture_fingerprint(sf_dir)
+    hit = _MEDIA_SIG_CACHE.get(key)
+    if hit is not None:
+        cached_fp, cached = hit
+        if cached_fp == fp:
+            return cached
+        del _MEDIA_SIG_CACHE[key]
+        from eventsgateway_spark.queries._util import release_frame
+
+        release_frame(cached)
+    docs = table(spark, sf_dir, "documents")
+    sigs = builder(spark, sf_dir)
+    if not is_fixture_scale(docs):
+        sigs = sigs.localCheckpoint()
+        _MEDIA_SIG_CACHE[key] = (fp, sigs)
+    return sigs
+
+
+
 @query(
     "q89_image_dhash_near_dup",
     declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
@@ -1297,7 +1341,7 @@ def q89_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor — not corpus size. Invariance to NN-upscaling and lossless
     PPM↔PNG re-encode is pinned in tests/test_ext.py."""
     return hamming_band_pairs(
-        pin(_image_sigs(spark, sf_dir)), "dhash",
+        media_sigs(spark, sf_dir, "image"), "dhash",
         IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX,
     )
 
@@ -1381,7 +1425,7 @@ def q90_audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFram
     channel duplication, and lossless re-encode is pinned in
     tests/test_ext.py."""
     return hamming_band_pairs(
-        pin(_audio_sigs(spark, sf_dir)), "afp",
+        media_sigs(spark, sf_dir, "audio"), "afp",
         IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX,
     )
 
@@ -1444,18 +1488,18 @@ def q91_cross_modal_dup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame
     and -1 the sentinel for a modality that did not flag the pair
     (NULL in a BIGINT oracle column degrades to float64 in the
     comparison frame — the engine-wide sentinel convention). Both
-    inputs are the EXACT q89/q90 constructions (shared ``_image_sigs``
-    / ``_audio_sigs`` + ``hamming_band_pairs``); the join is
+    inputs are the EXACT q89/q90 constructions (shared ``media_sigs``
+    session-cached lineages + ``hamming_band_pairs``); the join is
     pair-grain (equi on two ints), so q91's marginal cost over its
     parents is one tiny shuffle. At 100 TB the pair tables are the
     already-reduced dedup reports — consensus never touches payloads
     or signatures again."""
     img = hamming_band_pairs(
-        pin(_image_sigs(spark, sf_dir)), "dhash",
+        media_sigs(spark, sf_dir, "image"), "dhash",
         IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX,
     ).withColumnRenamed("hamming", "img_h")
     aud = hamming_band_pairs(
-        pin(_audio_sigs(spark, sf_dir)), "afp",
+        media_sigs(spark, sf_dir, "audio"), "afp",
         IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX,
     ).withColumnRenamed("hamming", "aud_h")
     j = img.join(aud, ["d1", "d2"], "full_outer")

@@ -337,14 +337,16 @@ def run_probe(mults: tuple[int, ...] = (1, 10, 100), runs: int = 2,
                 # frame one level below it (round 11b) are cached per
                 # (session, fixture) by design (shared with q30/q32/
                 # q80); a cached run would time the ~0 s reuse path
-                # and fake the growth exponent — clear BOTH so every
+                # and fake the growth exponent — clear ALL so every
                 # sample pays the full build (the pairs cache was
-                # missed when it landed; round-12 fix)
+                # missed when it landed; round-12 fix. round 13 adds
+                # the media-signature cache to the sweep)
                 from eventsgateway_spark.queries import ext_dedup
                 from eventsgateway_spark.queries._util import release_frame
 
                 for cache in (ext_dedup._LABELS_CACHE,
-                              ext_dedup._PAIRS_CACHE):
+                              ext_dedup._PAIRS_CACHE,
+                              ext_dedup._MEDIA_SIG_CACHE):
                     for _fp, frame in cache.values():
                         release_frame(frame)
                     cache.clear()

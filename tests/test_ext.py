@@ -1721,3 +1721,46 @@ def test_perceptual_hash_null_payload_excluded(spark):
         wav_rows, "asset_id long, media_type string, payload binary"
     )
     assert [r["asset_id"] for r in audio_fingerprint(df).collect()] == [0]
+
+
+def test_media_sig_cache_shared_across_queries(spark):
+    """Above fixture scale the image/audio signature lineages are
+    session-cached (the _PAIRS_CACHE discipline): q89 warms the image
+    entry, q91 rides BOTH entries instead of re-running the
+    synth+decode+hash chains; at the driver's oracle scale (sf0.01)
+    the cache stays empty so every query hash-checks its full
+    lineage. Cached and uncached results are identical."""
+    from eventsgateway_spark.queries import QUERIES
+    from eventsgateway_spark.queries.ext_dedup import (
+        _MEDIA_SIG_CACHE,
+        media_sigs,
+    )
+    from eventsgateway_spark.queries._util import release_frame
+
+    # oracle scale: no caching
+    QUERIES["q89_image_dhash_near_dup"](spark, SF_ORACLE).count()
+    assert not _MEDIA_SIG_CACHE
+
+    sf01 = "/root/testdata/sf0.1"
+    try:
+        uncached = {
+            tuple(r)
+            for r in QUERIES["q91_cross_modal_dup_consensus"](
+                spark, sf01
+            ).limit(0).collect()  # build only — warm both entries
+        }
+        assert len(_MEDIA_SIG_CACHE) == 2  # image + audio at sf0.1
+        # a second consumer returns the SAME cached frame object
+        f1 = media_sigs(spark, sf01, "image")
+        f2 = media_sigs(spark, sf01, "image")
+        assert f1 is f2
+        got = {
+            tuple(r)
+            for r in QUERIES["q89_image_dhash_near_dup"](spark, sf01)
+            .limit(50).collect()
+        }
+        assert len(got) == 50  # rides the warm entry, still correct rows
+    finally:
+        for _fp, frame in _MEDIA_SIG_CACHE.values():
+            release_frame(frame)
+        _MEDIA_SIG_CACHE.clear()
