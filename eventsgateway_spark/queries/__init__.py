@@ -215,6 +215,13 @@ ROTATION: list[tuple[str, ...]] = [
     # declared SET is unchanged by this registration); 14 % 2 == 0 →
     # q91 debuts in round 14 alongside its q90 input sibling.
     ("q91_cross_modal_dup_consensus", "q36_binary_payloads"),
+    # Round 13: q92 (media band-occupancy audit — the q85/q86
+    # candidate-volume contract for the Manku family) pairs with q33,
+    # a demoted Q18 static (q34/q43 keep the family declared every
+    # phase). Index math: 13 % 2 == 1 → q92 debuts the round it lands
+    # (the q89 precedent); q33 — static-green through r12 — takes r14
+    # (gap 2) and alternates thereafter.
+    ("q33_cosine_top3", "q92_media_band_stats"),
 ]
 
 # Approximate by nature (approx_count_distinct / HLL / Bloom false

@@ -1516,3 +1516,68 @@ def q91_cross_modal_dup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 — media band-occupancy audit (round 13)
+# ---------------------------------------------------------------------------
+# The candidate-volume contract of the Manku banding as a hash-checked
+# row — the q85 (LSH tables) / q86 (IVF cells) operational audit,
+# extended to the media-signature family: per band, how many buckets
+# are occupied, how big the hottest bucket is, and Σocc² (exactly the
+# per-band candidate-join volume). At 100 TB this is the report an
+# operator reads before trusting a lookup's latency — a viral dup
+# cluster shows up as max_occ, and Σocc² IS the join cost.
+
+_Q92_BANDS_SQL = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band,"
+    f" (dh >> {_IMG_BAND_W * b}) & {(1 << _IMG_BAND_W) - 1} AS bval FROM sig"
+    for b in range(IMG_HAM_BANDS)
+)
+
+
+@query(
+    "q92_media_band_stats",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH {_IMG_SIG_CTES},
+    bands AS ({_Q92_BANDS_SQL}),
+    occ AS (SELECT band, bval, COUNT(*) AS n
+            FROM bands GROUP BY 1, 2)
+    SELECT band,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(n) AS BIGINT) AS n_sigs,
+           CAST(MAX(n) AS BIGINT) AS max_occ,
+           CAST(SUM(n * n) AS BIGINT) AS sum_occ_sq
+    FROM occ
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q92_media_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band bucket occupancy of the image-dHash Manku banding
+    (q89's candidate-generation layout; q90/q91 and the durable
+    media index share the geometry): (band, n_buckets, n_sigs,
+    max_occ, sum_occ_sq). ``sum_occ_sq`` is the exact per-band
+    candidate-join volume (Σ over buckets of occ²) — the number the
+    2^-band_w birthday floor bounds and the media index's
+    ``bucket_skew`` signal summarizes; ``n_sigs`` is constant across
+    bands (every signature lands in every band — an audit invariant
+    the oracle hash pins). Shape: the banded frame is map-side, the
+    two aggregates are (band, bval)- then band-grain — nothing
+    corpus-grain shuffles twice (the q85/q86 discipline)."""
+    banded = banded_signatures(
+        media_sigs(spark, sf_dir, "image"), "dhash",
+        IMG_HAM_BANDS, _IMG_BAND_W,
+    )
+    occ = banded.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        occ.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n").cast("bigint").alias("n_sigs"),
+            F.max("n").cast("bigint").alias("max_occ"),
+            F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_occ_sq"),
+        )
+        .orderBy("band")
+    )

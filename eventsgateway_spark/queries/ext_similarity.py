@@ -88,6 +88,10 @@ _DUCK_BUCKET = _duck_bucket(8, 0)
 
 @query(
     "q33_cosine_top3",
+    # demoted from the static tier in round 13: q33 now shares a
+    # rotation slot with q92 (media band-occupancy audit); family Q18
+    # keeps q34/q43 declared every phase (+ q38 static, q70's slot)
+    declared=False,
     oracle=f"""
     WITH v AS ({_DUCK_V_NONZERO}),
     q AS (SELECT vec_id AS qid, label AS q_label, e AS qe,

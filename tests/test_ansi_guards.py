@@ -172,6 +172,7 @@ _GUARDED = [
     "q89_image_dhash_near_dup",
     "q90_audio_fingerprint_near_dup",
     "q91_cross_modal_dup_consensus",  # full-outer of both lineages
+    "q92_media_band_stats",  # banding audit over the image lineage
 ]
 
 
