@@ -199,7 +199,13 @@ def append_media_index(
         )
     cur_gen = _check_same_generation(spark, table_prefix)
     meta = _meta_row(spark, table_prefix)
-    existing = spark.table(f"{table_prefix}_bands").select("doc_id").distinct()
+    # every doc appears once per band — the idempotence anti-join only
+    # needs band 0's rows (1/bands of the table; round-13 review)
+    existing = (
+        spark.table(f"{table_prefix}_bands")
+        .filter(F.col("band") == 0)
+        .select("doc_id")
+    )
     fresh = (
         new_sigs.dropDuplicates(["doc_id"])
         .join(existing, "doc_id", "left_anti")
