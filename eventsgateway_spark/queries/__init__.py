@@ -173,6 +173,13 @@ ROTATION: list[tuple[str, ...]] = [
     # (the q86 immediate-debut precedent); q74 keeps its round-12 slot
     # (12 % 3 == 0), q47 takes r14. Family coverage: Q19 keeps
     # q30/q31/q32 and Q20 keeps q36/q52 declared every phase.
+    # HISTORY NOTE (ADVICE r13): extending the (q74, q47) pair to a
+    # triple changes what rotated_declared(n) returns for rounds
+    # <= 12 (e.g. 10 % 3 == 1 now picks q89 where the pair picked
+    # q74). Frozen CORRECTNESS_rN records are never re-validated
+    # against a re-derived declared set — they are driver outputs,
+    # not registry functions — so the retroactive shift is accepted;
+    # the same applies to every group extension above.
     ("q74_token_budget_sample", "q89_image_dhash_near_dup",
      "q47_hash_split"),
     # q75/q76 (temperature mixture weights / weighted training order)

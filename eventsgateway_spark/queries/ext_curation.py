@@ -586,16 +586,23 @@ def q78_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     math (ppm via integer division) — exact cross-engine."""
     from eventsgateway_spark.functions.text import ngrams
 
+    from eventsgateway_spark.queries._util import is_fixture_scale
+
     docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
     base = docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         tokens("text").alias("toks"),
     )
-    # cache-free: base is re-read per branch but the scan+split is
-    # cheaper than a shuffle-backed materialization at fixture scale,
-    # and at cluster scale the two branches pipeline off one shuffle
-    # stage each (explode feeds straight into its own hash aggregate)
+    # base feeds THREE consumers (c2, c5, the final n_toks select).
+    # Above fixture scale it is tokenized ONCE and materialized
+    # (localCheckpoint — the q57/q72 auto-pick discipline; VERDICT
+    # r13 #3): without it each branch re-scans and re-splits the
+    # corpus, 3× the tokenize CPU at 100 TB. At fixture scale the
+    # checkpoint is skipped so the driver-oracle plan (and its value
+    # hash) is byte-identical to the uncached round-13 shape.
+    if not is_fixture_scale(docs):
+        base = base.localCheckpoint()
     c2 = (
         base.select("doc_id", "n_chars", F.explode(ngrams(F.col("toks"), 2)).alias("g"))
         .groupBy("doc_id", "n_chars", "g")

@@ -855,7 +855,13 @@ def hamming_band_pairs(
     — with EXACT recall for the bound. Shared by q63 (32-bit SimHash,
     4×8) and q89 (56-bit image dHash, 7×8). Callers pin ``sig``: it
     fans out into every band branch of the self-join."""
-    assert max_ham <= bands - 1, "pigeonhole bound: need max_ham <= bands-1"
+    if max_ham > bands - 1:
+        # ValueError (not assert) so the contract survives python -O,
+        # matching build/save_media_index (ADVICE r13)
+        raise ValueError(
+            f"pigeonhole bound: max_ham={max_ham} needs >= {max_ham + 1} "
+            f"bands, got {bands}"
+        )
     banded = banded_signatures(sig, sig_col, bands, band_w)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -210,7 +210,7 @@ def save_ivf_index(
         # A crashed RE-save leaves all three tables present (possibly
         # mixed generations) and is NOT cleared — re-run the save to
         # completion, as save_corpus_index documents.
-        for suffix in ("_meta", "_assign", "_centroids"):
+        for suffix in ("_meta", "_assign", "_centroids", "_occ"):
             spark.sql(f"DROP TABLE IF EXISTS {table_prefix}{suffix}")
     if spark.catalog.tableExists(f"{table_prefix}_meta"):
         old = int(spark.table(f"{table_prefix}_meta").collect()[0]["buckets"])
@@ -269,6 +269,22 @@ def save_ivf_index(
         .mode("overwrite")
         .saveAsTable(f"{table_prefix}_assign")
     )
+    # cell-occupancy summary last, read back from the committed table
+    # (save is already O(corpus)); crash before this write leaves a
+    # stale-gen _occ that the next append fully rebuilds
+    occ = (
+        spark.table(f"{table_prefix}_assign")
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("gen", F.lit(gen))
+        .localCheckpoint()
+    )
+    try:
+        occ.write.mode("overwrite").saveAsTable(f"{table_prefix}_occ")
+    finally:
+        from eventsgateway_spark.queries._util import release_frame as _rf
+
+        _rf(occ)
     if built_here:
         # reclaim the inline build's checkpoint blocks now — the saved
         # tables supersede them (caller-passed indexes stay pinned:
@@ -312,18 +328,28 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
     candidate join keeps its co-location and recall within a probed
     cell is exact, same as at build time. What degrades under
     distribution drift is cell BALANCE (a runaway cell makes its
-    probes expensive), so each append reports ``cell_skew`` —
-    max/mean occupancy over the appended table, computed with one
-    bucket-local aggregate — as the retrain/rebuild gate; the
-    centroids themselves are retrained with ``operators.kmeans`` and
-    re-saved when it grows past tolerance.
+    probes expensive), so each append reports ``cell_skew`` — max/mean
+    cell occupancy — as the retrain/rebuild gate; the centroids
+    themselves are retrained with ``operators.kmeans`` and re-saved
+    when it grows past tolerance. Since round 14 the occupancy lives
+    in an incrementally-maintained ``{prefix}_occ`` summary (cell_id,
+    n, gen): each append recounts ONLY the cells its batch touched via
+    a bucket-pruned scan, so the metric costs O(batch + touched-cell
+    rows), never O(corpus); a missing/stale-generation summary (legacy
+    index, crash mid-protocol) triggers one full rebuild, and the
+    touched set comes from the batch BEFORE the idempotence filter so
+    replays self-heal. Health metric only — ``_assign`` is never
+    derived from it.
 
     Idempotent per vector: ``new_emb`` is deduplicated by vec_id within
     the call (at-least-once upstream can deliver a vector twice in one
-    compaction batch), then vec_ids already assigned are dropped
-    (anti-join against the pruned ``vec_id`` column — a narrow
-    corpus-side shuffle, which is why this belongs on the compaction
-    cadence, not per micro-batch). The index mutation is ONE table
+    compaction batch), then vec_ids already assigned are dropped — a
+    broadcast-semi scan of the corpus table (bounded output) plus a
+    broadcast anti-join, never a corpus-side shuffle (round 14; the
+    previous direct left_anti sort-merged every stored vec_id per
+    batch). Zero-norm vectors are silently skipped (norm_view's
+    contract) and do not count toward ``n_new_vecs``. The index
+    mutation is ONE table
     append, so a replay after a crash either sees the ids (no-op) or
     re-appends the whole batch — never a partial duplicate. The bucket
     count comes from the index's ``_meta`` table, pinned at save time.
@@ -368,25 +394,45 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
     # appending fresh assignments under new centroids into an OLD
     # assignment table would bake the inconsistency in
     cur_gen = _check_same_generation(spark, table_prefix)
-    existing = spark.table(f"{table_prefix}_assign").select("vec_id")
-    fresh = (
-        new_emb.dropDuplicates(["vec_id"])
-        .join(existing, "vec_id", "left_anti")
-        .localCheckpoint()
-    )
-    try:
+    from eventsgateway_spark.queries._util import released_checkpoints
+
+    assign_cols = spark.table(f"{table_prefix}_assign").columns
+    with released_checkpoints() as ckpt:
+        cents = spark.table(f"{table_prefix}_centroids")
+        # assign the WHOLE deduped batch BEFORE the idempotence filter
+        # (zero-norm vectors are dropped here — norm_view's contract):
+        # the batch's cell set feeds the occupancy refresh below even
+        # on a pure replay, which is what heals a crash between the
+        # _assign append and the _occ overwrite.
+        batch = ckpt(
+            ivf_assign_with(
+                norm_view(new_emb.dropDuplicates(["vec_id"])),
+                cents,
+                k=_cents_k(cents),
+            )
+        )
+        # round 14: the idempotence filter is a broadcast-semi scan of
+        # the corpus table (output bounded by the batch) followed by a
+        # broadcast anti-join — the corpus side is never shuffled,
+        # unlike the previous direct left_anti (sort-merge exchange of
+        # every stored vec_id per admission batch).
+        present = ckpt(
+            spark.table(f"{table_prefix}_assign")
+            .select("vec_id")
+            .join(F.broadcast(batch.select("vec_id")), "vec_id", "semi")
+        )
+        fresh = batch.join(F.broadcast(present), "vec_id", "left_anti")
         n_new = fresh.count()
         if n_new:
-            cents = spark.table(f"{table_prefix}_centroids")
-            assigned = ivf_assign_with(norm_view(fresh), cents, k=_cents_k(cents))
-            if "qs" in spark.table(f"{table_prefix}_assign").columns:
+            assigned = fresh
+            if "qs" in assign_cols:
                 # appended rows carry SQ8 codes iff the saved table
                 # does (a legacy pre-SQ8 table keeps its shape — a
                 # schema-widening append would fail/poison it)
                 assigned = assigned.withColumn(
                     "qs", sq8_codes(F.col("e"), F.col("nrm"))
                 )
-            if "gen" in spark.table(f"{table_prefix}_assign").columns:
+            if "gen" in assign_cols:
                 # appended rows extend the CURRENT generation (a
                 # fully-legacy pre-gen table keeps its shape)
                 assigned = assigned.withColumn("gen", F.lit(cur_gen))
@@ -395,17 +441,50 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
                 .mode("append")
                 .saveAsTable(f"{table_prefix}_assign")
             )
-    finally:
-        from eventsgateway_spark.queries._util import release_frame
-
-        release_frame(fresh)
-    occ = (
-        spark.table(f"{table_prefix}_assign")
-        .groupBy("cell_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n").alias("mx"), F.avg("n").alias("avg"))
-        .collect()[0]
-    )
+        # --- cell-occupancy summary refresh ({prefix}_occ: cell_id,
+        # n, gen) — incremental, mirroring media_dup's protocol: only
+        # the batch's cells are recounted (bucket-pruned scan of the
+        # cell_id-bucketed table), so the skew health metric costs
+        # O(batch + touched-cell rows) instead of the O(corpus)
+        # groupBy it replaced (VERDICT r13 #2). Missing/stale-gen _occ
+        # (legacy index, or a crash mid-protocol) → one full rebuild.
+        # Health metric only: _assign is never derived from it.
+        occ_name = f"{table_prefix}_occ"
+        occ_ok = spark.catalog.tableExists(occ_name)
+        if occ_ok:
+            g = spark.table(occ_name).select("gen").limit(1).collect()
+            occ_ok = bool(g) and int(g[0]["gen"]) == cur_gen
+        fresh_tbl = spark.table(f"{table_prefix}_assign")
+        if not occ_ok:
+            merged = fresh_tbl.groupBy("cell_id").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+        else:
+            tvals = [
+                r["cell_id"] for r in batch.select("cell_id").distinct().collect()
+            ]
+            refreshed = (
+                fresh_tbl.filter(F.col("cell_id").isin(tvals))
+                .groupBy("cell_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            merged = (
+                spark.table(occ_name)
+                .filter(~F.col("cell_id").isin(tvals))
+                .select("cell_id", "n")
+                .unionByName(refreshed)
+            )
+        merged = ckpt(
+            merged.select("cell_id", F.col("n").cast("bigint").alias("n"))
+        )
+        occ = merged.agg(
+            F.max("n").alias("mx"), F.avg("n").alias("avg")
+        ).collect()[0]
+        (
+            merged.withColumn("gen", F.lit(int(cur_gen)))
+            .write.mode("overwrite")
+            .saveAsTable(occ_name)
+        )
     return {
         "n_new_vecs": n_new,
         "cell_skew": float(occ["mx"]) / float(occ["avg"]) if occ["avg"] else 0.0,

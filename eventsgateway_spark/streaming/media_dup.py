@@ -20,6 +20,16 @@ media sibling of ``near_dup.save_corpus_index`` (shingle index) and
   band a different geometry than the index was built with; ``max_ham``
   is a default the lookup may override DOWNWARD (a tighter bound is
   always pigeonhole-safe; looser would need more bands than stored).
+- ``{prefix}_occ``: (band, bval, n, gen) — the band-bucket occupancy
+  summary, maintained INCREMENTALLY (round 14): each append refreshes
+  only the buckets the batch touched (bucket-pruned scan), so the
+  skew health metric costs O(batch + touched buckets) instead of the
+  O(corpus) groupBy it replaced. Bounded at ``bands * 2**band_w``
+  rows regardless of corpus size. It is a health metric, not
+  correctness data: a crash mid-occ-overwrite degrades the metric
+  until the next append touching those buckets (or a gen mismatch /
+  missing table, either of which triggers a full rebuild); the
+  ``_bands`` table is never derived from it.
 
 Crash protocol (the IVF-index contract, two tables instead of three):
 every save stamps one ``gen`` into both tables; ``_meta`` lands first,
@@ -82,7 +92,41 @@ def build_media_index(
 
 
 def _meta_row(spark, table_prefix: str):
+    if not spark.catalog.tableExists(f"{table_prefix}_meta"):
+        # _bands exists but _meta was dropped out-of-band: the module's
+        # refusal style is a descriptive ValueError, never a raw
+        # AnalysisException (ADVICE r13)
+        raise ValueError(
+            f"media index at {table_prefix!r} has a _bands table but no "
+            "_meta — the banding geometry is unrecoverable from data "
+            "alone; re-run save_media_index to completion (fresh prefix "
+            "if the old geometry is unknown)"
+        )
     return spark.table(f"{table_prefix}_meta").collect()[0]
+
+
+def _occ_summary(banded: DataFrame) -> DataFrame:
+    """(band, bval, n) occupancy over a banded frame — the ONE shape
+    both the full rebuild and the incremental refresh produce."""
+    return banded.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _write_occ(spark, table_prefix: str, occ: DataFrame, gen: int) -> None:
+    stamped = occ.select(
+        "band", "bval", F.col("n").cast("bigint").alias("n"),
+        F.lit(int(gen)).alias("gen"),
+    ).localCheckpoint()  # materialize before overwriting a table it may read
+    try:
+        stamped.write.mode("overwrite").saveAsTable(f"{table_prefix}_occ")
+    finally:
+        from eventsgateway_spark.queries._util import release_frame
+
+        release_frame(stamped)
+
+
+def _skew_of(occ: DataFrame) -> float:
+    row = occ.agg(F.max("n").alias("mx"), F.avg("n").alias("avg")).collect()[0]
+    return float(row["mx"]) / float(row["avg"]) if row["avg"] else 0.0
 
 
 def _check_same_generation(spark, table_prefix: str) -> int:
@@ -157,6 +201,14 @@ def save_media_index(
         .mode("overwrite")
         .saveAsTable(f"{table_prefix}_bands")
     )
+    # occupancy summary last, read back from the committed table (one
+    # extra columnar scan — save is already O(corpus); re-running the
+    # sigs lineage could mean re-decoding payloads). Crash before this
+    # write leaves a stale-gen occ that the next append fully rebuilds.
+    _write_occ(
+        spark, table_prefix, _occ_summary(spark.table(f"{table_prefix}_bands")),
+        gen,
+    )
 
 
 def load_media_index(spark, table_prefix: str) -> MediaIndex:
@@ -185,60 +237,120 @@ def load_media_index(spark, table_prefix: str) -> MediaIndex:
 def append_media_index(
     spark, table_prefix: str, new_sigs: DataFrame, sig_col: str = "dhash"
 ) -> dict:
-    """Admit new signatures incrementally — per-doc IDEMPOTENT
-    (anti-join on doc_id: a replayed admission batch cannot
-    double-index), banded with the SAVED geometry (never the caller's
-    defaults), appended into the bucket layout. Returns
-    ``{"n_new_docs": int, "bucket_skew": float}`` — skew is max/avg
+    """Admit new signatures incrementally — per-doc IDEMPOTENT,
+    banded with the SAVED geometry (never the caller's defaults),
+    appended into the bucket layout. Returns ``{"n_new_docs": int,
+    "n_repaired_docs": int, "bucket_skew": float}`` — skew is max/avg
     band-bucket occupancy, the rebuild-cadence signal (a viral
     near-dup cluster concentrates one bucket; candidate volume per
-    lookup tracks that bucket)."""
+    lookup tracks that bucket).
+
+    Admission shape (round 14): ONE corpus scan, broadcast-semi
+    filtered to the batch's doc_ids — the output is bounded by
+    ``batch × bands`` rows, and unlike the previous band-0 anti-join
+    the corpus side is never shuffled (BroadcastHashJoin LeftSemi, no
+    sort-merge exchange). Because the scan sees every band row of the
+    batch's docs, it also detects PARTIAL docs — a crashed append's
+    job commit can leave some of a doc's band files visible and
+    others missing — and repairs them by appending exactly the
+    missing (band, bval) rows rebuilt from the STORED signature
+    (first-write-wins: the batch's signature is ignored for docs
+    already present; ADVICE r13).
+
+    The skew metric reads the ``_occ`` summary (module docstring),
+    refreshed for ONLY the buckets this batch touched via a
+    bucket-pruned scan — O(batch + touched-bucket rows), never
+    O(corpus). A missing or stale-generation ``_occ`` (legacy index,
+    or a crash between the ``_bands`` append and the ``_occ``
+    overwrite followed by a geometry re-save) triggers one full
+    rebuild; the touched set is derived from the batch BEFORE the
+    idempotence filter, so a replayed batch re-refreshes the same
+    buckets and self-heals the common crash window."""
     if not spark.catalog.tableExists(f"{table_prefix}_bands"):
         raise ValueError(
             f"no media index at {table_prefix!r} — save_media_index first"
         )
     cur_gen = _check_same_generation(spark, table_prefix)
     meta = _meta_row(spark, table_prefix)
-    # every doc appears once per band — the idempotence anti-join only
-    # needs band 0's rows (1/bands of the table; round-13 review)
-    existing = (
-        spark.table(f"{table_prefix}_bands")
-        .filter(F.col("band") == 0)
-        .select("doc_id")
-    )
-    fresh = (
-        new_sigs.dropDuplicates(["doc_id"])
-        .join(existing, "doc_id", "left_anti")
-        .localCheckpoint()
-    )
-    try:
-        n_new = fresh.count()
-        if n_new:
-            banded = banded_signatures(
-                fresh, sig_col, int(meta["bands"]), int(meta["band_w"])
+    n_bands, band_w = int(meta["bands"]), int(meta["band_w"])
+    from eventsgateway_spark.queries._util import released_checkpoints
+
+    bands_tbl = spark.table(f"{table_prefix}_bands")
+    has_gen = "gen" in bands_tbl.columns
+    with released_checkpoints() as ckpt:
+        batch = ckpt(new_sigs.dropDuplicates(["doc_id"]))
+        # one corpus scan: every stored band row of the batch's docs
+        present = ckpt(
+            bands_tbl.join(F.broadcast(batch.select("doc_id")), "doc_id", "semi")
+            .groupBy("doc_id")
+            .agg(
+                F.collect_set("band").alias("have"),
+                # all band rows of a doc share one signature
+                F.min("sig").alias("sig"),
             )
-            if "gen" in spark.table(f"{table_prefix}_bands").columns:
-                banded = banded.withColumn("gen", F.lit(cur_gen))
+        )
+        fresh = batch.join(
+            F.broadcast(present.select("doc_id")), "doc_id", "left_anti"
+        )
+        n_new = fresh.count()
+        to_append = banded_signatures(fresh, sig_col, n_bands, band_w)
+        # repair: docs present with missing bands → append only the
+        # missing rows, rebuilt from the stored signature
+        incomplete = ckpt(present.filter(F.size("have") < n_bands))
+        n_repaired = incomplete.count()
+        if n_repaired:
+            rep_all = banded_signatures(
+                incomplete.select("doc_id", F.col("sig").alias(sig_col)),
+                sig_col, n_bands, band_w,
+            )
+            have_rows = incomplete.select(
+                "doc_id", F.explode("have").alias("band")
+            )
+            to_append = to_append.unionByName(
+                rep_all.join(have_rows, ["doc_id", "band"], "left_anti")
+            )
+        if n_new or n_repaired:
+            if has_gen:
+                to_append = to_append.withColumn("gen", F.lit(cur_gen))
             (
-                banded.write.bucketBy(int(meta["buckets"]), "bval")
+                to_append.write.bucketBy(int(meta["buckets"]), "bval")
                 .sortBy("bval")
                 .mode("append")
                 .saveAsTable(f"{table_prefix}_bands")
             )
-    finally:
-        from eventsgateway_spark.queries._util import release_frame
-
-        release_frame(fresh)
-    occ = (
-        spark.table(f"{table_prefix}_bands")
-        .groupBy("band", "bval")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n").alias("mx"), F.avg("n").alias("avg"))
-        .collect()[0]
-    )
+        # --- occupancy summary refresh (incremental; module docstring)
+        occ_name = f"{table_prefix}_occ"
+        occ_ok = spark.catalog.tableExists(occ_name)
+        if occ_ok:
+            g = spark.table(occ_name).select("gen").limit(1).collect()
+            occ_ok = bool(g) and int(g[0]["gen"]) == cur_gen
+        fresh_tbl = spark.table(f"{table_prefix}_bands")
+        if not occ_ok:
+            merged = _occ_summary(fresh_tbl)  # one-time / legacy rebuild
+        else:
+            # touched buckets: the batch's OWN banding (covers what a
+            # crashed prior attempt of this batch appended) plus the
+            # repair rows' buckets (stored-sig banding may differ)
+            touched = banded_signatures(
+                batch, sig_col, n_bands, band_w
+            ).select("bval")
+            if n_repaired:
+                touched = touched.unionByName(to_append.select("bval"))
+            tvals = [r["bval"] for r in touched.distinct().collect()]
+            refreshed = _occ_summary(fresh_tbl.filter(F.col("bval").isin(tvals)))
+            merged = (
+                spark.table(occ_name)
+                .filter(~F.col("bval").isin(tvals))
+                .select("band", "bval", "n")
+                .unionByName(refreshed)
+            )
+        merged = ckpt(merged.select("band", "bval", F.col("n").cast("bigint").alias("n")))
+        skew = _skew_of(merged)
+        _write_occ(spark, table_prefix, merged, cur_gen)
     return {
         "n_new_docs": n_new,
-        "bucket_skew": float(occ["mx"]) / float(occ["avg"]) if occ["avg"] else 0.0,
+        "n_repaired_docs": n_repaired,
+        "bucket_skew": skew,
     }
 
 
@@ -298,6 +410,7 @@ def stream_media_dedup(
     checkpoint: str,
     hasher=None,
     trigger_once: bool = False,
+    quarantine_path: str | None = None,
 ):
     """Route an asset stream against a prebuilt signature index:
     assets whose perceptual signature lands within the index's Hamming
@@ -314,7 +427,15 @@ def stream_media_dedup(
     pass ``audio_fingerprint``-based hashing for audio streams. New
     assets admitted to the corpus do NOT update the index mid-stream
     (batch-boundary consistency — the corpus-index contract); admit
-    them on the compaction cadence with :func:`append_media_index`."""
+    them on the compaction cadence with :func:`append_media_index`.
+
+    UN-HASHABLE assets — rows the hasher emits no signature for (the
+    default hashers drop NULL payloads: the zero-norm convention) —
+    cannot be near-dup-checked at all. With ``quarantine_path`` set
+    they route there (same batch_id idempotent-overwrite contract);
+    left ``None`` they flow to the novel sink like any unmatched
+    asset, so downstream admission must tolerate NULL payloads
+    (ADVICE r13 — this default is now explicit, not accidental)."""
     if hasher is None:
         from eventsgateway_spark.operators.multimodal import image_dhash
 
@@ -348,7 +469,15 @@ def stream_media_dedup(
             dups = batch.join(best, "asset_id").select(
                 "asset_id", "media_type", "n_bytes", "matched_id", "hamming"
             )
-            novel = batch.join(
+            checkable = batch
+            if quarantine_path is not None:
+                hashed_ids = sigs.select(F.col("doc_id").alias("asset_id"))
+                unhashed = batch.join(
+                    hashed_ids, "asset_id", "left_anti"
+                ).select("asset_id", "media_type", "payload", "n_bytes")
+                checkable = batch.join(hashed_ids, "asset_id", "semi")
+                _idempotent_append(unhashed, batch_id, quarantine_path)
+            novel = checkable.join(
                 best.select("asset_id"), "asset_id", "left_anti"
             ).select("asset_id", "media_type", "payload", "n_bytes")
             _idempotent_append(dups, batch_id, dup_path)

@@ -855,8 +855,10 @@ def test_save_tolerates_phantom_meta(spark):
             "tpm_corpus_shingles", "tpm_corpus_hot", "tpm_corpus_sizes",
             "tpm_corpus_df", "tpm_corpus_meta", "tpm_corpus_pending",
             "tpm_corpus_df_fold", "tpm_ivf_assign", "tpm_ivf_centroids",
-            "tpm_ivf_meta", "tpm2_corpus_meta", "tpm2_ivf_meta",
+            "tpm_ivf_meta", "tpm_ivf_occ", "tpm2_corpus_meta",
+            "tpm2_ivf_meta", "tpm2_ivf_occ",
             "tpm3_ivf_meta", "tpm3_ivf_centroids", "tpm3_ivf_assign",
+            "tpm3_ivf_occ",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
@@ -964,7 +966,7 @@ def test_mixed_generation_ivf_index_detected(spark):
             int(spark.table("tgen_ivf_meta").collect()[0]["gen"]) == 3
         )  # 2 (crashed) + 1
     finally:
-        for s in ("_assign", "_centroids", "_meta"):
+        for s in ("_assign", "_centroids", "_meta", "_occ"):
             spark.sql(f"DROP TABLE IF EXISTS tgen_ivf{s}")
 
 
@@ -1288,7 +1290,8 @@ def test_streaming_ann_lookup_with_table_backed_index(spark, tmp_path):
         assert top1 == {1020: (20, 1.0), 1021: (21, 1.0)}
         assert out.count() == 6
     finally:
-        for t in ("t7_ivf_assign", "t7_ivf_centroids", "t7_ivf_meta"):
+        for t in ("t7_ivf_assign", "t7_ivf_centroids", "t7_ivf_meta",
+                  "t7_ivf_occ"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -1390,10 +1393,38 @@ def test_append_ivf_index_incremental_admission(spark):
         )
         assert r1["n_new_vecs"] == 10
         assert r1["cell_skew"] >= 1.0
+
+        # the incremental _occ summary always equals a full recount of
+        # _assign, and the reported skew is the full-scan value
+        def full_occ():
+            return {
+                r["cell_id"]: r["n"]
+                for r in spark.table("t10_ivf_assign")
+                .groupBy("cell_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+
+        def occ_tbl():
+            return {
+                r["cell_id"]: r["n"]
+                for r in spark.table("t10_ivf_occ").collect()
+            }
+
+        assert occ_tbl() == full_occ()
+        ns = list(full_occ().values())
+        assert abs(r1["cell_skew"] - max(ns) / (sum(ns) / len(ns))) < 1e-9
+
         n_assigned = spark.table("t10_ivf_assign").count()
         r2 = append_ivf_index(spark, "t10_ivf", extra)
         assert r2["n_new_vecs"] == 0
         assert spark.table("t10_ivf_assign").count() == n_assigned
+        assert occ_tbl() == full_occ()
+
+        # legacy index (no _occ): one full rebuild restores the summary
+        spark.sql("DROP TABLE t10_ivf_occ")
+        r3 = append_ivf_index(spark, "t10_ivf", extra)
+        assert r3["n_new_vecs"] == 0 and occ_tbl() == full_occ()
 
         idx = load_ivf_index(spark, "t10_ivf")
         after = {r.qid: (r.neighbor_id, r.cos_sim) for r in ann_lookup_batch(
@@ -1409,7 +1440,8 @@ def test_append_ivf_index_incremental_admission(spark):
             append_ivf_index(spark, "t10_nowhere", extra)
         assert not spark.catalog.tableExists("t10_nowhere_meta")
     finally:
-        for t in ("t10_ivf_assign", "t10_ivf_centroids", "t10_ivf_meta"):
+        for t in ("t10_ivf_assign", "t10_ivf_centroids", "t10_ivf_meta",
+                  "t10_ivf_occ"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -1459,7 +1491,8 @@ def test_ivf_growth_loop_end_to_end(spark, tmp_path):
                 for r in spark.read.parquet(str(tmp_path / "out")).collect()}
         assert out2[545] == 1  # caught against the grown index (cos=1.0)
     finally:
-        for t in ("t13_ivf_assign", "t13_ivf_centroids", "t13_ivf_meta"):
+        for t in ("t13_ivf_assign", "t13_ivf_centroids", "t13_ivf_meta",
+                  "t13_ivf_occ"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -1501,6 +1534,7 @@ def test_trained_ivf_index_end_to_end(spark, tmp_path):
         assert top1 == {2030: (30, 1.0), 2031: (31, 1.0)}
     finally:
         for t in ("t_trained_ivf_assign", "t_trained_ivf_centroids",
+                  "t_trained_ivf_occ",
                   "t_trained_ivf_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
@@ -2395,7 +2429,7 @@ def test_ivf_sq8_quantized_lookup(spark, tmp_path):
         )
         assert got.count() > 0
     finally:
-        for s in ("_meta", "_assign", "_centroids"):
+        for s in ("_meta", "_assign", "_centroids", "_occ"):
             spark.sql(f"DROP TABLE IF EXISTS tsq8_ivf{s}")
 
     # legacy index shape (no qs column) must refuse, not silently score
@@ -2489,7 +2523,8 @@ def test_build_ivf_index_trained_centroids(spark):
         assert cent_map(idx) != sc  # saved index serves trained centers
         assert idx.assign.count() == n
     finally:
-        for t in ("ttr_ivf_meta", "ttr_ivf_assign", "ttr_ivf_centroids"):
+        for t in ("ttr_ivf_meta", "ttr_ivf_assign", "ttr_ivf_centroids",
+                  "ttr_ivf_occ"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -2559,8 +2594,10 @@ def test_media_index_save_load_lookup_append(spark):
         )
         r1 = append_media_index(spark, "tmidx", more)
         assert r1["n_new_docs"] == more.count() > 0
+        assert r1["n_repaired_docs"] == 0
         r2 = append_media_index(spark, "tmidx", more)  # replay
         assert r2["n_new_docs"] == 0
+        assert r2["n_repaired_docs"] == 0
         n_rows = spark.table("tmidx_bands").count()
         assert n_rows == (corpus.count() + more.count()) * IMG_HAM_BANDS
 
@@ -2612,7 +2649,135 @@ def test_media_index_save_load_lookup_append(spark):
         assert load_media_index(spark, "tmidx2").bands.count() > 0
     finally:
         unpin_all()
-        for t in ("tmidx_meta", "tmidx_bands", "tmidx2_meta", "tmidx2_bands"):
+        for t in ("tmidx_meta", "tmidx_bands", "tmidx_occ",
+                  "tmidx2_meta", "tmidx2_bands", "tmidx2_occ"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_media_index_occ_summary_and_band_repair(spark):
+    """Round-14 admission-path contracts: (a) the _occ summary always
+    equals a full groupBy of _bands — whether it was rebuilt (legacy /
+    missing) or incrementally refreshed — and the returned skew is the
+    full-scan value; (b) a planted viral cluster (many copies of one
+    signature) fires the skew gate; (c) a doc whose band rows were
+    partially committed by a crashed append is detected and repaired
+    with exactly its missing rows, rebuilt from the STORED signature."""
+    from eventsgateway_spark.operators.multimodal import (
+        image_dhash,
+        synthetic_doc_images,
+    )
+    from eventsgateway_spark.queries.ext_dedup import IMG_HAM_BANDS
+    from eventsgateway_spark.queries._util import pin, unpin_all
+    from eventsgateway_spark.streaming.media_dup import (
+        append_media_index,
+        load_media_index,
+        media_lookup_batch,
+        save_media_index,
+    )
+
+    def full_occ():
+        return {
+            (r["band"], r["bval"]): r["n"]
+            for r in spark.table("tocc_bands")
+            .groupBy("band", "bval")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    def occ_tbl():
+        return {
+            (r["band"], r["bval"]): r["n"]
+            for r in spark.table("tocc_occ").collect()
+        }
+
+    def full_skew():
+        ns = list(full_occ().values())
+        return max(ns) / (sum(ns) / len(ns))
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select("doc_id")
+    sigs = pin(
+        image_dhash(synthetic_doc_images(docs.filter(F.col("doc_id") < 200)))
+        .select(F.col("asset_id").alias("doc_id"), "dhash")
+    )
+    try:
+        save_media_index(sigs, "tocc", buckets=4)
+        # save wrote a correct summary
+        assert occ_tbl() == full_occ()
+
+        # incremental refresh on append matches the full recompute
+        more = pin(
+            image_dhash(
+                synthetic_doc_images(
+                    docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 260))
+                )
+            ).select(F.col("asset_id").alias("doc_id"), "dhash")
+        )
+        base = append_media_index(spark, "tocc", more)
+        assert occ_tbl() == full_occ()
+        assert abs(base["bucket_skew"] - full_skew()) < 1e-9
+
+        # legacy index (no _occ): one full rebuild restores the summary
+        spark.sql("DROP TABLE tocc_occ")
+        r = append_media_index(spark, "tocc", more)  # replay, no new docs
+        assert r["n_new_docs"] == 0 and occ_tbl() == full_occ()
+
+        # planted viral cluster: 500 docs sharing ONE signature
+        viral_sig = sigs.limit(1).collect()[0]["dhash"]
+        viral = spark.range(100000, 100500).select(
+            F.col("id").alias("doc_id"), F.lit(viral_sig).alias("dhash")
+        )
+        rv = append_media_index(spark, "tocc", viral)
+        assert rv["n_new_docs"] == 500
+        assert occ_tbl() == full_occ()
+        assert rv["bucket_skew"] > 5 * base["bucket_skew"]
+
+        # --- band repair: fake a partial job commit by rewriting the
+        # table without two of one doc's band rows
+        victim = 42
+        kept = spark.table("tocc_bands").filter(
+            ~((F.col("doc_id") == victim) & (F.col("band") >= 5))
+        ).localCheckpoint()
+        kept.write.bucketBy(4, "bval").sortBy("bval").mode(
+            "overwrite"
+        ).saveAsTable("tocc_bands")
+        assert (
+            spark.table("tocc_bands").filter(F.col("doc_id") == victim).count()
+            == IMG_HAM_BANDS - 2
+        )
+        # replaying an admission batch containing the victim repairs it
+        # from the STORED sig (send a corrupted batch sig to prove
+        # first-write-wins)
+        batch = sigs.filter(F.col("doc_id") == victim).select(
+            "doc_id", (F.col("dhash") + 1).alias("dhash")
+        )
+        rr = append_media_index(spark, "tocc", batch)
+        assert rr["n_new_docs"] == 0 and rr["n_repaired_docs"] == 1
+        rows = (
+            spark.table("tocc_bands").filter(F.col("doc_id") == victim).collect()
+        )
+        assert len(rows) == IMG_HAM_BANDS
+        assert {r["band"] for r in rows} == set(range(IMG_HAM_BANDS))
+        stored = sigs.filter(F.col("doc_id") == victim).collect()[0]["dhash"]
+        assert all(r["sig"] == stored for r in rows)
+        assert occ_tbl() == full_occ()
+        # repaired doc is fully servable again
+        idx = load_media_index(spark, "tocc")
+        hits = media_lookup_batch(
+            sigs.filter(F.col("doc_id") == victim), idx
+        ).collect()
+        assert all(r["hamming"] <= idx.max_ham for r in hits)
+
+        # _meta dropped out-of-band → friendly refusal, not AnalysisException
+        import pytest
+
+        spark.sql("DROP TABLE tocc_meta")
+        with pytest.raises(ValueError, match="_meta"):
+            load_media_index(spark, "tocc")
+        with pytest.raises(ValueError, match="_meta"):
+            append_media_index(spark, "tocc", batch)
+    finally:
+        unpin_all()
+        for t in ("tocc_meta", "tocc_bands", "tocc_occ"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -2684,4 +2849,77 @@ def test_stream_media_dedup_against_index(spark, tmp_path):
         (500, 6, 0)
     ]
     assert [r["asset_id"] for r in novel] == [501]
+    unpin_all()
+
+
+def test_stream_media_dedup_quarantines_unhashable(spark, tmp_path):
+    """Un-hashable assets (NULL payload — the default hasher drops
+    them before signatures) route to the quarantine sink when
+    ``quarantine_path`` is given, and to the novel sink (the
+    documented default) when it is not — never silently lost
+    (ADVICE r13)."""
+    import numpy as np
+
+    from eventsgateway_spark.operators.multimodal import (
+        encode_ppm,
+        image_dhash,
+        synthetic_doc_images,
+    )
+    from eventsgateway_spark.queries._util import unpin_all
+    from eventsgateway_spark.streaming.media_dup import (
+        build_media_index,
+        stream_media_dedup,
+    )
+    from eventsgateway_spark.operators.multimodal import _synth_pixel_vals
+
+    corpus_docs = spark.createDataFrame(
+        [(i,) for i in range(20)], "doc_id long"
+    )
+    sigs = image_dhash(synthetic_doc_images(corpus_docs)).select(
+        F.col("asset_id").alias("doc_id"), "dhash"
+    )
+    index = build_media_index(sigs)
+
+    v_far = _synth_pixel_vals([9990])[0].astype(np.uint8)
+    novel_payload = encode_ppm(np.repeat(v_far[:, :, None], 3, axis=2))
+    incoming = spark.createDataFrame(
+        [
+            (600, "image/ppm", bytearray(novel_payload), len(novel_payload)),
+            (601, "image/ppm", None, 0),  # un-hashable
+        ],
+        "asset_id long, media_type string, payload binary, n_bytes long",
+    )
+    src = str(tmp_path / "assets")
+    incoming.coalesce(1).write.parquet(src)
+
+    # with a quarantine sink: NULL-payload goes there, not to novel
+    q = stream_media_dedup(
+        spark.readStream.schema(incoming.schema).parquet(src),
+        index,
+        novel_path=str(tmp_path / "novel"),
+        dup_path=str(tmp_path / "dups"),
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_once=True,
+        quarantine_path=str(tmp_path / "quar"),
+    )
+    q.awaitTermination(120)
+    assert [r["asset_id"] for r in
+            spark.read.parquet(str(tmp_path / "novel")).collect()] == [600]
+    quar = spark.read.parquet(str(tmp_path / "quar")).collect()
+    assert [(r["asset_id"], r["payload"]) for r in quar] == [(601, None)]
+
+    # default (no quarantine): both flow to novel
+    q2 = stream_media_dedup(
+        spark.readStream.schema(incoming.schema).parquet(src),
+        index,
+        novel_path=str(tmp_path / "novel2"),
+        dup_path=str(tmp_path / "dups2"),
+        checkpoint=str(tmp_path / "ckpt2"),
+        trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    assert sorted(
+        r["asset_id"]
+        for r in spark.read.parquet(str(tmp_path / "novel2")).collect()
+    ) == [600, 601]
     unpin_all()
