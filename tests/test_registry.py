@@ -127,6 +127,7 @@ def test_bench_json_line_fits_driver_tail():
             # but near-empty on a clean run — model 3)
             "floor_total": 9999.99,
             "ctrl": {"min": 9.999, "med": 9.999, "max": 9.999},
+            "ctrl2": {"min": 9.999, "med": 9.999, "max": 9.999},
             "value_norm": 9999.99,
             "inflated": {"q00": 9.9, "q01": 9.9, "q02": 9.9},
         }
