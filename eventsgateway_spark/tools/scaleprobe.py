@@ -315,6 +315,190 @@ def run_ivf_probe(mult: int = 50, nprobes: tuple[int, ...] = (1, 2, 4, 8),
     return report
 
 
+MEDIA_BASE_SIGS = 50_000
+MEDIA_NEAR_DUP_PCT = 0.03
+
+
+def _gen_sigs(n: int, seed: int = 17, id0: int = 0):
+    """(ids, sigs) — n synthetic 56-bit perceptual signatures: uniform
+    random lanes plus a scale-invariant ~3% planted near-dup rate
+    (earlier signature with 1..IMG_HAM_MAX distinct bit flips), the
+    media analog of gen_corpus's duplicate model. Uniform random is
+    the WORST case for the banding's birthday term (real dHashes
+    cluster, concentrating true matches, not the floor)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    sigs = rng.integers(0, 1 << 56, size=n, dtype=np.int64)
+    dup_rows = np.flatnonzero(rng.random(n) < MEDIA_NEAR_DUP_PCT)
+    for i in dup_rows:
+        if i == 0:
+            continue
+        base = sigs[rng.integers(0, i)]
+        flips = rng.choice(56, size=int(rng.integers(1, 7)), replace=False)
+        mask = np.int64(0)
+        for b in flips:
+            mask |= np.int64(1) << np.int64(b)
+        sigs[i] = base ^ mask
+    return np.arange(id0, id0 + n, dtype=np.int64), sigs
+
+
+def run_media_probe(mults: tuple[int, ...] = (1, 4, 10),
+                    n_queries: int = 2_000, n_append: int = 5_000) -> dict:
+    """Serving-path growth probe for the durable media-signature index
+    (VERDICT r13 #4): the BATCH pair join has measured exponents (q89
+    0.90 / q90 0.71, SCALE.md round-13); this measures the other two
+    media surfaces at ``mults`` x :data:`MEDIA_BASE_SIGS` corpus sizes:
+
+    - ``append_media_index`` wall for a FIXED admission batch (plus a
+      pure-replay append) — the round-14 claim under test is that
+      admission cost is O(batch + touched buckets), NOT O(corpus): the
+      wall should stay ~flat as the corpus grows 10x.
+    - ``media_lookup_batch`` wall + candidate volume for a FIXED query
+      batch (half planted near-dups of indexed signatures, half
+      fresh). Realized candidates are checked against the prediction
+      computed FROM THE ``_occ`` SUMMARY (sum over the query's
+      (band,bval) buckets of corpus-occupancy x query-occupancy — the
+      serving analog of q92's sum_occ_sq batch audit) and against the
+      uniform birthday floor n_q * N * bands / 2^band_w. With the
+      FIXED 7x8 geometry the floor is LINEAR in corpus size — the
+      honest scale statement is that per-lookup cost tracks bucket
+      occupancy, so past ~10^7 uniform signatures the geometry itself
+      must grow (band_w ~ log2 N) to hold occupancy constant; the
+      probe prints the measured slope so SCALE.md can say it with
+      numbers, not prose.
+    - planted-near-dup recall through the index (must be exact:
+      pigeonhole guarantees every planted pair within Hamming 6)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from eventsgateway_spark.queries.ext_dedup import (
+        IMG_HAM_BANDS,
+        IMG_HAM_MAX,
+        _IMG_BAND_W,
+        banded_signatures,
+    )
+    from eventsgateway_spark.session import get_spark
+    from eventsgateway_spark.streaming.media_dup import (
+        append_media_index,
+        load_media_index,
+        media_lookup_batch,
+        save_media_index,
+    )
+
+    spark = get_spark("mediaprobe")
+    report: dict = {"bands": IMG_HAM_BANDS, "band_w": _IMG_BAND_W,
+                    "n_queries": n_queries, "n_append": n_append}
+    rng = np.random.default_rng(29)
+    for mult in mults:
+        n = MEDIA_BASE_SIGS * mult
+        ids, sigs = _gen_sigs(n)
+        prefix = f"mprobe_x{mult}"
+        for s in ("_meta", "_bands", "_occ"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{s}")
+        sig_df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": ids, "dhash": sigs})
+        )
+        t0 = time.perf_counter()
+        save_media_index(sig_df, prefix, buckets=32)
+        build_s = time.perf_counter() - t0
+        idx = load_media_index(spark, prefix)
+
+        # fixed-size admission batch (fresh ids/sigs), then a replay
+        a_ids, a_sigs = _gen_sigs(n_append, seed=31, id0=500_000_000)
+        a_df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": a_ids, "dhash": a_sigs})
+        )
+        t0 = time.perf_counter()
+        r_app = append_media_index(spark, prefix, a_df)
+        append_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        append_media_index(spark, prefix, a_df)
+        replay_s = time.perf_counter() - t0
+        idx = load_media_index(spark, prefix)  # reopen: appended rows
+
+        # fixed query batch: half planted near-dups (flip 1..6 bits of
+        # an indexed signature), half fresh uniform
+        half = n_queries // 2
+        base_rows = rng.choice(n, size=half, replace=False)
+        q_sigs = np.empty(n_queries, dtype=np.int64)
+        planted_base = ids[base_rows]
+        for j, row in enumerate(base_rows):
+            flips = rng.choice(56, size=int(rng.integers(1, IMG_HAM_MAX + 1)),
+                               replace=False)
+            mask = np.int64(0)
+            for b in flips:
+                mask |= np.int64(1) << np.int64(b)
+            q_sigs[j] = sigs[row] ^ mask
+        q_sigs[half:] = rng.integers(0, 1 << 56, size=n_queries - half,
+                                     dtype=np.int64)
+        q_ids = np.arange(1_000_000_000, 1_000_000_000 + n_queries,
+                          dtype=np.int64)
+        q_df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": q_ids, "dhash": q_sigs})
+        ).localCheckpoint()
+
+        t0 = time.perf_counter()
+        hits = media_lookup_batch(q_df, idx).groupBy("qid").agg(
+            F.min(F.struct("hamming", "doc_id")).alias("m")
+        ).collect()
+        lookup_s = time.perf_counter() - t0
+        got = {r["qid"]: r["m"]["doc_id"] for r in hits}
+        recall = sum(
+            1 for j in range(half)
+            if got.get(int(q_ids[j])) is not None
+        )
+        # realized candidate volume (pre-verify pair rows) and the
+        # _occ-summary prediction for THIS query batch
+        q_banded = banded_signatures(q_df, "dhash", IMG_HAM_BANDS,
+                                     _IMG_BAND_W)
+        realized = (
+            idx.bands.join(q_banded.select("band", "bval"), ["band", "bval"])
+            .count()
+        )
+        q_occ = q_banded.groupBy("band", "bval").agg(
+            F.count(F.lit(1)).alias("qn")
+        )
+        predicted = (
+            spark.table(f"{prefix}_occ")
+            .join(q_occ, ["band", "bval"])
+            .selectExpr("sum(n * qn) AS p")
+            .collect()[0]["p"]
+        )
+        floor = n_queries * (n + n_append) * IMG_HAM_BANDS / (
+            1 << _IMG_BAND_W
+        )
+        row = {
+            "n_sigs": n + n_append,
+            "build_s": round(build_s, 2),
+            "append_s": round(append_s, 2),
+            "append_replay_s": round(replay_s, 2),
+            "append_skew": round(r_app["bucket_skew"], 2),
+            "lookup_s": round(lookup_s, 2),
+            "cand_realized": int(realized),
+            "cand_predicted_occ": int(predicted),
+            "cand_birthday_floor": int(floor),
+            "planted_recall": f"{recall}/{half}",
+        }
+        report[f"x{mult}"] = row
+        print(f"x{mult}: {row}", flush=True)
+        for s in ("_meta", "_bands", "_occ"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{s}")
+    ms = sorted(m for m in mults)
+    if len(ms) >= 2:
+        a, b = f"x{ms[-2]}", f"x{ms[-1]}"
+        for key in ("append_s", "lookup_s"):
+            if report[a][key] > 0 and report[b][key] > 0:
+                report[f"{key}_exponent"] = round(
+                    math.log(report[b][key] / report[a][key])
+                    / math.log(ms[-1] / ms[-2]), 2,
+                )
+    print(json.dumps(report))
+    spark.stop()
+    return report
+
+
 def run_probe(mults: tuple[int, ...] = (1, 10, 100), runs: int = 2,
               root: str = "/tmp/scaleprobe",
               probe_queries: tuple[str, ...] = PROBE_QUERIES) -> dict:
@@ -402,8 +586,14 @@ if __name__ == "__main__":
                     help="run the embeddings/LSH plane-scaling probe instead")
     ap.add_argument("--ivf", action="store_true",
                     help="run the IVF recall-vs-nprobe probe instead")
+    ap.add_argument("--media", action="store_true",
+                    help="run the media-signature index serving probe instead")
     args = ap.parse_args()
-    if args.ivf:
+    if args.media:
+        # default protocol: 50k -> 200k -> 500k signatures (x1,4,10)
+        mults = args.mults or "1,4,10"
+        run_media_probe(tuple(int(m) for m in mults.split(",")))
+    elif args.ivf:
         # single-scale probe: last element of an explicit --mults, else
         # x50 — the SCALE.md round-12 protocol (100k vectors / 262
         # derived cells)
