@@ -12,8 +12,8 @@ regressions from drift), and prints ONE JSON line:
     {"metric": "declared_queries_total", "value": <sum of medians>,
      "unit": "sec", "queries": {qNN: sec, ...}, "sf": 0.1,
      "floor_total": <sum of per-query best samples>,
-     "ctrl": {"min": s, "med": s, "max": s},   # codegen probe
-     "ctrl2": {"min": s, "med": s, "max": s},  # shuffle probe (r14)
+     "ctrl": [min, med, max],   # codegen probe (dict before r14)
+     "ctrl2": [min, med, max],  # shuffle probe (round 14)
      "value_norm": <value / max(ctrl.med/CTRL_REF,
                                 ctrl2.med/CTRL2_REF)>,
      "inflated": {qNN: med/floor ratio, ...}}
@@ -182,13 +182,14 @@ def main() -> None:
                     ctrl2.append(run_control_io())
                 probe_tick += 1
             samples[name].append(run_once(QUERIES[name]))
-    # 3-decimal medians (round 13): millisecond resolution is below
-    # this host's drift noise anyway, and the shaved digit keeps the
-    # worst-case stdout line (every value 4-digit seconds) inside the
-    # driver's 2000-char tail with the annotation fields included
-    # (tests/test_registry.py models the full line).
+    # 2-decimal medians (round 14; 3-decimal round 13): centisecond
+    # resolution is still below this host's drift noise, and the shaved
+    # digits keep the worst-case stdout line (every value 4-digit
+    # seconds, 94-query registry) inside the driver's 2000-char tail
+    # with the annotation fields included (tests/test_registry.py
+    # models the full line). Full 4-decimal floors stay on stderr.
     timings = {
-        n: round(statistics.median(samples[n]), 3) for n in names
+        n: round(statistics.median(samples[n]), 2) for n in names
     }
     floors = {n: round(min(samples[n]), 4) for n in names}
     # self-annotation: rows whose median exceeds 2x their own best
@@ -214,32 +215,22 @@ def main() -> None:
     )
     short = {name.split("_", 1)[0]: sec for name, sec in timings.items()}
     assert len(short) == len(timings), "qNN prefixes must be unique"
-    ctrl_stats = (
-        {
-            "min": round(min(ctrl), 3),
-            "med": round(statistics.median(ctrl), 3),
-            "max": round(max(ctrl), 3),
-        }
-        if ctrl
-        else {}
-    )
-    ctrl2_stats = (
-        {
-            "min": round(min(ctrl2), 3),
-            "med": round(statistics.median(ctrl2), 3),
-            "max": round(max(ctrl2), 3),
-        }
-        if ctrl2
-        else {}
-    )
+    # [min, med, max] arrays (round 14; dicts through r13): the key
+    # names cost ~44 chars of the driver's 2000-char stdout tail
+    def _stats3(xs):
+        return [round(min(xs), 3), round(statistics.median(xs), 3),
+                round(max(xs), 3)] if xs else []
+
+    ctrl_stats = _stats3(ctrl)
+    ctrl2_stats = _stats3(ctrl2)
     # regime factor = MAX of the two probes' ratios vs their pinned
     # quiet references (module constants): the codegen probe alone
     # under-corrects bandwidth-bound interference (round-13 A/B)
     ratios = []
     if ctrl_stats:
-        ratios.append(ctrl_stats["med"] / CTRL_REF)
+        ratios.append(ctrl_stats[1] / CTRL_REF)
     if ctrl2_stats:
-        ratios.append(ctrl2_stats["med"] / CTRL2_REF)
+        ratios.append(ctrl2_stats[1] / CTRL2_REF)
     regime = max(ratios) if ratios else None
     print(
         json.dumps(

@@ -229,6 +229,22 @@ ROTATION: list[tuple[str, ...]] = [
     # (the q89 precedent); q33 — static-green through r12 — takes r14
     # (gap 2) and alternates thereafter.
     ("q33_cosine_top3", "q92_media_band_stats"),
+    # Round 14: q93 (MinHash estimator-calibration audit — the
+    # q85/q86/q92 discipline applied to q31's hash family) pairs with
+    # q31 itself, demoted from the static tier: one shared lineage
+    # (minhash_components / minhash_band_candidates), two views, so
+    # they are maximally redundant slot-mates. Index math: 14 % 2 == 0
+    # → q93 debuts the round it lands (the q89/q92 precedent); q31 —
+    # static-green through r13 — takes r15 (gap 2, the ceiling).
+    # Family coverage: Q19 keeps q30/q32 declared every phase.
+    ("q93_minhash_calibration", "q31_minhash_lsh_pairs"),
+    # Round 14: q94 (within-cell kNN label-consistency audit — q70's
+    # SemDeDup skeleton voting labels instead of dropping dups) pairs
+    # with q34, a demoted Q18 static (q43 keeps the family declared
+    # every phase, q38 static). Index math: 14 % 2 == 0 → q94 debuts
+    # the round it lands; q34 — static-green through r13 — takes r15
+    # (gap 2).
+    ("q94_knn_label_consistency", "q34_lsh_buckets"),
 ]
 
 # Approximate by nature (approx_count_distinct / HLL / Bloom false

@@ -442,8 +442,74 @@ _BANDS_SQL = "\n        UNION ALL ".join(
 )
 
 
+def minhash_components(sh: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{k-1}, sz) — the seeded affine MinHash signature
+    over the md5 token hash, with the per-doc shingle count riding the
+    same aggregation (one shuffle). Factored round 14 (the _SH_CTES
+    one-copy discipline): q31 generates candidates from it, q93 audits
+    its calibration — a drifted copy would surface only as a later
+    rotation-round hash failure."""
+    shh = sh.select("doc_id", token_hash32(F.col("s")).alias("hs"))
+    return shh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(_mh_a(i)) * F.col("hs") + F.lit(_mh_b(i))) % MH_P
+            ).alias(f"m{i}")
+            for i in range(MH_K)
+        ],
+        F.count(F.lit(1)).alias("sz"),
+    )
+
+
+def minhash_band_candidates(mins: DataFrame) -> DataFrame:
+    """(d1, d2) candidate pairs sharing >=1 LSH band over a
+    :func:`minhash_components` frame — q31's banding join, factored
+    (round 14) so q93's calibration audit runs over EXACTLY the pair
+    universe q31 verifies. One explode instead of a band-count union
+    (which would recompute the signature aggregation once per band);
+    pin mode "off": both self-join sides canonicalize to the SAME
+    aggregation exchange, so ReusedExchange runs the signature shuffle
+    once within the action (round-6 A/B — a localCheckpoint here cost
+    3.7x at sf0.1)."""
+    bands = pin(mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            F.col(f"m{2*b}").cast("string"),
+                            F.col(f"m{2*b+1}").cast("string"),
+                        ).alias("bkey"),
+                    )
+                    for b in range(MH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey"), mode="off")
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
 @query(
     "q31_minhash_lsh_pairs",
+    # demoted from the static tier in round 14: q31 now shares a
+    # rotation slot with q93 (its own estimator-calibration audit —
+    # one lineage, two views); family Q19 keeps q30/q32 declared
+    # every phase.
+    declared=False,
     oracle=f"""
     WITH {_SH_CTES},
     shh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS hs FROM sh),
@@ -466,54 +532,11 @@ def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore the whole query — oracle-reproducible."""
     docs = table(spark, sf_dir, "documents")
     sh = doc_shingles(docs)
-    shh = sh.select("doc_id", token_hash32(F.col("s")).alias("hs"))
-    # count(1) rides the signature groupBy: the per-doc shingle size
-    # verify_pairs needs comes out of THIS aggregation instead of a
-    # fourth full run of the shingle lineage (the groupBy exchange is
-    # canonical, so the bands and sizes consumers share one shuffle)
-    mins = shh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(_mh_a(i)) * F.col("hs") + F.lit(_mh_b(i))) % MH_P).alias(f"m{i}")
-            for i in range(MH_K)
-        ],
-        F.count(F.lit(1)).alias("sz"),
-    )
-    # one explode instead of a 4-way union (which would recompute the
-    # signature aggregation once per band). Pin mode "off" (round-6
-    # A/B, BASELINE.md): both self-join sides canonicalize to the SAME
-    # aggregation exchange, so Catalyst's ReusedExchange already runs
-    # the signature shuffle once within the single action — a
-    # localCheckpoint here cost 3.7x at sf0.1.
-    bands = pin(mins.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ":",
-                            F.col(f"m{2*b}").cast("string"),
-                            F.col(f"m{2*b+1}").cast("string"),
-                        ).alias("bkey"),
-                    )
-                    for b in range(MH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bkey"), mode="off")
-    a = bands.alias("a")
-    bb = bands.alias("b")
-    cand = (
-        a.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
+    # count(1) rides the signature groupBy (minhash_components): the
+    # per-doc shingle size verify_pairs needs comes out of THAT
+    # aggregation instead of a fourth full run of the shingle lineage
+    mins = minhash_components(sh)
+    cand = minhash_band_candidates(mins)
     return verify_pairs(
         cand, sh, 0.4, sizes=mins.select("doc_id", "sz")
     ).orderBy("d1", "d2")
@@ -1586,4 +1609,135 @@ def q92_media_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_occ_sq"),
         )
         .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93 — MinHash estimator calibration audit (round 14)
+# ---------------------------------------------------------------------------
+# The q85/q86/q92 audit discipline applied to the MinHash ESTIMATOR
+# itself: q31 trusts that matching-component fraction ~ Jaccard (the
+# Broder 1997 unbiasedness claim) when it bands signatures, but the
+# engine never MEASURED its own hash family's calibration. This query
+# reports, for every LSH candidate pair (exactly q31's pair universe —
+# shared minhash_components / minhash_band_candidates lineage), the
+# exact-Jaccard distribution at each matching-component count k=2..8:
+# a mis-seeded or correlated hash family shows up as avg_jac_ppm NOT
+# increasing in est_matches, as a hash-checked driver row instead of a
+# silent recall loss. Reference anchor: the reference delegates dedup
+# quality wholesale (README.md:11-17); an estimator the pipeline
+# cannot audit is an estimator it cannot trust at 100 TB.
+
+
+@query(
+    "q93_minhash_calibration",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH {_SH_CTES},
+    shh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS hs FROM sh),
+    mins AS (SELECT doc_id, {_MINS_SQL} FROM shh GROUP BY doc_id),
+    bands AS ({_BANDS_SQL}),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    est AS (SELECT c.d1, c.d2,
+                   ({" + ".join(f"CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END" for i in range(MH_K))}) AS est_matches
+            FROM cand c
+            JOIN mins x ON x.doc_id = c.d1
+            JOIN mins y ON y.doc_id = c.d2),
+    px AS (SELECT c.d1, c.d2, COALESCE(p.inter, 0) AS inter,
+                  s1.sz AS sz1, s2.sz AS sz2
+           FROM cand c
+           LEFT JOIN pairs p ON p.d1 = c.d1 AND p.d2 = c.d2
+           JOIN sizes s1 ON s1.doc_id = c.d1
+           JOIN sizes s2 ON s2.doc_id = c.d2),
+    pp AS (SELECT e.est_matches,
+                  px.inter * 1000000 // (px.sz1 + px.sz2 - px.inter) AS jac_ppm
+           FROM est e JOIN px ON px.d1 = e.d1 AND px.d2 = e.d2)
+    SELECT CAST(est_matches AS BIGINT) AS est_matches,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(jac_ppm) // COUNT(*) AS BIGINT) AS avg_jac_ppm,
+           CAST(MIN(jac_ppm) AS BIGINT) AS min_jac_ppm,
+           CAST(MAX(jac_ppm) AS BIGINT) AS max_jac_ppm
+    FROM pp
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q93_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration report for the seeded MinHash family (comment block
+    above): per matching-component count over q31's candidate pairs,
+    the exact-Jaccard ppm distribution. All integer math (ppm via
+    integer division BEFORE the cross-pair aggregation — order-free);
+    candidates that share a band but zero shingles keep inter = 0 via
+    the left join (they are the estimator's false positives — hiding
+    them would bias the audit upward). Scale shape: the pair universe
+    is the banding equi-join (never all-pairs), the exact-intersection
+    join is verify_pairs' candidate-bounded shape, and the report is a
+    7-row aggregate — nothing corpus-grain shuffles after the shingle
+    stage."""
+    docs = table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    mins = minhash_components(sh)
+    cand = minhash_band_candidates(mins)
+    m1 = mins.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(MH_K)],
+        F.col("sz").alias("sz1"),
+    )
+    m2 = mins.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(MH_K)],
+        F.col("sz").alias("sz2"),
+    )
+    est = (
+        cand.join(m1, "d1")
+        .join(m2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "sz1",
+            "sz2",
+            sum(
+                (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+                for i in range(MH_K)
+            ).alias("est_matches"),
+        )
+    )
+    s1 = sh.select(F.col("doc_id").alias("d1"), "s")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "s")
+    inter = (
+        cand.join(s1, "d1")
+        .join(s2, ["d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    pp = (
+        est.join(inter, ["d1", "d2"], "left")
+        .select(
+            "est_matches",
+            F.expr(
+                "CAST(COALESCE(inter, 0) * 1000000"
+                " div (sz1 + sz2 - COALESCE(inter, 0)) AS BIGINT)"
+            ).alias("jac_ppm"),
+        )
+    )
+    return (
+        pp.groupBy("est_matches")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr("CAST(SUM(jac_ppm) div COUNT(1) AS BIGINT)").alias(
+                "avg_jac_ppm"
+            ),
+            F.min("jac_ppm").cast("bigint").alias("min_jac_ppm"),
+            F.max("jac_ppm").cast("bigint").alias("max_jac_ppm"),
+        )
+        .select(
+            F.col("est_matches").cast("bigint").alias("est_matches"),
+            "n_pairs",
+            "avg_jac_ppm",
+            "min_jac_ppm",
+            "max_jac_ppm",
+        )
+        .orderBy("est_matches")
     )

@@ -285,6 +285,11 @@ def lsh_family(
 
 @query(
     "q34_lsh_buckets",
+    # demoted from the static tier in round 14: q34 now shares a
+    # rotation slot with q94 (kNN label-consistency — the other
+    # similarity-backed curation view); family Q18 keeps q43 declared
+    # every phase (+ q38 static, q33/q70 rotation slots).
+    declared=False,
     oracle=f"""
     WITH v AS ({_DUCK_V_NONZERO}),
     b AS (SELECT vec_id, label, {_DUCK_BUCKET} AS bucket FROM v)
@@ -1479,4 +1484,159 @@ def q86_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vec_id").alias("max_vec_id"),
         )
         .orderBy("cell_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94 — within-cell kNN label-consistency audit (round 14)
+# ---------------------------------------------------------------------------
+# Confident-learning-style mislabel detection (Northcutt et al. 2021's
+# premise re-expressed as a similarity query): a training example whose
+# nearest neighbors in embedding space carry a DIFFERENT label is a
+# label-noise suspect a curation pipeline wants surfaced before
+# training. Distributed shape = q70's SemDeDup skeleton (IVF-assign,
+# then pairs WITHIN a cell only — pairwise work bounded by cell
+# occupancy, never corpus²) with a 3-NN majority vote on top instead
+# of a keep-first rule; every ranking and vote tie-break is
+# deterministic (cos micro-units desc / neighbor id asc; vote count
+# desc / smallest label). Vectors alone in their cell get the -1
+# sentinel (no neighbors, BIGINT column — the NULL-degradation
+# convention). Reference anchor: README.md:11-17 delegates data
+# quality downstream; this is the label-quality member of that
+# pipeline, next to q67's rule screen and q80's propagated scores.
+
+
+@query(
+    "q94_knn_label_consistency",
+    declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
+    oracle=f"""
+    WITH v AS ({_DUCK_V_NONZERO}),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v
+          ORDER BY vec_id LIMIT {IVF_K}),  -- RANK (q70's oracle law)
+    d AS (SELECT v.vec_id, c.cid, {_DUCK_L2SQ} AS dist
+          FROM v CROSS JOIN c),
+    assign AS (SELECT vec_id, cid AS cell_id FROM
+               (SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM d)
+               WHERE rn = 1),
+    n AS (SELECT vec_id, label, e,
+                 sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm
+          FROM v),
+    prs AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               CAST(ROUND(list_sum(list_transform(range(1, len(x.e)+1),
+                                                  i -> x.e[i] * y.e[i]))
+                          / (x.nrm * y.nrm) * 1e6) AS BIGINT) AS cos_u
+        FROM assign a
+        JOIN assign b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+        JOIN n x ON x.vec_id = a.vec_id
+        JOIN n y ON y.vec_id = b.vec_id
+    ),
+    top3 AS (SELECT qid, nid FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                           ORDER BY cos_u DESC, nid) AS rn
+              FROM prs)
+             WHERE rn <= 3),
+    votes AS (SELECT t.qid, y.label AS n_label, COUNT(*) AS cnt
+              FROM top3 t JOIN n y ON y.vec_id = t.nid GROUP BY 1, 2),
+    maj AS (SELECT qid, n_label AS knn_label, cnt AS n_agree FROM
+            (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY cnt DESC, n_label) AS rn
+             FROM votes)
+            WHERE rn = 1),
+    nn AS (SELECT qid, COUNT(*) AS n_nbrs FROM top3 GROUP BY 1)
+    SELECT a.vec_id, CAST(x.label AS BIGINT) AS label,
+           CAST(COALESCE(m.knn_label, -1) AS BIGINT) AS knn_label,
+           CAST(COALESCE(nn.n_nbrs, 0) AS BIGINT) AS n_nbrs,
+           CAST(COALESCE(m.n_agree, 0) AS BIGINT) AS n_agree,
+           CAST(CASE WHEN m.knn_label IS NOT NULL
+                      AND m.knn_label <> x.label
+                THEN 1 ELSE 0 END AS BIGINT) AS mismatch
+    FROM assign a
+    JOIN n x ON x.vec_id = a.vec_id
+    LEFT JOIN maj m ON m.qid = a.vec_id
+    LEFT JOIN nn ON nn.qid = a.vec_id
+    ORDER BY a.vec_id
+    """,
+)
+def q94_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector 3-NN label vote within its IVF cell (comment block
+    above): (vec_id, label, knn_label, n_nbrs, n_agree, mismatch),
+    totally ordered. The cell count is input-size-derived like q70's
+    (fixture floors at the IVF_K oracle constant); labels join onto
+    the REDUCED top-3 frame (3 rows/vector), never onto the pair
+    join's input — the corpus-grain work is exactly q70's within-cell
+    pair join, reused shape and bounds."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    assign = pin(ivf_assign(emb, semd_cell_count(emb)))
+    a = assign.select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("e1"),
+        F.col("nrm").alias("n1"), "cell_id",
+    )
+    b = assign.select(
+        F.col("vec_id").alias("nid"), F.col("e").alias("e2"),
+        F.col("nrm").alias("n2"), "cell_id",
+    )
+    pair_dot = dot_arrow if arrow_scorer() else dot
+    prs = (
+        a.join(b, "cell_id")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                pair_dot(F.col("e1"), F.col("e2"))
+                / (F.col("n1") * F.col("n2")) * 1e6
+            )
+            .cast("bigint")
+            .alias("cos_u"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_u"), F.asc("nid"))
+    top3 = (
+        prs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "nid")
+    )
+    labels = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        top3.join(labels.select(F.col("vec_id").alias("nid"),
+                                F.col("label").alias("n_label")), "nid")
+        .groupBy("qid", "n_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("cnt"), F.asc("n_label"))
+    maj = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.col("n_label").alias("knn_label"),
+            F.col("cnt").alias("n_agree"),
+        )
+    )
+    nn = top3.groupBy("qid").agg(F.count(F.lit(1)).alias("n_nbrs"))
+    return (
+        assign.select("vec_id")
+        .join(labels, "vec_id")
+        .join(maj.withColumnRenamed("qid", "vec_id"), "vec_id", "left")
+        .join(nn.withColumnRenamed("qid", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.coalesce("knn_label", F.lit(-1)).cast("bigint").alias("knn_label"),
+            F.coalesce("n_nbrs", F.lit(0)).cast("bigint").alias("n_nbrs"),
+            F.coalesce("n_agree", F.lit(0)).cast("bigint").alias("n_agree"),
+            F.when(
+                F.col("knn_label").isNotNull()
+                & (F.col("knn_label") != F.col("label")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("mismatch"),
+        )
+        .orderBy("vec_id")
     )

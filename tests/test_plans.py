@@ -165,6 +165,7 @@ _BNLJ_ALLOWED = {
     "q83_importance_resample",  # same 1-row constants via importance_model
     "q84_bigram_lm_score",  # 1-row vocabulary count
     "q86_ivf_cell_stats",  # 1-row centroid array (ivf_assign, q43's shape)
+    "q94_knn_label_consistency",  # 1-row centroid array (q70's shape)
 }
 
 

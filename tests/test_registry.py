@@ -119,15 +119,17 @@ def test_bench_json_line_fits_driver_tail():
             # 3-digit seconds is the honest per-query worst case: a
             # single 1000 s query would blow the driver's whole bench
             # budget long before line length mattered (observed sf0.1
-            # maxima are ~15 s)
-            "queries": {n.split("_", 1)[0]: 999.999 for n in Q.QUERIES},
+            # maxima are ~15 s). 2-decimal precision since round 14
+            # (centisecond resolution is below the host drift noise).
+            "queries": {n.split("_", 1)[0]: 999.99 for n in Q.QUERIES},
             "sf": 0.1,
             # the fixed-size annotation fields bench.py also emits
             # (floor/ctrl/value_norm; inflated is bounded at 10 rows
-            # but near-empty on a clean run — model 3)
+            # but near-empty on a clean run — model 3). ctrl stats are
+            # [min, med, max] arrays since round 14.
             "floor_total": 9999.99,
-            "ctrl": {"min": 9.999, "med": 9.999, "max": 9.999},
-            "ctrl2": {"min": 9.999, "med": 9.999, "max": 9.999},
+            "ctrl": [9.999, 9.999, 9.999],
+            "ctrl2": [9.999, 9.999, 9.999],
             "value_norm": 9999.99,
             "inflated": {"q00": 9.9, "q01": 9.9, "q02": 9.9},
         }
