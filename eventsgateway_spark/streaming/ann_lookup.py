@@ -271,20 +271,14 @@ def save_ivf_index(
     )
     # cell-occupancy summary last, read back from the committed table
     # (save is already O(corpus)); crash before this write leaves a
-    # stale-gen _occ that the next append fully rebuilds
-    occ = (
-        spark.table(f"{table_prefix}_assign")
-        .groupBy("cell_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .withColumn("gen", F.lit(gen))
-        .localCheckpoint()
-    )
-    try:
-        occ.write.mode("overwrite").saveAsTable(f"{table_prefix}_occ")
-    finally:
-        from eventsgateway_spark.queries._util import release_frame as _rf
+    # stale-gen _occ that the next append fully rebuilds. Protocol:
+    # streaming/occ.py (the one copy shared with the media index).
+    from eventsgateway_spark.streaming.occ import write_occ_snapshot
 
-        _rf(occ)
+    write_occ_snapshot(
+        spark, table_prefix, spark.table(f"{table_prefix}_assign"),
+        ["cell_id"], gen,
+    )
     if built_here:
         # reclaim the inline build's checkpoint blocks now — the saved
         # tables supersede them (caller-passed indexes stay pinned:
@@ -411,17 +405,20 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
                 k=_cents_k(cents),
             )
         )
-        # round 14: the idempotence filter is a broadcast-semi scan of
-        # the corpus table (output bounded by the batch) followed by a
-        # broadcast anti-join — the corpus side is never shuffled,
-        # unlike the previous direct left_anti (sort-merge exchange of
-        # every stored vec_id per admission batch).
+        # round 14: the idempotence filter is a semi scan of the corpus
+        # table (output bounded by the batch) followed by an anti-join.
+        # NO forced broadcast (the media_lookup / verify_pairs
+        # contract): AQE broadcasts the batch side while it is
+        # genuinely small — the compaction-cadence norm, turning the
+        # previous corpus-side sort-merge exchange into a map-side
+        # semi — and a backfill-scale batch degrades to a shuffle join
+        # instead of dying on the broadcast size limit.
         present = ckpt(
             spark.table(f"{table_prefix}_assign")
             .select("vec_id")
-            .join(F.broadcast(batch.select("vec_id")), "vec_id", "semi")
+            .join(batch.select("vec_id"), "vec_id", "semi")
         )
-        fresh = batch.join(F.broadcast(present), "vec_id", "left_anti")
+        fresh = batch.join(present, "vec_id", "left_anti")
         n_new = fresh.count()
         if n_new:
             assigned = fresh
@@ -442,53 +439,18 @@ def append_ivf_index(spark, table_prefix: str, new_emb: DataFrame) -> dict:
                 .saveAsTable(f"{table_prefix}_assign")
             )
         # --- cell-occupancy summary refresh ({prefix}_occ: cell_id,
-        # n, gen) — incremental, mirroring media_dup's protocol: only
-        # the batch's cells are recounted (bucket-pruned scan of the
-        # cell_id-bucketed table), so the skew health metric costs
-        # O(batch + touched-cell rows) instead of the O(corpus)
-        # groupBy it replaced (VERDICT r13 #2). Missing/stale-gen _occ
-        # (legacy index, or a crash mid-protocol) → one full rebuild.
-        # Health metric only: _assign is never derived from it.
-        occ_name = f"{table_prefix}_occ"
-        occ_ok = spark.catalog.tableExists(occ_name)
-        if occ_ok:
-            g = spark.table(occ_name).select("gen").limit(1).collect()
-            occ_ok = bool(g) and int(g[0]["gen"]) == cur_gen
-        fresh_tbl = spark.table(f"{table_prefix}_assign")
-        if not occ_ok:
-            merged = fresh_tbl.groupBy("cell_id").agg(
-                F.count(F.lit(1)).alias("n")
-            )
-        else:
-            tvals = [
-                r["cell_id"] for r in batch.select("cell_id").distinct().collect()
-            ]
-            refreshed = (
-                fresh_tbl.filter(F.col("cell_id").isin(tvals))
-                .groupBy("cell_id")
-                .agg(F.count(F.lit(1)).alias("n"))
-            )
-            merged = (
-                spark.table(occ_name)
-                .filter(~F.col("cell_id").isin(tvals))
-                .select("cell_id", "n")
-                .unionByName(refreshed)
-            )
-        merged = ckpt(
-            merged.select("cell_id", F.col("n").cast("bigint").alias("n"))
+        # n, gen): only the batch's cells are recounted (bucket-pruned
+        # scan of the cell_id-bucketed table), so the skew health
+        # metric costs O(batch + touched-cell rows) instead of the
+        # O(corpus) groupBy it replaced (VERDICT r13 #2). Protocol:
+        # streaming/occ.py (the one copy shared with the media index).
+        from eventsgateway_spark.streaming.occ import refresh_occ
+
+        skew = refresh_occ(
+            spark, table_prefix, spark.table(f"{table_prefix}_assign"),
+            ["cell_id"], "cell_id", batch.select("cell_id"), cur_gen, ckpt,
         )
-        occ = merged.agg(
-            F.max("n").alias("mx"), F.avg("n").alias("avg")
-        ).collect()[0]
-        (
-            merged.withColumn("gen", F.lit(int(cur_gen)))
-            .write.mode("overwrite")
-            .saveAsTable(occ_name)
-        )
-    return {
-        "n_new_vecs": n_new,
-        "cell_skew": float(occ["mx"]) / float(occ["avg"]) if occ["avg"] else 0.0,
-    }
+    return {"n_new_vecs": n_new, "cell_skew": skew}
 
 
 def ann_lookup_batch(
@@ -555,6 +517,68 @@ def ann_lookup_batch(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= topk)
         .select("qid", "rn", "neighbor_id", "cos_sim")
+    )
+
+
+def ann_label_vote_batch(
+    queries: DataFrame,
+    assign: DataFrame,
+    cents: DataFrame,
+    labels: DataFrame,
+    nprobe: int = ANN_SERVING_NPROBE,
+    topk: int = 3,
+    k: int | None = None,
+) -> DataFrame:
+    """(qid, knn_label, n_agree, n_nbrs) — majority label among the
+    top-``topk`` ANN neighbors of each query vector: the SERVING twin
+    of q94_knn_label_consistency (queries/ext_similarity.py), voting
+    over the IVF-probed candidate set instead of the exact within-cell
+    universe, with the SAME deterministic vote law (count desc,
+    smallest label tie-break; q94's -1/0 sentinels when no probed cell
+    yields a neighbor). Use it to screen incoming labeled examples
+    against the indexed corpus (mislabel quarantine at admission time)
+    the way media_dup screens perceptual dups; neighbor recall — and
+    therefore vote quality — follows the nprobe/recall table in
+    SCALE.md (scaleprobe --ivf).
+
+    ``labels`` is a (vec_id, label) frame for the INDEXED corpus; it
+    joins onto the reduced top-k frame (topk rows per query), never
+    onto the candidate join's input — q94's scale discipline."""
+    top = ann_lookup_batch(
+        queries, assign, cents, nprobe=nprobe, topk=topk, k=k
+    )
+    votes = (
+        top.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("qid", "n_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("cnt"), F.asc("n_label"))
+    maj = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.col("n_label").alias("knn_label"),
+            F.col("cnt").alias("n_agree"),
+        )
+    )
+    nn = top.groupBy("qid").agg(F.count(F.lit(1)).alias("n_nbrs"))
+    return (
+        queries.select(F.col("vec_id").alias("qid"))
+        .join(maj, "qid", "left")
+        .join(nn, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("knn_label", F.lit(-1)).cast("bigint").alias("knn_label"),
+            F.coalesce("n_nbrs", F.lit(0)).cast("bigint").alias("n_nbrs"),
+            F.coalesce("n_agree", F.lit(0)).cast("bigint").alias("n_agree"),
+        )
     )
 
 

@@ -105,28 +105,10 @@ def _meta_row(spark, table_prefix: str):
     return spark.table(f"{table_prefix}_meta").collect()[0]
 
 
-def _occ_summary(banded: DataFrame) -> DataFrame:
-    """(band, bval, n) occupancy over a banded frame — the ONE shape
-    both the full rebuild and the incremental refresh produce."""
-    return banded.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("n"))
-
-
-def _write_occ(spark, table_prefix: str, occ: DataFrame, gen: int) -> None:
-    stamped = occ.select(
-        "band", "bval", F.col("n").cast("bigint").alias("n"),
-        F.lit(int(gen)).alias("gen"),
-    ).localCheckpoint()  # materialize before overwriting a table it may read
-    try:
-        stamped.write.mode("overwrite").saveAsTable(f"{table_prefix}_occ")
-    finally:
-        from eventsgateway_spark.queries._util import release_frame
-
-        release_frame(stamped)
-
-
-def _skew_of(occ: DataFrame) -> float:
-    row = occ.agg(F.max("n").alias("mx"), F.avg("n").alias("avg")).collect()[0]
-    return float(row["mx"]) / float(row["avg"]) if row["avg"] else 0.0
+# The occupancy-summary protocol (snapshot at save, touched-bucket
+# refresh at append, gen staleness, health-metric-only contract) is
+# the ONE shared copy in streaming/occ.py — ann_lookup's IVF index
+# runs the identical law keyed on cell_id.
 
 
 def _check_same_generation(spark, table_prefix: str) -> int:
@@ -205,9 +187,11 @@ def save_media_index(
     # extra columnar scan — save is already O(corpus); re-running the
     # sigs lineage could mean re-decoding payloads). Crash before this
     # write leaves a stale-gen occ that the next append fully rebuilds.
-    _write_occ(
-        spark, table_prefix, _occ_summary(spark.table(f"{table_prefix}_bands")),
-        gen,
+    from eventsgateway_spark.streaming.occ import write_occ_snapshot
+
+    write_occ_snapshot(
+        spark, table_prefix, spark.table(f"{table_prefix}_bands"),
+        ["band", "bval"], gen,
     )
 
 
@@ -245,14 +229,17 @@ def append_media_index(
     near-dup cluster concentrates one bucket; candidate volume per
     lookup tracks that bucket).
 
-    Admission shape (round 14): ONE corpus scan, broadcast-semi
-    filtered to the batch's doc_ids — the output is bounded by
-    ``batch × bands`` rows, and unlike the previous band-0 anti-join
-    the corpus side is never shuffled (BroadcastHashJoin LeftSemi, no
-    sort-merge exchange). Because the scan sees every band row of the
-    batch's docs, it also detects PARTIAL docs — a crashed append's
-    job commit can leave some of a doc's band files visible and
-    others missing — and repairs them by appending exactly the
+    Admission shape (round 14): ONE corpus scan, semi-joined to the
+    batch's doc_ids — the output is bounded by ``batch × bands``
+    rows. NO forced broadcast of the batch side (the media_lookup /
+    verify_pairs contract): AQE broadcasts it while it is genuinely
+    small — the compaction-cadence norm, turning the previous
+    corpus-side sort-merge exchange into a map-side semi — and a
+    backfill-scale batch degrades to a shuffle join instead of dying
+    on the broadcast size limit. Because the scan sees every band row
+    of the batch's docs, it also detects PARTIAL docs — a crashed
+    append's job commit can leave some of a doc's band files visible
+    and others missing — and repairs them by appending exactly the
     missing (band, bval) rows rebuilt from the STORED signature
     (first-write-wins: the batch's signature is ignored for docs
     already present; ADVICE r13).
@@ -281,7 +268,7 @@ def append_media_index(
         batch = ckpt(new_sigs.dropDuplicates(["doc_id"]))
         # one corpus scan: every stored band row of the batch's docs
         present = ckpt(
-            bands_tbl.join(F.broadcast(batch.select("doc_id")), "doc_id", "semi")
+            bands_tbl.join(batch.select("doc_id"), "doc_id", "semi")
             .groupBy("doc_id")
             .agg(
                 F.collect_set("band").alias("have"),
@@ -289,9 +276,7 @@ def append_media_index(
                 F.min("sig").alias("sig"),
             )
         )
-        fresh = batch.join(
-            F.broadcast(present.select("doc_id")), "doc_id", "left_anti"
-        )
+        fresh = batch.join(present.select("doc_id"), "doc_id", "left_anti")
         n_new = fresh.count()
         to_append = banded_signatures(fresh, sig_col, n_bands, band_w)
         # repair: docs present with missing bands → append only the
@@ -318,35 +303,21 @@ def append_media_index(
                 .mode("append")
                 .saveAsTable(f"{table_prefix}_bands")
             )
-        # --- occupancy summary refresh (incremental; module docstring)
-        occ_name = f"{table_prefix}_occ"
-        occ_ok = spark.catalog.tableExists(occ_name)
-        if occ_ok:
-            g = spark.table(occ_name).select("gen").limit(1).collect()
-            occ_ok = bool(g) and int(g[0]["gen"]) == cur_gen
-        fresh_tbl = spark.table(f"{table_prefix}_bands")
-        if not occ_ok:
-            merged = _occ_summary(fresh_tbl)  # one-time / legacy rebuild
-        else:
-            # touched buckets: the batch's OWN banding (covers what a
-            # crashed prior attempt of this batch appended) plus the
-            # repair rows' buckets (stored-sig banding may differ)
-            touched = banded_signatures(
-                batch, sig_col, n_bands, band_w
-            ).select("bval")
-            if n_repaired:
-                touched = touched.unionByName(to_append.select("bval"))
-            tvals = [r["bval"] for r in touched.distinct().collect()]
-            refreshed = _occ_summary(fresh_tbl.filter(F.col("bval").isin(tvals)))
-            merged = (
-                spark.table(occ_name)
-                .filter(~F.col("bval").isin(tvals))
-                .select("band", "bval", "n")
-                .unionByName(refreshed)
-            )
-        merged = ckpt(merged.select("band", "bval", F.col("n").cast("bigint").alias("n")))
-        skew = _skew_of(merged)
-        _write_occ(spark, table_prefix, merged, cur_gen)
+        # --- occupancy summary refresh (streaming/occ.py — the ONE
+        # protocol copy). Touched buckets: the batch's OWN banding
+        # (covers what a crashed prior attempt of this batch appended)
+        # plus the repair rows' buckets (stored-sig banding may differ).
+        from eventsgateway_spark.streaming.occ import refresh_occ
+
+        touched = banded_signatures(batch, sig_col, n_bands, band_w).select(
+            "bval"
+        )
+        if n_repaired:
+            touched = touched.unionByName(to_append.select("bval"))
+        skew = refresh_occ(
+            spark, table_prefix, spark.table(f"{table_prefix}_bands"),
+            ["band", "bval"], "bval", touched, cur_gen, ckpt,
+        )
     return {
         "n_new_docs": n_new,
         "n_repaired_docs": n_repaired,

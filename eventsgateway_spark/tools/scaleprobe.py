@@ -328,6 +328,8 @@ def _gen_sigs(n: int, seed: int = 17, id0: int = 0):
     cluster, concentrating true matches, not the floor)."""
     import numpy as np
 
+    from eventsgateway_spark.queries.ext_dedup import IMG_HAM_MAX
+
     rng = np.random.default_rng(seed)
     sigs = rng.integers(0, 1 << 56, size=n, dtype=np.int64)
     dup_rows = np.flatnonzero(rng.random(n) < MEDIA_NEAR_DUP_PCT)
@@ -335,7 +337,11 @@ def _gen_sigs(n: int, seed: int = 17, id0: int = 0):
         if i == 0:
             continue
         base = sigs[rng.integers(0, i)]
-        flips = rng.choice(56, size=int(rng.integers(1, 7)), replace=False)
+        # flip radius derived from the SAME constant the query/recall
+        # side uses — a literal here would silently de-synchronize the
+        # planted-pair model from the bound if IMG_HAM_MAX ever moved
+        flips = rng.choice(56, size=int(rng.integers(1, IMG_HAM_MAX + 1)),
+                           replace=False)
         mask = np.int64(0)
         for b in flips:
             mask |= np.int64(1) << np.int64(b)
@@ -403,7 +409,6 @@ def run_media_probe(mults: tuple[int, ...] = (1, 4, 10),
         t0 = time.perf_counter()
         save_media_index(sig_df, prefix, buckets=32)
         build_s = time.perf_counter() - t0
-        idx = load_media_index(spark, prefix)
 
         # fixed-size admission batch (fresh ids/sigs), then a replay
         a_ids, a_sigs = _gen_sigs(n_append, seed=31, id0=500_000_000)
@@ -440,14 +445,17 @@ def run_media_probe(mults: tuple[int, ...] = (1, 4, 10),
         ).localCheckpoint()
 
         t0 = time.perf_counter()
-        hits = media_lookup_batch(q_df, idx).groupBy("qid").agg(
-            F.min(F.struct("hamming", "doc_id")).alias("m")
-        ).collect()
+        hits = media_lookup_batch(q_df, idx).collect()
         lookup_s = time.perf_counter() - t0
-        got = {r["qid"]: r["m"]["doc_id"] for r in hits}
+        # recall = the PLANTED base must appear among the query's hits
+        # (round-14 review: counting any-within-bound match would let a
+        # lookup that returns wrong-but-close docs still score 100%;
+        # the ivf probe's got==expected discipline, adapted to a
+        # set-valued result — another doc CAN legitimately be closer)
+        hit_pairs = {(r["qid"], r["doc_id"]) for r in hits}
         recall = sum(
             1 for j in range(half)
-            if got.get(int(q_ids[j])) is not None
+            if (int(q_ids[j]), int(planted_base[j])) in hit_pairs
         )
         # realized candidate volume (pre-verify pair rows) and the
         # _occ-summary prediction for THIS query batch
