@@ -1617,6 +1617,12 @@ def q94_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("n_agree"),
         )
     )
+    # n_nbrs counts top3 directly: both top3 consumers canonicalize to
+    # the same window subtree, so ReusedExchange runs the pair join
+    # once — an interleaved sf0.1 A/B (round-14 closing) measured this
+    # shape FASTER than deriving n_nbrs from the votes aggregate
+    # (6.3/5.3 s vs 8.9/6.3 s warm), refuting the double-computation
+    # guess; keep measuring before "fixing" plan reuse.
     nn = top3.groupBy("qid").agg(F.count(F.lit(1)).alias("n_nbrs"))
     return (
         assign.select("vec_id")

@@ -568,6 +568,11 @@ def ann_label_vote_batch(
             F.col("cnt").alias("n_agree"),
         )
     )
+    # n_nbrs counts the top-k frame directly — the two consumers share
+    # one canonicalized subtree (ReusedExchange), and the q94 sf0.1
+    # A/B measured this faster than a votes-derived count. n_nbrs is
+    # therefore ALL retrieved neighbors; ones missing from ``labels``
+    # still count toward it but not toward n_agree.
     nn = top.groupBy("qid").agg(F.count(F.lit(1)).alias("n_nbrs"))
     return (
         queries.select(F.col("vec_id").alias("qid"))
@@ -622,6 +627,72 @@ def ann_lookup_stream(
         )
 
     writer = query_stream.writeStream.foreachBatch(_answer).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_label_screen(
+    stream_examples: DataFrame,
+    index: IvfIndex,
+    labels: DataFrame,
+    clean_path: str,
+    suspect_path: str,
+    checkpoint: str,
+    quorum: int = 2,
+    nprobe: int = ANN_SERVING_NPROBE,
+    topk: int = 3,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Route a stream of LABELED examples (vec_id, embedding, label)
+    against an indexed reference corpus: examples whose top-``topk``
+    ANN neighbors vote a DIFFERENT label with at least ``quorum``
+    agreeing neighbors go to ``suspect_path`` (with the voted label +
+    agreement count as evidence), everything else to ``clean_path`` —
+    the label-quality sibling of :func:`stream_media_dedup`'s
+    perceptual router, built on :func:`ann_label_vote_batch` (q94's
+    vote law through the serving path).
+
+    Examples the index cannot judge — zero-norm vectors (norm_view's
+    contract) or queries whose probed cells hold no neighbors — have
+    n_nbrs = 0 and route CLEAN: absence of evidence is not a label
+    defect (the quarantine-vs-novel asymmetry is deliberate — a
+    mislabel suspect needs positive disagreement). Both sinks are
+    batch_id dynamic-overwrite partitions, so a checkpoint replay
+    rewrites its own partition (the near_dup sink contract)."""
+    from eventsgateway_spark.streaming.near_dup import _idempotent_append
+
+    assign, cents = index.assign, index.cents
+    k = _cents_k(cents)  # hoisted once — constant for the stream
+
+    def _route(batch_df: DataFrame, batch_id: int) -> None:
+        from eventsgateway_spark.queries._util import released_checkpoints
+
+        with released_checkpoints() as ckpt:
+            batch = ckpt(batch_df)  # consumed by the vote + both sinks
+            vote = ckpt(
+                ann_label_vote_batch(
+                    batch.select("vec_id", "embedding"), assign, cents,
+                    labels, nprobe=nprobe, topk=topk, k=k,
+                ).withColumnRenamed("qid", "vec_id")
+            )
+            joined = batch.join(vote, "vec_id", "left")
+            suspect = joined.filter(
+                (F.col("n_nbrs") > 0)
+                & (F.col("knn_label") != F.col("label"))
+                & (F.col("n_agree") >= quorum)
+            ).select(
+                "vec_id", "label", "knn_label", "n_agree", "n_nbrs"
+            )
+            clean = joined.join(
+                suspect.select("vec_id"), "vec_id", "left_anti"
+            ).select("vec_id", "embedding", "label")
+            _idempotent_append(suspect, batch_id, suspect_path)
+            _idempotent_append(clean, batch_id, clean_path)
+
+    writer = stream_examples.writeStream.foreachBatch(_route).option(
         "checkpointLocation", checkpoint
     )
     if trigger_once:

@@ -44,12 +44,14 @@ FAMILIES: dict[str, list[str]] = {
         "q34_lsh_buckets",
         "q43_ivf_ann",
         "q70_semantic_dedup",
+        "q94_knn_label_consistency",
     ],
     "Q19_fuzzy_dedup": [
         "q29_exact_dedup_groups",
         "q30_jaccard_pairs",
         "q31_minhash_lsh_pairs",
         "q32_dedup_clusters",
+        "q93_minhash_calibration",
     ],
     "Q20_multimodal": [
         "q36_binary_payloads",

@@ -1499,6 +1499,73 @@ def test_ann_label_vote_matches_exact_at_full_probe(spark):
             release_frame(fr)
 
 
+def test_stream_label_screen_routes_mislabels(spark, tmp_path):
+    """stream_label_screen: an example whose ANN neighbors unanimously
+    carry a different label routes to the suspect sink with the voted
+    label + agreement as evidence; a correctly-labeled example and an
+    un-judgeable (zero-norm) example route clean. Replay idempotence
+    comes from batch_id dynamic overwrite (shared _idempotent_append)."""
+    from eventsgateway_spark.streaming.ann_lookup import (
+        build_ivf_index,
+        stream_label_screen,
+    )
+
+    # three tight clusters along distinct axes, labels 0/1/2; the first
+    # three ids are one per cluster so the first-k centroids are the
+    # cluster representatives
+    def vec(axis, eps):
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[axis] = 1.0
+        v[(axis + 1) % 4] = eps
+        return v
+
+    rows = []
+    for j in range(30):
+        axis = j % 3
+        rows.append((j, vec(axis, 0.01 * (j // 3)), axis))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    idx = build_ivf_index(corpus.select("vec_id", "embedding"), k=3)
+    try:
+        incoming = spark.createDataFrame(
+            [
+                # near cluster 0 but labeled 2 → suspect (vote 0)
+                (1_000_000, vec(0, 0.02), 2),
+                # near cluster 1, correctly labeled → clean
+                (1_000_001, vec(1, 0.02), 1),
+                # zero-norm: un-judgeable → clean
+                (1_000_002, [0.0, 0.0, 0.0, 0.0], 0),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        src = str(tmp_path / "examples")
+        incoming.coalesce(1).write.parquet(src)
+        q = stream_label_screen(
+            spark.readStream.schema(incoming.schema).parquet(src),
+            idx,
+            corpus.select("vec_id", "label"),
+            clean_path=str(tmp_path / "clean"),
+            suspect_path=str(tmp_path / "suspect"),
+            checkpoint=str(tmp_path / "ckpt"),
+            nprobe=3,
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+        suspects = spark.read.parquet(str(tmp_path / "suspect")).collect()
+        clean = spark.read.parquet(str(tmp_path / "clean")).collect()
+        assert [
+            (r["vec_id"], r["label"], r["knn_label"], r["n_agree"], r["n_nbrs"])
+            for r in suspects
+        ] == [(1_000_000, 2, 0, 3, 3)]
+        assert sorted(r["vec_id"] for r in clean) == [1_000_001, 1_000_002]
+    finally:
+        from eventsgateway_spark.queries._util import release_frame
+
+        for fr in (idx.assign, idx.cents):
+            release_frame(fr)
+
+
 def test_ivf_growth_loop_end_to_end(spark, tmp_path):
     """The vector growth loop (mirror of the corpus one): stream batch
     1 sees a novel vector (kept), the compaction step appends it via
