@@ -2908,6 +2908,72 @@ def test_media_index_occ_summary_and_band_repair(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_media_occ_invariant_over_random_append_sequence(spark):
+    """Protocol soak for streaming/occ.py through the media index: a
+    seeded sequence of overlapping admission batches (fresh docs,
+    replays, mixtures, an empty batch, plus a mid-sequence _occ drop
+    and a gen-bumping re-save) must keep the incremental summary equal
+    to a full recount of _bands after EVERY step — the invariant both
+    index families' skew gates stand on."""
+    import random
+
+    from eventsgateway_spark.streaming.media_dup import (
+        append_media_index,
+        save_media_index,
+    )
+
+    rng = random.Random(99)
+
+    def sig_batch(ids):
+        return spark.createDataFrame(
+            [(i, (i * 2654435761) % (1 << 56)) for i in ids],
+            "doc_id long, dhash long",
+        )
+
+    def occ_equal():
+        full = {
+            (r["band"], r["bval"]): r["n"]
+            for r in spark.table("tseq_bands")
+            .groupBy("band", "bval")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        got = {
+            (r["band"], r["bval"]): r["n"]
+            for r in spark.table("tseq_occ").collect()
+        }
+        return got == full
+
+    try:
+        save_media_index(sig_batch(range(100)), "tseq", buckets=4)
+        assert occ_equal()
+        admitted = set(range(100))
+        for step in range(6):
+            if step == 2:
+                spark.sql("DROP TABLE tseq_occ")  # legacy rebuild path
+            if step == 4:
+                # gen bump: re-save with same geometry over a superset
+                save_media_index(
+                    sig_batch(sorted(admitted | {5000, 5001})), "tseq",
+                    buckets=4,
+                )
+                admitted |= {5000, 5001}
+                assert occ_equal()
+            n_old = rng.randrange(0, 30)
+            olds = rng.sample(sorted(admitted), n_old) if n_old else []
+            news = list(range(1000 + step * 50, 1000 + step * 50 + rng.randrange(0, 40)))
+            r = append_media_index(spark, "tseq", sig_batch(olds + news))
+            assert r["n_new_docs"] == len(news)
+            admitted |= set(news)
+            assert occ_equal(), step
+        # empty batch is a no-op that still keeps the invariant
+        r = append_media_index(spark, "tseq", sig_batch([]))
+        assert r["n_new_docs"] == 0 and occ_equal()
+    finally:
+        for t in ("tseq_meta", "tseq_bands", "tseq_occ"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_stream_media_dedup_against_index(spark, tmp_path):
     """Streaming perceptual dedup: incoming image assets are hashed
     and checked against a signature index built once; a re-encoded /
