@@ -1580,9 +1580,16 @@ def q94_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("n2"), "cell_id",
     )
     pair_dot = dot_arrow if arrow_scorer() else dot
-    prs = (
+    # UNDIRECTED pair join (nid < qid) + projection mirror: the dot
+    # fold — the dominant CPU here — runs once per unordered pair and
+    # both direction branches share the one canonical join subtree
+    # (ReusedExchange). Row-identical to the directed join (the fold
+    # is argument-order-symmetric) and measured faster in an
+    # interleaved sf0.1 A/B (round-14 closing: 5.7 vs 6.6 s median);
+    # at scale it halves the per-pair folds outright.
+    half = (
         a.join(b, "cell_id")
-        .filter(F.col("nid") != F.col("qid"))
+        .filter(F.col("nid") < F.col("qid"))
         .select(
             "qid",
             "nid",
@@ -1592,6 +1599,11 @@ def q94_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("cos_u"),
+        )
+    )
+    prs = half.unionByName(
+        half.select(
+            F.col("nid").alias("qid"), F.col("qid").alias("nid"), "cos_u"
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_u"), F.asc("nid"))
