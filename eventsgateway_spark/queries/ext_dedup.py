@@ -1677,8 +1677,18 @@ def q93_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     7-row aggregate — nothing corpus-grain shuffles after the shingle
     stage."""
     docs = table(spark, sf_dir, "documents")
-    sh = doc_shingles(docs)
-    mins = minhash_components(sh)
+    # SIX consumers touch the shingle lineage here (bands a/b via the
+    # candidate join, m1/m2 via the component-match branch, s1/s2 via
+    # the exact-intersection branch) and the static plan inlines the
+    # tokenize+md5 subtree into each (16 split() sites measured at
+    # round-14 closing — AQE runtime reuse saved it only SOMETIMES:
+    # 2.8 s floor with 9-15 s spikes in the same session). Persist the
+    # two shared frames above fixture scale (the q57/q72 auto-pick:
+    # identity at fixture scale, so the driver-oracle plan and hash
+    # are untouched); back-to-back sf0.1 sessions measured
+    # 2.8-3.9 s pinned vs 3.1-9.7 s unpinned (the spikes gone).
+    sh = pin(doc_shingles(docs), mode="persist")
+    mins = pin(minhash_components(sh), mode="persist")
     cand = minhash_band_candidates(mins)
     m1 = mins.select(
         F.col("doc_id").alias("d1"),
