@@ -529,7 +529,7 @@ def ann_label_vote_batch(
     topk: int = 3,
     k: int | None = None,
 ) -> DataFrame:
-    """(qid, knn_label, n_agree, n_nbrs) — majority label among the
+    """(qid, knn_label, n_nbrs, n_agree) — majority label among the
     top-``topk`` ANN neighbors of each query vector: the SERVING twin
     of q94_knn_label_consistency (queries/ext_similarity.py), voting
     over the IVF-probed candidate set instead of the exact within-cell
@@ -543,9 +543,23 @@ def ann_label_vote_batch(
 
     ``labels`` is a (vec_id, label) frame for the INDEXED corpus; it
     joins onto the reduced top-k frame (topk rows per query), never
-    onto the candidate join's input — q94's scale discipline."""
-    top = ann_lookup_batch(
-        queries, assign, cents, nprobe=nprobe, topk=topk, k=k
+    onto the candidate join's input — q94's scale discipline.
+
+    A query whose OWN vec_id is in the index (checkpoint replay after
+    the compaction cadence admitted the batch; corpus self-audit)
+    never votes for itself: q94's ``a.vec_id <> b.vec_id`` law,
+    enforced here by retrieving topk+1 and dropping the self row
+    before re-ranking (round-14 review — without it, a replayed
+    mislabel's own wrong label joins its vote and can un-quarantine
+    it)."""
+    raw = ann_lookup_batch(
+        queries, assign, cents, nprobe=nprobe, topk=topk + 1, k=k
+    ).filter(F.col("neighbor_id") != F.col("qid"))
+    w_self = Window.partitionBy("qid").orderBy("rn")
+    top = (
+        raw.withColumn("rn2", F.row_number().over(w_self))
+        .filter(F.col("rn2") <= topk)
+        .select("qid", "neighbor_id")
     )
     votes = (
         top.join(
@@ -671,7 +685,11 @@ def stream_label_screen(
         from eventsgateway_spark.queries._util import released_checkpoints
 
         with released_checkpoints() as ckpt:
-            batch = ckpt(batch_df)  # consumed by the vote + both sinks
+            # dedupe by vec_id (the admission-path norm): an
+            # at-least-once duplicate in one micro-batch would
+            # otherwise double every candidate row and flip the
+            # majority vote (round-14 review)
+            batch = ckpt(batch_df.dropDuplicates(["vec_id"]))
             vote = ckpt(
                 ann_label_vote_batch(
                     batch.select("vec_id", "embedding"), assign, cents,

@@ -37,6 +37,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Max distinct touched-bucket values compiled into the incremental
+#: refresh's IN filters; past this the full recount takes over (see
+#: refresh_occ's inline note).
+_MAX_PRUNE_LITERALS = 4096
+
 
 def _occ_counts(src: DataFrame, key_cols: list[str]) -> DataFrame:
     return src.groupBy(*key_cols).agg(
@@ -94,12 +99,28 @@ def refresh_occ(
     if occ_ok:
         g = spark.table(occ_name).select("gen").limit(1).collect()
         occ_ok = bool(g) and int(g[0]["gen"]) == int(gen)
-    if not occ_ok:
-        merged = _occ_counts(source, key_cols)  # one-time / legacy rebuild
+    tvals: list | None = None
+    if occ_ok:
+        # bounded literal collection: cap + 1 detects overflow without
+        # pulling an unbounded id set to the driver. A batch touching
+        # more distinct buckets than the cap is backfill-scale — the
+        # full recount (the not-occ_ok path) is proportionate there,
+        # and an IN list that size would blow the plan/driver anyway
+        # (round-14 review: the same failure mode the admission joins'
+        # broadcast-hint removal exists to survive). Media bval
+        # domains (2^band_w) never hit the cap; huge-cell IVF backfills
+        # can.
+        rows = (
+            touched.select(prune_col)
+            .distinct()
+            .limit(_MAX_PRUNE_LITERALS + 1)
+            .collect()
+        )
+        if len(rows) <= _MAX_PRUNE_LITERALS:
+            tvals = [r[prune_col] for r in rows]
+    if tvals is None:
+        merged = _occ_counts(source, key_cols)  # rebuild: legacy/stale/huge
     else:
-        tvals = [
-            r[prune_col] for r in touched.select(prune_col).distinct().collect()
-        ]
         refreshed = _occ_counts(
             source.filter(F.col(prune_col).isin(tvals)), key_cols
         )

@@ -1492,6 +1492,30 @@ def test_ann_label_vote_matches_exact_at_full_probe(spark):
             assert got[int(ids[qrow]) + 1_000_000] == (
                 knn, 3, counts[knn]
             ), qrow
+
+        # a query whose OWN id is in the index never votes for itself
+        # (q94's a.vec_id <> b.vec_id law through the serving path):
+        # querying corpus vector 0 under its ORIGINAL id must vote
+        # from its 3 nearest OTHER vectors, not from its self-match
+        self_q = emb.filter(F.col("vec_id") == 0).select(
+            "vec_id", "embedding"
+        )
+        sr = ann_label_vote_batch(
+            self_q, idx.assign, idx.cents, emb.select("vec_id", "label"),
+            nprobe=IVF_K, topk=3, k=IVF_K,
+        ).collect()[0]
+        cos0 = np.round((M @ M[0]) / (nrm * nrm[0]), 6)
+        order0 = [
+            i for i in sorted(range(len(ids)), key=lambda i: (-cos0[i], ids[i]))
+            if ids[i] != 0
+        ][:3]
+        counts0: dict[int, int] = {}
+        for i in order0:
+            counts0[lbl[ids[i]]] = counts0.get(lbl[ids[i]], 0) + 1
+        knn0 = sorted(counts0, key=lambda c: (-counts0[c], c))[0]
+        assert (sr["knn_label"], sr["n_nbrs"], sr["n_agree"]) == (
+            knn0, 3, counts0[knn0]
+        )
     finally:
         from eventsgateway_spark.queries._util import release_frame
 
