@@ -586,7 +586,7 @@ def q78_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     math (ppm via integer division) — exact cross-engine."""
     from eventsgateway_spark.functions.text import ngrams
 
-    from eventsgateway_spark.queries._util import is_fixture_scale
+    from eventsgateway_spark.queries._util import pin
 
     docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
     base = docs.select(
@@ -596,13 +596,15 @@ def q78_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # base feeds THREE consumers (c2, c5, the final n_toks select).
     # Above fixture scale it is tokenized ONCE and materialized
-    # (localCheckpoint — the q57/q72 auto-pick discipline; VERDICT
+    # (pin/checkpoint — the q57/q72 auto-pick discipline; VERDICT
     # r13 #3): without it each branch re-scans and re-splits the
-    # corpus, 3× the tokenize CPU at 100 TB. At fixture scale the
-    # checkpoint is skipped so the driver-oracle plan (and its value
-    # hash) is byte-identical to the uncached round-13 shape.
-    if not is_fixture_scale(docs):
-        base = base.localCheckpoint()
+    # corpus, 3× the tokenize CPU at 100 TB. At fixture scale pin()
+    # is an identity, so the driver-oracle plan (and its value hash)
+    # is byte-identical to the uncached round-13 shape. pin() rather
+    # than a bare is_fixture_scale + localCheckpoint (ADVICE r14):
+    # one copy of the fixture guard, and the call site honors the
+    # SPARK_GRAFT_PIN_MODE A/B override like every other.
+    base = pin(base)
     c2 = (
         base.select("doc_id", "n_chars", F.explode(ngrams(F.col("toks"), 2)).alias("g"))
         .groupBy("doc_id", "n_chars", "g")

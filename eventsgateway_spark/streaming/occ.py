@@ -97,8 +97,19 @@ def refresh_occ(
     occ_name = f"{table_prefix}_occ"
     occ_ok = spark.catalog.tableExists(occ_name)
     if occ_ok:
-        g = spark.table(occ_name).select("gen").limit(1).collect()
-        occ_ok = bool(g) and int(g[0]["gen"]) == int(gen)
+        # Aggregate over the WHOLE summary, not a sampled row (ADVICE
+        # r14): saveAsTable overwrite is not transactional, so a torn
+        # overwrite can leave a mixed-generation _occ whose first row
+        # happens to match cur_gen. min==max==gen proves uniformity;
+        # the table is bounded (≤ bands·2^band_w / cell-count rows),
+        # so the full scan costs what the limit(1) did.
+        g = spark.table(occ_name).agg(
+            F.min("gen").alias("lo"), F.max("gen").alias("hi")
+        ).collect()[0]
+        occ_ok = (
+            g["lo"] is not None
+            and int(g["lo"]) == int(g["hi"]) == int(gen)
+        )
     tvals: list | None = None
     if occ_ok:
         # bounded literal collection: cap + 1 detects overflow without
