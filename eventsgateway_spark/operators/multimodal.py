@@ -858,6 +858,120 @@ def audio_fingerprint(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(run, AFP_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Wide perceptual hashes (round 15 — VERDICT r14 #2): the derived-
+# geometry tier of queries/ext_dedup.media_geometry_for_rows. Past the
+# occupancy-ladder floor the banding needs bands x band_w > 62 bits,
+# which no BIGINT lane can hold — the wide signature is a LIST of
+# ``bands`` ints, one ``band_w``-bit word per band, consumed by the
+# array<bigint> branch of ext_dedup.banded_signatures / hamming_col.
+# The hash must also HAVE that many informative bits: each band gets
+# its OWN grid row (image) / energy window (audio) of band_w adjacent
+# comparisons — the same difference-hash law as dhash56/afp56, scaled.
+# At the floor geometry (7, 8) these produce a 7x9-grid / 63-frame
+# variant — a DIFFERENT (equally valid) hash family from the fixed
+# 56-bit tier; the fixed tier remains the oracle/fixture path, so
+# nothing here touches a driver hash.
+# ---------------------------------------------------------------------------
+
+
+def dhash_geom(img, bands: int, band_w: int) -> list:
+    """Wide difference hash of an HxWxC uint8 image at an explicit
+    Manku geometry: integer-mean grayscale, NN-resize to ``bands`` rows
+    x ``band_w + 1`` cols, word b = row b's ``band_w`` adjacent
+    comparisons (bit x = 1 iff g[b][x] < g[b][x+1]). Pure integer
+    math; same invariance class as :func:`dhash56` (brightness shifts
+    without saturation are exact, crops/rotations are not)."""
+    import numpy as np
+
+    gray = img.astype(np.int64).sum(axis=2) // img.shape[2]
+    g = _nn_resize(gray[:, :, None], band_w + 1, bands)[:, :, 0]
+    bits = (g[:, :-1] < g[:, 1:]).astype(np.int64)  # bands x band_w
+    weights = np.int64(1) << np.arange(band_w, dtype=np.int64)
+    return [int(w) for w in (bits * weights).sum(axis=1)]
+
+
+def afp_geom(mono, bands: int, band_w: int, frame_len: int = AFP_FRAME_LEN) -> list:
+    """Wide audio fingerprint at an explicit geometry: rescale to the
+    integer PCM lattice, frame into ``bands x (band_w + 1)`` frames of
+    ``frame_len`` samples, word b = the adjacent-energy comparisons
+    within band b's own frame window (bands are independent windows,
+    so a local edit perturbs few bands — the pigeonhole mass stays
+    concentrated). Same amplitude-scaling invariance as afp56."""
+    import numpy as np
+
+    frames = bands * (band_w + 1)
+    q = np.rint(np.asarray(mono, dtype=np.float64) * 32768.0).astype(np.int64)
+    n = frames * frame_len
+    if q.size < n:
+        q = np.pad(q, (0, n - q.size))
+    e = np.abs(q[:n]).reshape(bands, band_w + 1, frame_len).sum(axis=2)
+    bits = (e[:, :-1] < e[:, 1:]).astype(np.int64)  # bands x band_w
+    weights = np.int64(1) << np.arange(band_w, dtype=np.int64)
+    return [int(w) for w in (bits * weights).sum(axis=1)]
+
+
+def _wide_sig_schema(col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField(col, T.ArrayType(T.LongType())),
+        ]
+    )
+
+
+def image_dhash_wide(assets: DataFrame, bands: int, band_w: int) -> DataFrame:
+    """(asset_id, dhash: array<bigint>) — :func:`image_dhash` at a
+    derived geometry (one word per band). Same decode tier, NULL
+    exclusion, and signatures-only-shuffle posture."""
+    assets = assets.filter(F.col("payload").isNotNull())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for mt, raw in zip(pdf["media_type"], pdf["payload"]):
+                if mt == "image/ppm":
+                    _, _, img = parse_ppm(bytes(raw))
+                elif mt == "image/png":
+                    _, _, img = parse_png(bytes(raw))
+                else:
+                    raise NotImplementedError(
+                        f"perceptual hash for {mt!r} needs PIL — "
+                        "image/ppm and image/png decode natively"
+                    )
+                hashes.append(dhash_geom(img, bands, band_w))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "dhash": hashes})
+
+    from eventsgateway_spark.shipping import ship_package
+
+    ship_package(assets.sparkSession)
+    return assets.mapInPandas(run, _wide_sig_schema("dhash"))
+
+
+def audio_fingerprint_wide(assets: DataFrame, bands: int, band_w: int) -> DataFrame:
+    """(asset_id, afp: array<bigint>) — :func:`audio_fingerprint` at a
+    derived geometry (one word per band)."""
+    assets = assets.filter(F.col("payload").isNotNull())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for mt, raw in zip(pdf["media_type"], pdf["payload"]):
+                if mt != "audio/wav":
+                    raise NotImplementedError(
+                        f"audio fingerprint for {mt!r} needs libav — "
+                        "audio/wav decodes natively"
+                    )
+                _, _, x, _ = parse_wav(bytes(raw))
+                fps.append(afp_geom(x[:, 0], bands, band_w))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "afp": fps})
+
+    from eventsgateway_spark.shipping import ship_package
+
+    ship_package(assets.sparkSession)
+    return assets.mapInPandas(run, _wide_sig_schema("afp"))
+
+
 def _synth_audio_samples(doc_ids):
     """(n, 456) int64 PCM sample grid (range ±2048) for a doc_id
     vector — the ONE copy of the q90 fixture formula (DuckDB mirror in

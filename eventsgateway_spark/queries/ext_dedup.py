@@ -840,13 +840,63 @@ def q63_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_band_pairs(sig, "simhash", HAM_BANDS, _HAM_BAND_W, HAM_MAX)
 
 
+def _is_wide_sig(df: DataFrame, sig_col: str) -> bool:
+    """True when ``sig_col`` is a wide signature — ``array<bigint>``
+    with one word per band (media_geometry_for_rows comment) — rather
+    than a single <=62-bit BIGINT lane."""
+    from pyspark.sql import types as T
+
+    return isinstance(df.schema[sig_col].dataType, T.ArrayType)
+
+
+def hamming_col(h1, h2, wide: bool):
+    """Exact Hamming distance column between two signatures — the ONE
+    copy of the verify expression (shared by hamming_band_pairs and
+    media_dup.media_lookup_batch). BIGINT lane: one popcount of the
+    XOR. Wide (array-per-band): per-word popcount summed with
+    zip_with/aggregate — still whole-stage-codegen JVM expressions,
+    no UDF."""
+    h1, h2 = F.col(h1) if isinstance(h1, str) else h1, (
+        F.col(h2) if isinstance(h2, str) else h2
+    )
+    if not wide:
+        return F.bit_count(h1.bitwiseXOR(h2)).cast("bigint")
+    return F.aggregate(
+        F.zip_with(h1, h2, lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
 def banded_signatures(
     sig: DataFrame, sig_col: str, bands: int, band_w: int
 ) -> DataFrame:
     """(doc_id, sig, band, bval) — one row per (signature, band): the
     Manku band explode, factored out (round 13) so the batch pair
     join, the durable media-signature index (streaming/media_dup.py),
-    and its lookup path all band signatures IDENTICALLY."""
+    and its lookup path all band signatures IDENTICALLY.
+
+    BIGINT signatures (<= 62 bits) band by shift/mask — byte-identical
+    to the round-13 plan. WIDE signatures (``array<bigint>``, one word
+    per band — the derived-geometry tier past 62 total bits) band by
+    ``element_at``; ANSI mode makes a wrong-length array a loud
+    runtime error, never a silent empty band."""
+    if _is_wide_sig(sig, sig_col):
+        return sig.select(
+            "doc_id",
+            F.col(sig_col).alias("sig"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.element_at(F.col(sig_col), b + 1).alias("bval"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", "sig", "bk.band", "bk.bval")
     return sig.select(
         "doc_id",
         F.col(sig_col).alias("sig"),
@@ -876,8 +926,11 @@ def hamming_band_pairs(
     within Hamming ``bands - 1`` agrees on ≥1 whole band, so candidate
     generation is an equi-join on (band, band_value) — never all-pairs
     — with EXACT recall for the bound. Shared by q63 (32-bit SimHash,
-    4×8) and q89 (56-bit image dHash, 7×8). Callers pin ``sig``: it
-    fans out into every band branch of the self-join."""
+    4×8) and q89 (56-bit image dHash, 7×8); wide ``array<bigint>``
+    signatures (the derived-geometry tier, media_geometry_for_rows)
+    band and verify through the same two factored expressions.
+    Callers pin ``sig``: it fans out into every band branch of the
+    self-join."""
     if max_ham > bands - 1:
         # ValueError (not assert) so the contract survives python -O,
         # matching build/save_media_index (ADVICE r13)
@@ -885,6 +938,7 @@ def hamming_band_pairs(
             f"pigeonhole bound: max_ham={max_ham} needs >= {max_ham + 1} "
             f"bands, got {bands}"
         )
+    wide = _is_wide_sig(sig, sig_col)
     banded = banded_signatures(sig, sig_col, bands, band_w)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -906,9 +960,7 @@ def hamming_band_pairs(
         cand.select(
             "d1",
             "d2",
-            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-            .cast("bigint")
-            .alias("hamming"),
+            hamming_col("h1", "h2", wide).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_ham)
         .orderBy("d1", "d2")
@@ -1247,6 +1299,60 @@ def q87_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 IMG_HAM_BANDS = 7  # 56 bits -> 7 bands of 8
 IMG_HAM_MAX = 6  # pigeonhole: <=6 differing bits => >=1 band identical
 _IMG_BAND_W = 8
+
+# Size-derived Manku banding geometry (round 15 — VERDICT r14 #2, the
+# last documented scale-killer). With a FIXED geometry the per-lookup
+# candidate volume has a birthday floor of n_q x N x bands / 2^band_w —
+# LINEAR in corpus size (measured: scaleprobe --media, SCALE.md
+# round-14). Holding per-lane bucket occupancy ~constant requires
+# band_w ~ log2(N / occ): one band_w step per corpus doubling past the
+# floor threshold — the exact discipline of the q34/q38 plane ladder
+# (ext_similarity.planes_for_rows) applied to Hamming banding.
+#
+# Two hard constraints the LSH ladder does not have:
+# - Pigeonhole: the Hamming-``max_ham`` recall guarantee needs
+#   ``bands >= max_ham + 1`` whole bands, so ``bands`` NEVER shrinks as
+#   band_w grows — the signature must WIDEN to bands x band_w bits.
+#   Past 62 total bits a single BIGINT lane can't hold it; wide
+#   signatures are ``array<bigint>`` with ONE word per band (element b
+#   = band b's value), which keeps banding a pure ``element_at`` and
+#   the Hamming verify an exact per-word popcount sum. The fixed
+#   56-bit dhash/afp tier (q89/q90/q91/q92 and their DuckDB mirrors)
+#   is the FLOOR geometry: at every fixture/oracle scale the ladder
+#   returns (7, 8) and the BIGINT path is byte-identical, so every
+#   oracle constant and driver hash is unchanged.
+# - The hash must actually HAVE bands x band_w informative bits:
+#   operators/multimodal.dhash_geom / afp_geom produce the wide
+#   signatures (one grid row / energy window per band).
+MEDIA_TARGET_LANE_OCC = 64
+# band_w growth cap: past ~2^24 lanes per band the bval domain
+# outgrows any realistic per-band information content (a 25-wide dhash
+# grid row); candidates then scale with true near-dup mass only.
+_MEDIA_BAND_W_CAP = 24
+
+
+def media_band_w_for_rows(est_rows: int, floor_band_w: int = _IMG_BAND_W) -> int:
+    """Smallest ``w >= floor_band_w`` with ``2^w x MEDIA_TARGET_LANE_OCC``
+    covering ``est_rows`` (capped) — the pure ladder, unit-tested at
+    its boundaries like planes_for_rows. Floor threshold: 2^8 x 64 =
+    16384 estimated signatures; every fixture corpus sits far below."""
+    w = floor_band_w
+    while w < _MEDIA_BAND_W_CAP and (1 << w) * MEDIA_TARGET_LANE_OCC < est_rows:
+        w += 1
+    return w
+
+
+def media_geometry_for_rows(
+    est_rows: int, max_ham: int = IMG_HAM_MAX
+) -> tuple[int, int]:
+    """Derived ``(bands, band_w)`` for a corpus of ``est_rows``
+    signatures at Hamming bound ``max_ham``: bands is pinned by the
+    pigeonhole guarantee (``max(IMG_HAM_BANDS, max_ham + 1)`` — growing
+    band_w NEVER buys back a band), band_w rides the occupancy ladder.
+    Total signature width is ``bands x band_w`` bits; above 62 the
+    signature is an ``array<bigint>`` word per band (module comment)."""
+    bands = max(IMG_HAM_BANDS, max_ham + 1)
+    return bands, media_band_w_for_rows(est_rows)
 
 # DuckDB mirror of the synthetic-image dHash: the fixture's pixel
 # formula (operators/multimodal._synth_pixel_vals — change both or

@@ -42,7 +42,18 @@ parameters is refused outright (fresh prefix + name swap instead).
 
 Scale posture (10^9+ assets): candidate volume per lookup is the
 band-bucket occupancy of the query's ``bands`` buckets — true near-dup
-mass plus the 2^-band_w birthday floor — independent of corpus size;
+mass plus the 2^-band_w birthday floor. A FIXED geometry leaves that
+floor linear in corpus size (measured: SCALE.md round-14), so past the
+floor threshold the geometry must be SIZED for the corpus:
+``ext_dedup.media_geometry_for_rows`` derives (bands, band_w) on the
+occupancy ladder (band_w ~ log2 N, bands pinned by pigeonhole), and
+signatures wider than the 62-bit BIGINT lane ride the wide
+``array<bigint>``-per-band representation end-to-end (build, save,
+append incl. repair, lookup — one shared banding/verify law in
+ext_dedup). The fixture-floor geometry (7, 8) keeps every oracle
+constant byte-identical. Candidate volume at the derived geometry is
+~flat in corpus size (scaleprobe --media derived leg, SCALE.md
+round-15);
 the corpus side is never reshuffled (bucketBy) and never pinned in
 executor memory. Appends are per-doc idempotent (anti-join on doc_id)
 so a crashed-and-replayed admission batch cannot double-index a doc.
@@ -59,8 +70,25 @@ from eventsgateway_spark.queries.ext_dedup import (
     IMG_HAM_BANDS,
     IMG_HAM_MAX,
     _IMG_BAND_W,
+    _is_wide_sig,
     banded_signatures,
+    hamming_col,
 )
+
+
+def _check_sig_width(sigs: DataFrame, sig_col: str, bands: int, band_w: int):
+    """A BIGINT signature lane holds at most 62 bits; a geometry wider
+    than that (the derived tier — ext_dedup.media_geometry_for_rows)
+    requires wide ``array<bigint>`` signatures, one word per band.
+    Shift/mask past bit 62 would silently band garbage — refuse."""
+    if not _is_wide_sig(sigs, sig_col) and bands * band_w > 62:
+        raise ValueError(
+            f"geometry bands={bands} x band_w={band_w} = "
+            f"{bands * band_w} bits exceeds the 62-bit BIGINT signature "
+            f"lane — supply wide array<bigint> signatures (one "
+            f"{band_w}-bit word per band; operators/multimodal."
+            "dhash_geom / afp_geom)"
+        )
 
 
 class MediaIndex(NamedTuple):
@@ -87,6 +115,7 @@ def build_media_index(
             f"pigeonhole bound: max_ham={max_ham} needs >= {max_ham + 1} "
             f"bands, got {bands}"
         )
+    _check_sig_width(sigs, sig_col, bands, band_w)
     banded = banded_signatures(sigs, sig_col, bands, band_w).localCheckpoint()
     return MediaIndex(bands=banded, n_bands=bands, band_w=band_w, max_ham=max_ham)
 
@@ -147,6 +176,7 @@ def save_media_index(
             f"pigeonhole bound: max_ham={max_ham} needs >= {max_ham + 1} "
             f"bands, got {bands}"
         )
+    _check_sig_width(sigs, sig_col, bands, band_w)
     spark = sigs.sparkSession
     have_meta = spark.catalog.tableExists(f"{table_prefix}_meta")
     have_bands = spark.catalog.tableExists(f"{table_prefix}_bands")
@@ -224,7 +254,10 @@ def append_media_index(
     """Admit new signatures incrementally — per-doc IDEMPOTENT,
     banded with the SAVED geometry (never the caller's defaults),
     appended into the bucket layout. Returns ``{"n_new_docs": int,
-    "n_repaired_docs": int, "bucket_skew": float}`` — skew is max/avg
+    "n_repaired_docs": int, "n_torn_sig_docs": int,
+    "bucket_skew": float}`` — torn docs hold >1 distinct stored
+    signature (a write torn across attempts); they are reported, never
+    repaired (delete + re-append to remediate). Skew is max/avg
     band-bucket occupancy, the rebuild-cadence signal (a viral
     near-dup cluster concentrates one bucket; candidate volume per
     lookup tracks that bucket).
@@ -272,16 +305,31 @@ def append_media_index(
             .groupBy("doc_id")
             .agg(
                 F.collect_set("band").alias("have"),
-                # all band rows of a doc share one signature
+                # all band rows of a doc share one signature — GUARDED
+                # below, not assumed (ADVICE r14): a torn write across
+                # attempts could leave band rows with different sigs,
+                # and repairing from min(sig) would fabricate band rows
+                # with no signal.
                 F.min("sig").alias("sig"),
+                F.countDistinct("sig").alias("n_sigs"),
             )
         )
         fresh = batch.join(present.select("doc_id"), "doc_id", "left_anti")
         n_new = fresh.count()
         to_append = banded_signatures(fresh, sig_col, n_bands, band_w)
+        # torn docs (>1 stored signature) are REPORTED and excluded
+        # from repair — first-write-wins can't tell which sig is the
+        # first write, so fabricating rows from min(sig) would corrupt;
+        # the operator remediation is delete-the-doc's-rows + re-append
+        # (or a fresh save).
+        n_torn = present.filter(F.col("n_sigs") > 1).count()
         # repair: docs present with missing bands → append only the
         # missing rows, rebuilt from the stored signature
-        incomplete = ckpt(present.filter(F.size("have") < n_bands))
+        incomplete = ckpt(
+            present.filter(
+                (F.size("have") < n_bands) & (F.col("n_sigs") == 1)
+            )
+        )
         n_repaired = incomplete.count()
         if n_repaired:
             rep_all = banded_signatures(
@@ -321,6 +369,7 @@ def append_media_index(
     return {
         "n_new_docs": n_new,
         "n_repaired_docs": n_repaired,
+        "n_torn_sig_docs": n_torn,
         "bucket_skew": skew,
     }
 
@@ -347,6 +396,15 @@ def media_lookup_batch(
             f"max_ham={bound} exceeds the index's pigeonhole bound "
             f"({index.n_bands - 1}) — rebuild with more bands instead"
         )
+    if _is_wide_sig(query_sigs, sig_col) != _is_wide_sig(index.bands, "sig"):
+        # a BIGINT query banded against a wide index (or vice versa)
+        # would compare band values from two different layouts —
+        # near-zero recall with no error; refuse loudly instead
+        raise ValueError(
+            "query signature representation (wide array vs BIGINT lane) "
+            "must match the index's — hash queries with the same "
+            "geometry/hasher the index was built with"
+        )
     q = banded_signatures(
         query_sigs, sig_col, index.n_bands, index.band_w
     ).select(
@@ -361,13 +419,12 @@ def media_lookup_batch(
         .filter(F.col("qid") != F.col("doc_id"))
         .distinct()
     )
+    wide = _is_wide_sig(index.bands, "sig")
     return (
         cand.select(
             "qid",
             "doc_id",
-            F.bit_count(F.col("qsig").bitwiseXOR(F.col("sig")))
-            .cast("bigint")
-            .alias("hamming"),
+            hamming_col("qsig", "sig", wide).alias("hamming"),
         )
         .filter(F.col("hamming") <= bound)
     )

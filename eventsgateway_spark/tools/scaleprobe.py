@@ -349,6 +349,31 @@ def _gen_sigs(n: int, seed: int = 17, id0: int = 0):
     return np.arange(id0, id0 + n, dtype=np.int64), sigs
 
 
+def _gen_sigs_wide(n: int, bands: int, band_w: int, seed: int = 17,
+                   id0: int = 0):
+    """(ids, sigs[n x bands]) — wide synthetic signatures at an
+    explicit geometry (one band_w-bit word per band), same uniform-
+    worst-case + planted near-dup model as :func:`_gen_sigs`."""
+    import numpy as np
+
+    from eventsgateway_spark.queries.ext_dedup import IMG_HAM_MAX
+
+    rng = np.random.default_rng(seed)
+    sigs = rng.integers(0, 1 << band_w, size=(n, bands), dtype=np.int64)
+    dup_rows = np.flatnonzero(rng.random(n) < MEDIA_NEAR_DUP_PCT)
+    for i in dup_rows:
+        if i == 0:
+            continue
+        base = sigs[rng.integers(0, i)].copy()
+        flips = rng.choice(bands * band_w,
+                           size=int(rng.integers(1, IMG_HAM_MAX + 1)),
+                           replace=False)
+        for fb in flips:
+            base[fb // band_w] ^= np.int64(1) << np.int64(fb % band_w)
+        sigs[i] = base
+    return np.arange(id0, id0 + n, dtype=np.int64), sigs
+
+
 def run_media_probe(mults: tuple[int, ...] = (1, 4, 10),
                     n_queries: int = 2_000, n_append: int = 5_000) -> dict:
     """Serving-path growth probe for the durable media-signature index
@@ -493,6 +518,89 @@ def run_media_probe(mults: tuple[int, ...] = (1, 4, 10),
         print(f"x{mult}: {row}", flush=True)
         for s in ("_meta", "_bands", "_occ"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}{s}")
+
+        # ---- derived-geometry leg (round 15 — VERDICT r14 #2): the
+        # SAME corpus size at media_geometry_for_rows(n): band_w grows
+        # ~log2 N, signatures are wide array<bigint> words, and the
+        # per-lookup candidate volume should hold ~flat where the
+        # fixed 7x8 leg above grows linearly.
+        from eventsgateway_spark.queries.ext_dedup import (
+            media_geometry_for_rows,
+        )
+
+        d_bands, d_w = media_geometry_for_rows(n)
+        ids_d, sigs_d = _gen_sigs_wide(n, d_bands, d_w)
+        dprefix = f"mprobed_x{mult}"
+        for s in ("_meta", "_bands", "_occ"):
+            spark.sql(f"DROP TABLE IF EXISTS {dprefix}{s}")
+        sig_df_d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": ids_d, "dhash": sigs_d.tolist()}),
+            schema="doc_id long, dhash array<bigint>",
+        )
+        t0 = time.perf_counter()
+        save_media_index(sig_df_d, dprefix, buckets=32, bands=d_bands,
+                         band_w=d_w)
+        build_d = time.perf_counter() - t0
+        a_ids_d, a_sigs_d = _gen_sigs_wide(n_append, d_bands, d_w, seed=31,
+                                           id0=500_000_000)
+        a_df_d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": a_ids_d, "dhash": a_sigs_d.tolist()}),
+            schema="doc_id long, dhash array<bigint>",
+        )
+        t0 = time.perf_counter()
+        append_media_index(spark, dprefix, a_df_d)
+        append_d = time.perf_counter() - t0
+        idx_d = load_media_index(spark, dprefix)
+
+        half = n_queries // 2
+        base_rows = rng.choice(n, size=half, replace=False)
+        q_sigs_d = np.empty((n_queries, d_bands), dtype=np.int64)
+        planted_base_d = ids_d[base_rows]
+        for j, row_i in enumerate(base_rows):
+            s = sigs_d[row_i].copy()
+            flips = rng.choice(d_bands * d_w,
+                               size=int(rng.integers(1, IMG_HAM_MAX + 1)),
+                               replace=False)
+            for fb in flips:
+                s[fb // d_w] ^= np.int64(1) << np.int64(fb % d_w)
+            q_sigs_d[j] = s
+        q_sigs_d[half:] = rng.integers(0, 1 << d_w,
+                                       size=(n_queries - half, d_bands),
+                                       dtype=np.int64)
+        q_ids_d = np.arange(1_000_000_000, 1_000_000_000 + n_queries,
+                            dtype=np.int64)
+        q_df_d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": q_ids_d, "dhash": q_sigs_d.tolist()}),
+            schema="doc_id long, dhash array<bigint>",
+        ).localCheckpoint()
+        t0 = time.perf_counter()
+        hits_d = media_lookup_batch(q_df_d, idx_d).collect()
+        lookup_d = time.perf_counter() - t0
+        hit_pairs_d = {(r["qid"], r["doc_id"]) for r in hits_d}
+        recall_d = sum(
+            1 for j in range(half)
+            if (int(q_ids_d[j]), int(planted_base_d[j])) in hit_pairs_d
+        )
+        q_banded_d = banded_signatures(q_df_d, "dhash", d_bands, d_w)
+        realized_d = (
+            idx_d.bands.join(q_banded_d.select("band", "bval"),
+                             ["band", "bval"]).count()
+        )
+        floor_d = n_queries * (n + n_append) * d_bands / (1 << d_w)
+        drow = {
+            "n_sigs": n + n_append,
+            "geometry": f"{d_bands}x{d_w}",
+            "build_s": round(build_d, 2),
+            "append_s": round(append_d, 2),
+            "lookup_s": round(lookup_d, 2),
+            "cand_realized": int(realized_d),
+            "cand_birthday_floor": int(floor_d),
+            "planted_recall": f"{recall_d}/{half}",
+        }
+        report[f"x{mult}_derived"] = drow
+        print(f"x{mult}_derived: {drow}", flush=True)
+        for s in ("_meta", "_bands", "_occ"):
+            spark.sql(f"DROP TABLE IF EXISTS {dprefix}{s}")
     ms = sorted(m for m in mults)
     if len(ms) >= 2:
         a, b = f"x{ms[-2]}", f"x{ms[-1]}"
@@ -500,6 +608,17 @@ def run_media_probe(mults: tuple[int, ...] = (1, 4, 10),
             if report[a][key] > 0 and report[b][key] > 0:
                 report[f"{key}_exponent"] = round(
                     math.log(report[b][key] / report[a][key])
+                    / math.log(ms[-1] / ms[-2]), 2,
+                )
+        # candidate-volume growth exponents, fixed vs derived — the
+        # round-15 claim: derived geometry turns the measured ~1.0
+        # (linear birthday floor) into ~flat
+        for leg, key in (("", "cand_exponent_fixed"),
+                         ("_derived", "cand_exponent_derived")):
+            ra, rb = report[f"{a}{leg}"], report[f"{b}{leg}"]
+            if ra["cand_realized"] > 0 and rb["cand_realized"] > 0:
+                report[key] = round(
+                    math.log(rb["cand_realized"] / ra["cand_realized"])
                     / math.log(ms[-1] / ms[-2]), 2,
                 )
     print(json.dumps(report))

@@ -301,6 +301,50 @@ def test_lsh_table_ladder_boundaries():
         assert t / (1 << eff) <= 2 / (1 << base) + 1e-12, est
 
 
+def test_media_geometry_ladder_boundaries():
+    """The round-15 Manku-banding ladder (VERDICT r14 #2): band_w
+    floors at 8 below 2^8 x 64 estimated signatures (so every fixture
+    corpus keeps the exact 7x8 oracle geometry), +1 per corpus
+    doubling above, cap 24; bands NEVER shrinks below the pigeonhole
+    requirement max_ham + 1 no matter how wide band_w grows."""
+    from eventsgateway_spark.queries.ext_dedup import (
+        IMG_HAM_BANDS,
+        IMG_HAM_MAX,
+        MEDIA_TARGET_LANE_OCC as OCC,
+        media_band_w_for_rows,
+        media_geometry_for_rows,
+    )
+
+    assert media_band_w_for_rows(1) == 8
+    assert media_band_w_for_rows((1 << 8) * OCC) == 8  # exactly covered
+    assert media_band_w_for_rows((1 << 8) * OCC + 1) == 9  # first growth
+    # the scaleprobe protocol's corpus sizes
+    assert media_geometry_for_rows(50_000) == (7, 10)
+    assert media_geometry_for_rows(200_000) == (7, 12)
+    assert media_geometry_for_rows(500_000) == (7, 13)
+    assert media_band_w_for_rows(10**12) == 24  # cap
+    # pigeonhole: bands rides max_ham, never band_w
+    assert media_geometry_for_rows(10**9, max_ham=6)[0] == 7
+    assert media_geometry_for_rows(10**9, max_ham=9)[0] == 10
+    assert media_geometry_for_rows(1, max_ham=IMG_HAM_MAX) == (
+        IMG_HAM_BANDS,
+        8,
+    )
+    # monotone in est_rows
+    last = 0
+    for est in (1, 10**4, 10**5, 10**6, 10**8, 10**12):
+        w = media_band_w_for_rows(est)
+        assert w >= last
+        last = w
+    # every shipped documents fixture sits far below the floor
+    # threshold, so the q89/q90/q91/q92 7x8 mirrors stay exact
+    import os
+
+    for sf in ("0.001", "0.01", "0.1"):
+        n = os.path.getsize(f"/root/testdata/sf{sf}/documents.parquet") // 100
+        assert media_geometry_for_rows(n) == (IMG_HAM_BANDS, 8), sf
+
+
 def test_lsh_family_floors_at_fixture_scale(spark):
     """lsh_family ITSELF (not just the pure ladders) must return the
     exact oracle constants (floor planes, floor tables) for every

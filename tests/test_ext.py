@@ -1650,6 +1650,67 @@ def test_afp_invariant_to_amplitude_stereo_and_reencode(spark):
         audio_fingerprint(bad).collect()
 
 
+def test_wide_perceptual_hashes(spark):
+    """Round-15 derived-geometry hashers (dhash_geom / afp_geom —
+    media_geometry_for_rows's wide tier): word-per-band layout with
+    band_w informative bits per word, the SAME invariance class as the
+    fixed 56-bit tier (non-saturating brightness shift / amplitude
+    scaling / channel duplication exact), and the Arrow-batched Spark
+    wrappers agree with the local hash bit-for-bit."""
+    import numpy as np
+
+    from eventsgateway_spark.operators.multimodal import (
+        _synth_audio_samples,
+        _synth_pixel_vals,
+        afp_geom,
+        audio_fingerprint_wide,
+        dhash_geom,
+        encode_ppm,
+        encode_wav,
+        image_dhash_wide,
+        parse_wav,
+    )
+    from eventsgateway_spark.queries.ext_dedup import media_geometry_for_rows
+
+    bands, band_w = media_geometry_for_rows(50_000)
+    assert (bands, band_w) == (7, 10)
+
+    # --- image: word bounds, brightness invariance, Spark parity
+    v = _synth_pixel_vals([7])[0].astype(np.uint8)
+    img = np.repeat(v[:, :, None], 3, axis=2)
+    base = dhash_geom(img, bands, band_w)
+    assert len(base) == bands
+    assert all(0 <= w < (1 << band_w) for w in base)
+    assert len(set(base)) > 1  # informative, not degenerate
+    # +20 brightness without saturation: adjacent comparisons shift
+    # together — exact invariance, like dhash56
+    lifted = np.clip(img.astype(np.int64), 0, 235).astype(np.uint8) + 20
+    assert dhash_geom(lifted, bands, band_w) == dhash_geom(
+        np.clip(img.astype(np.int64), 0, 235).astype(np.uint8), bands, band_w
+    )
+    df = spark.createDataFrame(
+        [(0, "image/ppm", bytearray(encode_ppm(img)))],
+        "asset_id long, media_type string, payload binary",
+    )
+    got = image_dhash_wide(df, bands, band_w).collect()
+    assert [list(r["dhash"]) for r in got] == [base]
+
+    # --- audio: amplitude scaling + channel duplication exact
+    q = _synth_audio_samples([13])[0]
+    mono = parse_wav(encode_wav(q / 32767.0, rate=16_000))[2][:, 0]
+    abase = afp_geom(mono, bands, band_w)
+    assert len(abase) == bands
+    assert all(0 <= w < (1 << band_w) for w in abase)
+    assert afp_geom(4.0 * np.asarray(mono), bands, band_w) == abase
+    stereo = encode_wav(np.stack([q, q], axis=1) / 32767.0, rate=16_000)
+    adf = spark.createDataFrame(
+        [(0, "audio/wav", bytearray(stereo))],
+        "asset_id long, media_type string, payload binary",
+    )
+    agot = audio_fingerprint_wide(adf, bands, band_w).collect()
+    assert [list(r["afp"]) for r in agot] == [abase]
+
+
 def test_q90_banding_recall_exact_for_bound(spark):
     """q90's banded pairs over the sf-oracle fixture must EQUAL the
     brute-force all-pairs set at Hamming <= 6 (exact recall by

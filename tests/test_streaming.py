@@ -2932,6 +2932,175 @@ def test_media_index_occ_summary_and_band_repair(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_media_index_wide_geometry_roundtrip(spark):
+    """Round-15 derived-geometry tier (VERDICT r14 #2): wide
+    ``array<bigint>`` signatures — one band_w-bit word per band — ride
+    the SAME banding/verify/index/repair law as the 56-bit BIGINT
+    tier. Covers: pigeonhole recall at a derived geometry, save/load/
+    append/lookup round-trip, band repair rebuilt from a stored ARRAY
+    signature, the torn-signature guard (ADVICE r14), and the two
+    refusals (BIGINT lane too narrow for the geometry; query/index
+    representation mismatch)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from eventsgateway_spark.queries.ext_dedup import (
+        hamming_band_pairs,
+        media_geometry_for_rows,
+    )
+    from eventsgateway_spark.streaming.media_dup import (
+        append_media_index,
+        load_media_index,
+        media_lookup_batch,
+        save_media_index,
+    )
+
+    bands, band_w = media_geometry_for_rows(50_000)
+    assert (bands, band_w) == (7, 10)  # 70 bits: past any BIGINT lane
+    rng = np.random.default_rng(11)
+    n = 300
+    sigs = rng.integers(0, 1 << band_w, size=(n, bands), dtype=np.int64)
+
+    def aslists(arr):
+        return [[int(x) for x in row] for row in arr]
+
+    def flip(sig, flat_bits):
+        out = [int(x) for x in sig]
+        for fb in flat_bits:
+            out[fb // band_w] ^= 1 << (fb % band_w)
+        return out
+
+    # pigeonhole property at the derived geometry: EVERY planted pair
+    # within Hamming max_ham=bands-1 is recovered with its exact
+    # distance, across many random spreads of the flipped bits
+    planted = {}
+    for j, seed in enumerate(range(20)):
+        prng = np.random.default_rng(seed)
+        base = int(prng.integers(0, n // 2))
+        ham = int(prng.integers(1, bands))  # 1..6
+        bits = prng.choice(bands * band_w, size=ham, replace=False)
+        sigs[n // 2 + j] = flip(sigs[base], bits)
+        planted[(base, n // 2 + j)] = ham
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": np.arange(n, dtype=np.int64), "dhash": aslists(sigs)}
+        )
+    )
+    got = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in hamming_band_pairs(df, "dhash", bands, band_w, bands - 1).collect()
+    }
+    for pair, ham in planted.items():
+        assert got.get(pair) == ham, (pair, ham, got.get(pair))
+
+    try:
+        for t in ("twide_meta", "twide_bands", "twide_occ"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # BIGINT sigs cannot carry a >62-bit geometry: refused loudly
+        long_df = spark.createDataFrame(
+            [(1, 12345)], "doc_id long, dhash long"
+        )
+        with pytest.raises(ValueError, match="62-bit"):
+            save_media_index(long_df, "twide", bands=bands, band_w=band_w)
+
+        save_media_index(df, "twide", bands=bands, band_w=band_w, buckets=4)
+        idx = load_media_index(spark, "twide")
+        assert (idx.n_bands, idx.band_w) == (bands, band_w)
+
+        # representation mismatch: BIGINT queries on a wide index
+        with pytest.raises(ValueError, match="representation"):
+            media_lookup_batch(long_df, idx)
+
+        # lookup: a 2-bit-flipped probe of doc 7 must hit doc 7
+        probe = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [999_000], "dhash": [flip(sigs[7], [3, 64])]})
+        )
+        hits = {
+            (r["qid"], r["doc_id"], r["hamming"])
+            for r in media_lookup_batch(probe, idx).collect()
+        }
+        assert (999_000, 7, 2) in hits
+
+        # append + replay idempotence with array signatures
+        a_sigs = rng.integers(0, 1 << band_w, size=(30, bands), dtype=np.int64)
+        adf = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": np.arange(10_000, 10_030, dtype=np.int64),
+                    "dhash": aslists(a_sigs),
+                }
+            )
+        )
+        r1 = append_media_index(spark, "twide", adf)
+        r2 = append_media_index(spark, "twide", adf)
+        assert r1["n_new_docs"] == 30 and r2["n_new_docs"] == 0
+        assert r1["n_torn_sig_docs"] == r2["n_torn_sig_docs"] == 0
+
+        # band repair from a stored ARRAY signature: drop two band rows
+        # of doc 10_003, replay with a CORRUPTED batch sig — the repair
+        # must rebuild the missing rows from the stored array
+        victim = 10_003
+        kept = (
+            spark.table("twide_bands")
+            .filter(~((F.col("doc_id") == victim) & (F.col("band") >= bands - 2)))
+            .localCheckpoint()
+        )
+        kept.write.bucketBy(4, "bval").sortBy("bval").mode(
+            "overwrite"
+        ).saveAsTable("twide_bands")
+        stored = aslists(a_sigs)[3]
+        bad_batch = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [victim], "dhash": [flip(stored, [0])]})
+        )
+        rr = append_media_index(spark, "twide", bad_batch)
+        assert rr["n_new_docs"] == 0 and rr["n_repaired_docs"] == 1
+        rows = (
+            spark.table("twide_bands").filter(F.col("doc_id") == victim).collect()
+        )
+        assert {r["band"] for r in rows} == set(range(bands))
+        assert all(list(r["sig"]) == stored for r in rows)
+
+        # torn-signature guard (ADVICE r14): doc 10_005 loses one band
+        # row AND one of its remaining rows carries a different sig —
+        # reported, NOT repaired (min(sig) would fabricate)
+        torn = 10_005
+        tbl = spark.table("twide_bands")
+        torn_stored = aslists(a_sigs)[5]
+        patched = (
+            tbl.filter(~((F.col("doc_id") == torn) & (F.col("band") == 0)))
+            .withColumn(
+                "sig",
+                F.when(
+                    (F.col("doc_id") == torn) & (F.col("band") == 1),
+                    F.array(*[F.lit(int(x) ^ 1) for x in torn_stored]),
+                ).otherwise(F.col("sig")),
+            )
+            .localCheckpoint()
+        )
+        patched.write.bucketBy(4, "bval").sortBy("bval").mode(
+            "overwrite"
+        ).saveAsTable("twide_bands")
+        rt = append_media_index(
+            spark,
+            "twide",
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": [torn], "dhash": [torn_stored]})
+            ),
+        )
+        assert rt["n_new_docs"] == 0 and rt["n_repaired_docs"] == 0
+        assert rt["n_torn_sig_docs"] == 1
+        # still incomplete — the documented remediation is delete +
+        # re-append, never a silent min(sig) fabrication
+        assert (
+            spark.table("twide_bands").filter(F.col("doc_id") == torn).count()
+            == bands - 1
+        )
+    finally:
+        for t in ("twide_meta", "twide_bands", "twide_occ"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_media_occ_invariant_over_random_append_sequence(spark):
     """Protocol soak for streaming/occ.py through the media index: a
     seeded sequence of overlapping admission batches (fresh docs,
