@@ -113,6 +113,23 @@ def q60_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     with_toks = docs.select("doc_id", "source", tokens("text").alias("toks"))
 
+    # r15 (guide §1/§5): when keep-first takes its JOIN branch (input
+    # below KEEP_FIRST_WINDOW_BYTES), the tokenized frame is computed
+    # by BOTH join sides plus the eval-gram branch — persist it so the
+    # tokenizer runs once per corpus, not three times. Above the
+    # window threshold the window branch already evaluates with_toks
+    # ONCE and the eval-gram branch is better served by the raw scan's
+    # source= pushdown than by materializing a corpus-scale tokenized
+    # cache, so the pin is deliberately conditioned on the same size
+    # gate (identity at fixture scale either way — driver plan/hash
+    # untouched). Measured with the shingle pin below: q60 floor
+    # 8.6 → 5.3 s at sf0.1 (interleaved A/B, round-15).
+    from eventsgateway_spark.queries._util import input_bytes
+    from eventsgateway_spark.queries.ext_dedup import KEEP_FIRST_WINDOW_BYTES
+
+    if input_bytes(docs) <= KEEP_FIRST_WINDOW_BYTES:
+        with_toks = pin(with_toks, mode="persist")
+
     # quality floor
     q = with_toks.filter(F.size("toks") >= MIN_TOKENS)
 
@@ -136,9 +153,18 @@ def q60_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="persist",
     )
 
-    # near-dup keep-first: drop the larger doc of every Jaccard≥0.5 pair
+    # near-dup keep-first: drop the larger doc of every Jaccard≥0.5 pair.
+    # r15: the shingle frame fans out FOUR ways inside jaccard_pairs
+    # (sizes, self-join a/b, plus the df-cap hot list) — in q30/q31 the
+    # "off" mode wins because ReusedExchange dedups the self-join, but
+    # HERE the explode re-runs the interpreted ngrams transform over
+    # the cached s1 for every non-reused consumer; persisting the
+    # capped shingle table measured q60 8.6 → 6.0 s at sf0.1 on its
+    # own (and 5.3 s with the with_toks pin above). Identity at
+    # fixture scale; at 100 TB the table is Σ shingles ≈ corpus tokens
+    # — the same scale class as the s1/s2 persists below.
     losers = (
-        jaccard_pairs(doc_shingles(s1), 0.5)
+        jaccard_pairs(pin(doc_shingles(s1), mode="persist"), 0.5)
         .select(F.col("d2").alias("doc_id"))
         .distinct()
     )

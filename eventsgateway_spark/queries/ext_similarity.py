@@ -1261,6 +1261,145 @@ def semd_cell_count(emb: DataFrame) -> int:
     return int(min(max(IVF_K, b // _SEMD_TARGET_CELL_BYTES), 1 << 16))
 
 
+# ---------------------------------------------------------------------------
+# Within-cell GEMM kernels (round 15 — guide §4.2/§8)
+# ---------------------------------------------------------------------------
+# The q70/q94 within-cell scoring used to run as a cell-keyed pair
+# self-join whose per-pair dot product is an interpreted zip_with/
+# aggregate fold (higher-order functions are not codegen'd) — O(occ²)
+# pair ROWS through the exchange, each carrying both 64-dim vectors,
+# then a window on top (q94). These kernels keep the IVF-assign stage
+# (map-only, broadcast centroids) and replace everything between it
+# and the per-vector report with ONE applyInPandas over cell_id:
+# every vector crosses the shuffle ONCE (guide §8's "move heavy bytes
+# once, decide on the proxy"), and the occ² dot products run as one
+# BLAS matmul per row-block instead of occ² interpreted folds.
+#
+# Memory bound: semd_cell_count targets ~constant bytes per cell, so
+# group size (occ·dim doubles) is bounded by design; the score matrix
+# is built in _CELL_GEMM_BLOCK-row blocks (block·occ int64) so a
+# skewed cell cannot balloon one task.
+#
+# Determinism parity with the fold path (pinned by
+# tests/test_ext.py::test_semd_knn_gemm_kernel_parity, exact row
+# equality at sf0.001/0.01 and at the bench sf0.1 fixture):
+#   * cos_u = HALF_UP(dot/(n1·n2)·1e6): the fold path's F.round is
+#     BigDecimal HALF_UP; _halfup_u replicates it (floor(x+.5) for
+#     x>=0, ceil(x-.5) otherwise — the _rounded_d2 law extended to
+#     negative cosines).
+#   * q94 neighbor order (cos_u desc, nid asc) and vote tie-break
+#     (count desc, label asc) are integer-exact lexsorts — cos_u is
+#     rounded BEFORE ranking, exactly like the window path.
+#   * q70's max-prior commutes with rounding (round is monotone), so
+#     one rounding of the max equals the fold's max of roundings.
+# The only float-level difference is dot-product summation order
+# (BLAS pairwise vs sequential fold) — a ~1 ulp effect that would
+# need a cosine within ~1e-10 of a .5 micro-unit boundary to flip a
+# result; the parity test checks the actual fixtures observe none.
+#
+# Routing: fixture scale keeps the fold path (the oracle-declared
+# plan, byte-identical for the driver's sf0.01 runs);
+# SPARK_GRAFT_ARROW_SCORER=1 forces the kernel (the parity-test hook)
+# — the ivf_assign_with convention.
+
+_CELL_GEMM_BLOCK = 2048
+
+
+def _halfup_u(x):
+    """HALF_UP at 6dp in micro-units — F.round(x*1e6)'s law as numpy."""
+    import numpy as np
+
+    x = x * 1e6
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+        np.int64
+    )
+
+
+def _cell_sorted(pdf):
+    """vec_id-ascending (ids, M, nrm) arrays of one cell group."""
+    import numpy as np
+
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy(dtype="int64")
+    M = np.stack(pdf["e"].values).astype(np.float64, copy=False)
+    nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+    return pdf, ids, M, nrm
+
+
+def _semd_prior_kernel(pdf):
+    """(vec_id, max_prior_sim_u) rows for every vector with a
+    smaller-id cell-mate — q70's keep-first prior as one GEMM."""
+    import numpy as np
+    import pandas as pd
+
+    _, ids, M, nrm = _cell_sorted(pdf)
+    n = len(ids)
+    if n < 2:
+        return pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"),
+             "max_prior_sim_u": pd.Series(dtype="int64")}
+        )
+    out_ids, out_max = [], []
+    for lo in range(0, n, _CELL_GEMM_BLOCK):
+        hi = min(lo + _CELL_GEMM_BLOCK, n)
+        G = M[lo:hi] @ M.T
+        cos = G / (nrm[lo:hi, None] * nrm[None, :])
+        for r in range(hi - lo):
+            i = lo + r
+            if i == 0:
+                continue
+            out_ids.append(ids[i])
+            # max commutes with the monotone rounding — one HALF_UP of
+            # the max equals the fold path's max of per-pair roundings
+            out_max.append(int(_halfup_u(cos[r, :i].max())))
+    return pd.DataFrame(
+        {"vec_id": pd.Series(out_ids, dtype="int64"),
+         "max_prior_sim_u": pd.Series(out_max, dtype="int64")}
+    )
+
+
+def _knn_vote_kernel(pdf):
+    """(vec_id, knn_label, n_nbrs, n_agree) rows for every vector with
+    >=1 cell-mate — q94's 3-NN majority vote as one GEMM + integer
+    lexsorts. Lone vectors emit NO row (the caller's left join +
+    coalesce supplies the -1/0 sentinels, exactly like the fold
+    path's missing-top3 case)."""
+    import numpy as np
+    import pandas as pd
+
+    spdf, ids, M, nrm = _cell_sorted(pdf)
+    labs = spdf["label"].to_numpy(dtype="int64")
+    n = len(ids)
+    out = {"vec_id": [], "knn_label": [], "n_nbrs": [], "n_agree": []}
+    if n >= 2:
+        kk = min(3, n - 1)
+        for lo in range(0, n, _CELL_GEMM_BLOCK):
+            hi = min(lo + _CELL_GEMM_BLOCK, n)
+            G = M[lo:hi] @ M.T
+            cu = _halfup_u(G / (nrm[lo:hi, None] * nrm[None, :]))
+            for r in range(hi - lo):
+                i = lo + r
+                row = cu[r].copy()
+                # self is never a neighbor: int64min+1 negates to
+                # int64max (a bare int64min would OVERFLOW under the
+                # negation below and sort self FIRST), so self sorts
+                # strictly last and [:kk] (kk <= n-1) never takes it
+                row[i] = np.iinfo(np.int64).min + 1
+                # (cos_u desc, nid asc) — the fold path's window order,
+                # integer-exact because cu is already rounded
+                nb = np.lexsort((ids, -row))[:kk]
+                nl = labs[nb]
+                vals, cnts = np.unique(nl, return_counts=True)
+                best = np.lexsort((vals, -cnts))[0]  # count desc, label asc
+                out["vec_id"].append(ids[i])
+                out["knn_label"].append(int(vals[best]))
+                out["n_nbrs"].append(kk)
+                out["n_agree"].append(int(cnts[best]))
+    return pd.DataFrame(
+        {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+    )
+
+
 @query(
     "q70_semantic_dedup",
     declared=False,  # rotation-pool member (see queries/__init__.py ROTATION)
@@ -1315,29 +1454,48 @@ def q70_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_prior_sim_u), totally ordered."""
     emb = spread(table(spark, sf_dir, "embeddings"))
     assign = pin(ivf_assign(emb, semd_cell_count(emb)))
-    a = assign.select(
-        F.col("vec_id").alias("id1"), F.col("e").alias("e1"),
-        F.col("nrm").alias("n1"), "cell_id",
-    )
-    b = assign.select(
-        F.col("vec_id").alias("id2"), F.col("e").alias("e2"),
-        F.col("nrm").alias("n2"), "cell_id",
-    )
-    pair_dot = dot_arrow if arrow_scorer() else dot
-    prior = (
-        a.join(b, "cell_id")
-        .filter(F.col("id2") < F.col("id1"))
-        .select(
-            F.col("id1").alias("vec_id"),
-            F.round(
-                pair_dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")) * 1e6
+    from eventsgateway_spark.queries._util import is_fixture_scale
+
+    if arrow_scorer() or not is_fixture_scale(emb):
+        # r15 within-cell GEMM kernel (comment block above the kernel):
+        # each vector crosses the shuffle once, the occ² dots run as
+        # BLAS blocks. Measured q70 floor 3.6 → 1.6 s at sf0.1
+        # (interleaved A/B, round-15); row-identical output
+        # (parity-pinned). Fixture scale keeps the fold plan below.
+        from eventsgateway_spark.shipping import ship_package
+
+        ship_package(spark)
+        prior = (
+            assign.select("vec_id", "e", "nrm", "cell_id")
+            .groupBy("cell_id")
+            .applyInPandas(
+                _semd_prior_kernel, "vec_id long, max_prior_sim_u long"
             )
-            .cast("bigint")
-            .alias("cos_u"),
         )
-        .groupBy("vec_id")
-        .agg(F.max("cos_u").alias("max_prior_sim_u"))
-    )
+    else:
+        a = assign.select(
+            F.col("vec_id").alias("id1"), F.col("e").alias("e1"),
+            F.col("nrm").alias("n1"), "cell_id",
+        )
+        b = assign.select(
+            F.col("vec_id").alias("id2"), F.col("e").alias("e2"),
+            F.col("nrm").alias("n2"), "cell_id",
+        )
+        prior = (
+            a.join(b, "cell_id")
+            .filter(F.col("id2") < F.col("id1"))
+            .select(
+                F.col("id1").alias("vec_id"),
+                F.round(
+                    dot(F.col("e1"), F.col("e2"))
+                    / (F.col("n1") * F.col("n2")) * 1e6
+                )
+                .cast("bigint")
+                .alias("cos_u"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("cos_u").alias("max_prior_sim_u"))
+        )
     sentinel = F.lit(-2_000_000).cast("bigint")
     return (
         assign.select("vec_id", "cell_id")
@@ -1571,6 +1729,55 @@ def q94_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join, reused shape and bounds."""
     emb = spread(table(spark, sf_dir, "embeddings"))
     assign = pin(ivf_assign(emb, semd_cell_count(emb)))
+    labels = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    from eventsgateway_spark.queries._util import is_fixture_scale
+
+    if arrow_scorer() or not is_fixture_scale(emb):
+        # r15 within-cell GEMM kernel (comment block above the
+        # kernel): replaces pair join + mirror union + two windows +
+        # votes aggregate with ONE applyInPandas over cell_id — each
+        # vector crosses the shuffle once, dots run as BLAS blocks,
+        # and the 3-NN vote is integer lexsorts inside the group.
+        # Measured q94 floor 4.7 → 1.9 s at sf0.1 (interleaved A/B,
+        # round-15); row-identical output (parity-pinned). Fixture
+        # scale keeps the fold plan below.
+        from eventsgateway_spark.shipping import ship_package
+
+        ship_package(spark)
+        voted = (
+            assign.join(labels, "vec_id")
+            .select("vec_id", "e", "nrm", "label", "cell_id")
+            .groupBy("cell_id")
+            .applyInPandas(
+                _knn_vote_kernel,
+                "vec_id long, knn_label long, n_nbrs long, n_agree long",
+            )
+        )
+        return (
+            assign.select("vec_id")
+            .join(labels, "vec_id")
+            .join(voted, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.col("label").cast("bigint").alias("label"),
+                F.coalesce("knn_label", F.lit(-1))
+                .cast("bigint")
+                .alias("knn_label"),
+                F.coalesce("n_nbrs", F.lit(0)).cast("bigint").alias("n_nbrs"),
+                F.coalesce("n_agree", F.lit(0))
+                .cast("bigint")
+                .alias("n_agree"),
+                F.when(
+                    F.col("knn_label").isNotNull()
+                    & (F.col("knn_label") != F.col("label")),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("mismatch"),
+            )
+            .orderBy("vec_id")
+        )
     a = assign.select(
         F.col("vec_id").alias("qid"), F.col("e").alias("e1"),
         F.col("nrm").alias("n1"), "cell_id",
@@ -1579,7 +1786,7 @@ def q94_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("nid"), F.col("e").alias("e2"),
         F.col("nrm").alias("n2"), "cell_id",
     )
-    pair_dot = dot_arrow if arrow_scorer() else dot
+    pair_dot = dot
     # UNDIRECTED pair join (nid < qid) + projection mirror: the dot
     # fold — the dominant CPU here — runs once per unordered pair and
     # both direction branches share the one canonical join subtree
@@ -1612,7 +1819,6 @@ def q94_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("qid", "nid")
     )
-    labels = table(spark, sf_dir, "embeddings").select("vec_id", "label")
     votes = (
         top3.join(labels.select(F.col("vec_id").alias("nid"),
                                 F.col("label").alias("n_label")), "nid")

@@ -545,12 +545,54 @@ def test_arrow_scorer_flag_parity(spark, monkeypatch):
             "q30_jaccard_pairs",
             "q38_embedding_near_dup",
             "q43_ivf_ann",  # Arrow IVF assignment path
-            "q70_semantic_dedup",  # Arrow assignment + pair dot
+            "q70_semantic_dedup",  # Arrow assignment + GEMM cell kernel
+            "q94_knn_label_consistency",  # GEMM cell kernel (r15)
         )
     }
     monkeypatch.setenv("SPARK_GRAFT_ARROW_SCORER", "1")
     for n, expected in base.items():
         assert rows(n) == expected and len(expected) > 0, n
+
+
+def test_semd_knn_gemm_kernel_parity(spark, monkeypatch, tmp_path):
+    """The r15 within-cell GEMM kernels (q70 prior / q94 3-NN vote)
+    must be row-identical to the fixture-scale fold plans — including
+    the lone-vector edge (a cell of one emits NO kernel row; the left
+    join + coalesce supplies the -1/0 sentinels exactly like the fold
+    path's missing-top3 case). A tiny parquet fixture (10 vectors,
+    8 derived cells => several single-member cells) forces that edge;
+    the shipped sf fixtures cover the dense case via
+    test_arrow_scorer_flag_parity."""
+    from pyspark.sql import types as T
+
+    from eventsgateway_spark.queries import QUERIES
+
+    rows_in = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) or 1.0 for j in range(4)], i % 3)
+        for i in range(10)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(rows_in, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+
+    def run(name):
+        return [tuple(r) for r in QUERIES[name](spark, str(tmp_path)).collect()]
+
+    monkeypatch.delenv("SPARK_GRAFT_ARROW_SCORER", raising=False)
+    fold = {n: run(n) for n in ("q70_semantic_dedup", "q94_knn_label_consistency")}
+    monkeypatch.setenv("SPARK_GRAFT_ARROW_SCORER", "1")
+    for n, expected in fold.items():
+        assert run(n) == expected and len(expected) == 10, n
+    # the edge actually fired: at 10 vectors / 8 seeded cells some
+    # vector is alone in its cell => sentinel row present in both paths
+    assert any(r[2] == -1 for r in fold["q94_knn_label_consistency"])
 
 
 def test_shingles_arrow_matches_jvm(spark):
