@@ -142,7 +142,7 @@ def pin(df: DataFrame, mode: str = "checkpoint") -> DataFrame:
     - ``checkpoint`` — ``localCheckpoint()``: hard lineage cut. Right
       when downstream runs MULTIPLE actions over an expensive lineage
       (iterative algorithms, streaming batches).
-    - ``persist`` — eager MEMORY_AND_DISK persist: dedups recompute
+    - ``persist`` — lazy MEMORY_AND_DISK persist: dedups recompute
       across consumers without the block-file write + job-per-pin of a
       checkpoint. Right for one-action DAGs whose pinned frame feeds
       several downstream joins (measured 2.3× faster than checkpoint
@@ -167,8 +167,18 @@ def pin(df: DataFrame, mode: str = "checkpoint") -> DataFrame:
     if mode == "off":
         return df
     if mode == "persist":
+        # LAZY persist (r15, guide §1.2/§5): the old eager `df.count()`
+        # fill ran a FULL extra job over the pinned lineage before the
+        # query's own action touched it — q38 paid ~1.1 s of its 2.6 s
+        # bench floor in that pre-pass alone. Under the engine's
+        # single-threaded-action contract (driver/bench/pytest collect
+        # one query before the next starts) the first consumer fills
+        # the cache inside the SAME action, and a hypothetical
+        # concurrent consumer merely duplicates partition compute
+        # (BlockManager puts are per-partition atomic) — never wrong
+        # results. Measured at sf0.1 (interleaved A/B, round-15):
+        # q38 3.43→1.84, q60 4.98→4.07, q85 1.50→1.17, q63 1.72→1.59.
         df = df.persist()
-        df.count()  # eager fill so concurrent consumers don't race the cache
         _PINNED.append((_PIN_OWNER, df))
         return df
     return df.localCheckpoint()
@@ -286,14 +296,15 @@ def arrow_scorer() -> bool:
     return os.environ.get("SPARK_GRAFT_ARROW_SCORER", "") == "1"
 
 
-def fixture_fingerprint(sf_dir: str) -> str:
-    """Cheap identity of the documents fixture: sorted (name, mtime_ns,
-    size) of documents*.parquet under sf_dir (file or directory). The
+def fixture_fingerprint(sf_dir: str, name: str = "documents") -> str:
+    """Cheap identity of a fixture table: sorted (name, mtime_ns,
+    size) of <name>.parquet under sf_dir (file or directory). The
     invalidation key for every session-scoped cache derived from the
-    fixture (ext_dedup cluster labels, ext_text eval Bloom filter) —
-    a fixture regenerated IN-PLACE mid-session must miss those caches
-    instead of serving stale results (ADVICE r7)."""
-    target = os.path.join(sf_dir, "documents.parquet")
+    fixture (ext_dedup cluster labels, ext_text eval Bloom filter,
+    the r15 IVF-assignment cache over embeddings) — a fixture
+    regenerated IN-PLACE mid-session must miss those caches instead
+    of serving stale results (ADVICE r7)."""
+    target = os.path.join(sf_dir, f"{name}.parquet")
     parts = []
     if os.path.isdir(target):
         for dp, _, files in os.walk(target):
@@ -302,7 +313,7 @@ def fixture_fingerprint(sf_dir: str) -> str:
                 parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
     elif os.path.exists(target):
         st = os.stat(target)
-        parts.append(f"documents.parquet:{st.st_mtime_ns}:{st.st_size}")
+        parts.append(f"{name}.parquet:{st.st_mtime_ns}:{st.st_size}")
     return ";".join(parts)
 
 

@@ -1499,6 +1499,51 @@ def media_sigs(spark: SparkSession, sf_dir: str, modality: str) -> DataFrame:
     return sigs
 
 
+# Session-scoped cache of the banded PAIR frame itself — one level up
+# from _MEDIA_SIG_CACHE, the near_dup_pair_frame discipline applied to
+# the media family (round-15, guide §2.4): THREE registry queries
+# consume each modality's pair set (q89 + q91 the image one, q90 + q91
+# the audio one), and in a shared bench/notebook session each used to
+# re-run the band explode + self-join + Hamming verify over the cached
+# signatures (~0.6 s per modality at sf0.1 — measured round-15 probe).
+# Same keying/fingerprint-eviction/survives-unpin_all discipline; at
+# fixture scale the plain lineage is returned so every driver oracle
+# run hash-checks its full construction independently.
+_MEDIA_PAIR_CACHE: dict[tuple[str, str, str], tuple[str, DataFrame]] = {}
+
+
+def media_band_pairs(spark: SparkSession, sf_dir: str, modality: str) -> DataFrame:
+    """(d1, d2, hamming) — THE shared Manku banded near-dup pair frame
+    per modality (q89/q90's exact construction), materialized once per
+    (session, fixture) above fixture scale."""
+    from eventsgateway_spark.queries._util import (
+        is_fixture_scale,
+        release_frame,
+    )
+
+    sig_col = {"image": "dhash", "audio": "afp"}[modality]
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        modality,
+    )
+    fp = _fixture_fingerprint(sf_dir)
+    hit = _MEDIA_PAIR_CACHE.get(key)
+    if hit is not None:
+        cached_fp, cached = hit
+        if cached_fp == fp:
+            return cached
+        del _MEDIA_PAIR_CACHE[key]
+        release_frame(cached)
+    pairs = hamming_band_pairs(
+        media_sigs(spark, sf_dir, modality), sig_col,
+        IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX,
+    )
+    if not is_fixture_scale(table(spark, sf_dir, "documents")):
+        pairs = pairs.localCheckpoint()
+        _MEDIA_PAIR_CACHE[key] = (fp, pairs)
+    return pairs
+
 
 @query(
     "q89_image_dhash_near_dup",
@@ -1523,10 +1568,7 @@ def q89_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket occupancy — true near-dups plus a 2^-8-per-band birthday
     floor — not corpus size. Invariance to NN-upscaling and lossless
     PPM↔PNG re-encode is pinned in tests/test_ext.py."""
-    return hamming_band_pairs(
-        media_sigs(spark, sf_dir, "image"), "dhash",
-        IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX,
-    )
+    return media_band_pairs(spark, sf_dir, "image")
 
 
 def _image_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1607,10 +1649,7 @@ def q90_audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFram
     tracks band-bucket occupancy. Invariance to amplitude scaling,
     channel duplication, and lossless re-encode is pinned in
     tests/test_ext.py."""
-    return hamming_band_pairs(
-        media_sigs(spark, sf_dir, "audio"), "afp",
-        IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX,
-    )
+    return media_band_pairs(spark, sf_dir, "audio")
 
 
 def _audio_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1677,14 +1716,12 @@ def q91_cross_modal_dup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame
     parents is one tiny shuffle. At 100 TB the pair tables are the
     already-reduced dedup reports — consensus never touches payloads
     or signatures again."""
-    img = hamming_band_pairs(
-        media_sigs(spark, sf_dir, "image"), "dhash",
-        IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX,
-    ).withColumnRenamed("hamming", "img_h")
-    aud = hamming_band_pairs(
-        media_sigs(spark, sf_dir, "audio"), "afp",
-        IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX,
-    ).withColumnRenamed("hamming", "aud_h")
+    img = media_band_pairs(spark, sf_dir, "image").withColumnRenamed(
+        "hamming", "img_h"
+    )
+    aud = media_band_pairs(spark, sf_dir, "audio").withColumnRenamed(
+        "hamming", "aud_h"
+    )
     j = img.join(aud, ["d1", "d2"], "full_outer")
     return (
         j.select(

@@ -123,12 +123,17 @@ def q60_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache, so the pin is deliberately conditioned on the same size
     # gate (identity at fixture scale either way — driver plan/hash
     # untouched). Measured with the shingle pin below: q60 floor
-    # 8.6 → 5.3 s at sf0.1 (interleaved A/B, round-15).
+    # 8.6 → 5.3 s at sf0.1 (interleaved A/B, round-15). Mode for ALL
+    # FOUR q60 pins re-measured round-15 after pin(persist) went lazy:
+    # interleaved env-forced A/B reads checkpoint 4.00 / persist 5.62 /
+    # off 4.80 s (q60 min-of-3) — the persist write of wide
+    # array<string> toks columns into the block store costs more than
+    # the checkpoint's extra job, so checkpoint everywhere.
     from eventsgateway_spark.queries._util import input_bytes
     from eventsgateway_spark.queries.ext_dedup import KEEP_FIRST_WINDOW_BYTES
 
     if input_bytes(docs) <= KEEP_FIRST_WINDOW_BYTES:
-        with_toks = pin(with_toks, mode="persist")
+        with_toks = pin(with_toks, mode="checkpoint")
 
     # quality floor
     q = with_toks.filter(F.size("toks") >= MIN_TOKENS)
@@ -141,16 +146,15 @@ def q60_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join-back below 256 MB input, one window shuffle above — see
     # ext_dedup.with_keep_first. pin: s1 fans out to the shingle path
     # AND the survivor join — the exact-dedup lineage would otherwise
-    # re-execute per consumer (identity at fixture scale). Eager
-    # persist, not checkpoint: one action consumes everything
-    # downstream (round-6 A/B, BASELINE.md).
+    # re-execute per consumer (identity at fixture scale). Checkpoint
+    # mode (round-15 A/B, see the with_toks pin note above).
     from eventsgateway_spark.queries.ext_dedup import with_keep_first
 
     s1 = pin(
         with_keep_first(canon, "k")
         .filter(F.col("doc_id") == F.col("keep_id"))
         .select("doc_id", "source", "toks"),
-        mode="persist",
+        mode="checkpoint",
     )
 
     # near-dup keep-first: drop the larger doc of every Jaccard≥0.5 pair.
@@ -164,12 +168,12 @@ def q60_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture scale; at 100 TB the table is Σ shingles ≈ corpus tokens
     # — the same scale class as the s1/s2 persists below.
     losers = (
-        jaccard_pairs(pin(doc_shingles(s1), mode="persist"), 0.5)
+        jaccard_pairs(pin(doc_shingles(s1), mode="checkpoint"), 0.5)
         .select(F.col("d2").alias("doc_id"))
         .distinct()
     )
     # pin: s2 fans out to the contamination-gram path and s3
-    s2 = pin(s1.join(losers, "doc_id", "left_anti"), mode="persist")
+    s2 = pin(s1.join(losers, "doc_id", "left_anti"), mode="checkpoint")
 
     # decontamination: drop the eval corpus itself + anything sharing a
     # 5-gram with it (eval grams from the ORIGINAL corpus, broadcast)

@@ -652,14 +652,28 @@ def run_probe(mults: tuple[int, ...] = (1, 10, 100), runs: int = 2,
                 # sample pays the full build (the pairs cache was
                 # missed when it landed; round-12 fix. round 13 adds
                 # the media-signature cache to the sweep)
+                from pyspark.sql import DataFrame as _SparkDF
+
                 from eventsgateway_spark.queries import ext_dedup
+                from eventsgateway_spark.queries import ext_sampling
                 from eventsgateway_spark.queries._util import release_frame
+
+                def _release_entry(val):
+                    # cache values are (fp, frame) or (fp, tuple-of-frames)
+                    frames = val[1]
+                    if isinstance(frames, _SparkDF):
+                        frames = (frames,)
+                    for frame in frames:
+                        release_frame(frame)
 
                 for cache in (ext_dedup._LABELS_CACHE,
                               ext_dedup._PAIRS_CACHE,
-                              ext_dedup._MEDIA_SIG_CACHE):
-                    for _fp, frame in cache.values():
-                        release_frame(frame)
+                              ext_dedup._MEDIA_SIG_CACHE,
+                              ext_dedup._MEDIA_PAIR_CACHE,
+                              ext_dedup._MINHASH_CACHE,  # q31 rides it (r15)
+                              ext_sampling._DSIR_CACHE):
+                    for val in cache.values():
+                        _release_entry(val)
                     cache.clear()
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode(

@@ -1915,6 +1915,50 @@ def test_media_sig_cache_shared_across_queries(spark):
         }
         assert len(got) == 50  # rides the warm entry, still correct rows
     finally:
-        for _fp, frame in _MEDIA_SIG_CACHE.values():
-            release_frame(frame)
-        _MEDIA_SIG_CACHE.clear()
+        from eventsgateway_spark.queries.ext_dedup import _MEDIA_PAIR_CACHE
+
+        for cache in (_MEDIA_SIG_CACHE, _MEDIA_PAIR_CACHE):
+            for _fp, frame in cache.values():
+                release_frame(frame)
+            cache.clear()
+
+
+def test_media_pair_cache_shared_and_exact(spark):
+    """round-15: the banded pair frame itself is session-cached one
+    level above the signature cache (q89 + q91 share the image pairs,
+    q90 + q91 the audio pairs). Cached rows must equal the uncached
+    construction exactly, the driver's oracle scale must stay
+    uncached, and a second consumer must get the SAME frame object."""
+    from eventsgateway_spark.queries import QUERIES
+    from eventsgateway_spark.queries.ext_dedup import (
+        IMG_HAM_BANDS,
+        IMG_HAM_MAX,
+        _IMG_BAND_W,
+        _MEDIA_PAIR_CACHE,
+        _MEDIA_SIG_CACHE,
+        hamming_band_pairs,
+        media_band_pairs,
+        media_sigs,
+    )
+    from eventsgateway_spark.queries._util import release_frame
+
+    # oracle scale: no caching, q89 still returns its full lineage
+    QUERIES["q89_image_dhash_near_dup"](spark, SF_ORACLE).count()
+    assert not _MEDIA_PAIR_CACHE
+
+    sf01 = "/root/testdata/sf0.1"
+    try:
+        cached = media_band_pairs(spark, sf01, "image")
+        assert media_band_pairs(spark, sf01, "image") is cached
+        fresh = hamming_band_pairs(
+            media_sigs(spark, sf01, "image"), "dhash",
+            IMG_HAM_BANDS, _IMG_BAND_W, IMG_HAM_MAX,
+        )
+        assert sorted(map(tuple, cached.collect())) == sorted(
+            map(tuple, fresh.collect())
+        )
+    finally:
+        for cache in (_MEDIA_SIG_CACHE, _MEDIA_PAIR_CACHE):
+            for _fp, frame in cache.values():
+                release_frame(frame)
+            cache.clear()
