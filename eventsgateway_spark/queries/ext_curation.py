@@ -240,10 +240,18 @@ def q67_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique-token ratio, and stopword presence. A doc is kept only if
     every rule passes. Map-only array math (size / array_distinct /
     aggregate / array filter) + one aggregate to |langs| rows."""
-    docs = spread(table(spark, sf_dir, "documents").select("lang", "text"))
-    # tokens projected once before the four metric consumers
-    # (quality_metrics docstring; plan audit in test_plans.py)
-    toked = docs.select("lang", tokens("text").alias("toks"))
+    from eventsgateway_spark.queries._util import doc_tokens_frame
+
+    dt = doc_tokens_frame(spark, sf_dir)
+    if dt is not None:
+        toked = dt.select("lang", "toks")
+    else:
+        docs = spread(
+            table(spark, sf_dir, "documents").select("lang", "text")
+        )
+        # tokens projected once before the four metric consumers
+        # (quality_metrics docstring; plan audit in test_plans.py)
+        toked = docs.select("lang", tokens("text").alias("toks"))
     m = toked.select("lang", *quality_metrics(F.col("toks")))
     flags = m.select("lang", *quality_flags())
     return (
@@ -438,6 +446,8 @@ def q69_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled state is |terms| x |matching docs|; N and avgdl are 1-row
     broadcast scalars. The per-term scores pivot into fixed columns
     and sum left-to-right — identical fp rounding in both engines."""
+    from eventsgateway_spark.queries._util import doc_tokens_frame
+
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     # ONE tokenized pass over the corpus: doc length + the query-term
     # slice come out of a single projection, pinned (persist) because
@@ -445,7 +455,12 @@ def q69_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenized the corpus once per branch, and Catalyst's
     # InferFiltersFromGenerate doubled the tf branch's tokenization by
     # pushing an inferred size() filter through the toks projection.
-    toked = spread(docs).select("doc_id", tokens("text").alias("toks"))
+    dt = doc_tokens_frame(spark, sf_dir)
+    toked = (
+        dt.select("doc_id", "toks")
+        if dt is not None
+        else spread(docs).select("doc_id", tokens("text").alias("toks"))
+    )
     base = pin(
         toked.select(
             "doc_id",
@@ -588,12 +603,22 @@ def q78_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from eventsgateway_spark.queries._util import pin
 
-    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    base = docs.select(
-        "doc_id",
-        F.length("text").alias("n_chars"),
-        tokens("text").alias("toks"),
-    )
+    from eventsgateway_spark.queries._util import doc_tokens_frame
+
+    dt = doc_tokens_frame(spark, sf_dir)
+    if dt is not None:
+        base = dt.select(
+            "doc_id", F.length("text").alias("n_chars"), "toks"
+        )
+    else:
+        docs = spread(
+            table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        base = docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            tokens("text").alias("toks"),
+        )
     # base feeds THREE consumers (c2, c5, the final n_toks select).
     # Above fixture scale it is tokenized ONCE and materialized
     # (pin/checkpoint — the q57/q72 auto-pick discipline; VERDICT

@@ -383,8 +383,16 @@ def q29_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups under a canonical key (sorted distinct
     token bag) — one hash-aggregate on the derived key; the cheapest
     dedup tier and the template for any exact content-hash dedup."""
-    docs = table(spark, sf_dir, "documents")
-    key = F.array_join(F.sort_array(F.array_distinct(tokens("text"))), " ")
+    from eventsgateway_spark.queries._util import doc_tokens_frame
+
+    dt = doc_tokens_frame(spark, sf_dir)
+    docs = dt if dt is not None else table(spark, sf_dir, "documents")
+    key = F.array_join(
+        F.sort_array(
+            F.array_distinct(F.col("toks") if dt is not None else tokens("text"))
+        ),
+        " ",
+    )
     return (
         docs.select(F.col("doc_id"), key.alias("k"))
         .groupBy("k")
@@ -541,10 +549,16 @@ def minhash_family_frames(
         for df in cached:
             release_frame(df)
     docs = table(spark, sf_dir, "documents")
-    sh = doc_shingles(docs)
     if is_fixture_scale(docs):
+        sh = doc_shingles(docs)
         mins = minhash_components(sh)
         return sh, mins, minhash_band_candidates(mins)
+    from eventsgateway_spark.queries._util import doc_tokens_frame
+
+    # above fixture scale the one-time family build rides the session-
+    # shared tokenization instead of re-splitting the corpus (r15)
+    dt = doc_tokens_frame(spark, sf_dir)
+    sh = doc_shingles(dt.select("doc_id", "toks") if dt is not None else docs)
     sh = sh.localCheckpoint()
     mins = minhash_components(sh).localCheckpoint()
     cand = minhash_band_candidates(mins).localCheckpoint()
@@ -667,10 +681,17 @@ def near_dup_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         release_frame(cached)
     docs = table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(doc_shingles(docs), 0.5)
-    if not is_fixture_scale(docs):
-        pairs = pairs.localCheckpoint()
-        _PAIRS_CACHE[key] = (fp, pairs)
+    if is_fixture_scale(docs):
+        return jaccard_pairs(doc_shingles(docs), 0.5)
+    from eventsgateway_spark.queries._util import doc_tokens_frame
+
+    # the one-time pair build rides the session-shared tokenization (r15)
+    dt = doc_tokens_frame(spark, sf_dir)
+    pairs = jaccard_pairs(
+        doc_shingles(dt.select("doc_id", "toks") if dt is not None else docs),
+        0.5,
+    ).localCheckpoint()
+    _PAIRS_CACHE[key] = (fp, pairs)
     return pairs
 
 
@@ -795,9 +816,19 @@ def simhash_sigs(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     (q39), 32+ for bounded-Hamming matching (q63) — a narrow space
     saturates as the corpus grows (birthday effect) and everything
     looks 'near'."""
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tk")).select(
-        "doc_id", token_hash32(F.col("tk")).alias("hs")
-    )
+    from eventsgateway_spark.functions.text import has_pretokenized
+
+    # A frame carrying a `toks` column is PRE-TOKENIZED (the doc_shingles
+    # contract): the split is skipped — q39/q63 feed the session-shared
+    # doc_tokens_frame here above fixture scale.
+    if has_pretokenized(docs):
+        tok = docs.select("doc_id", F.explode("toks").alias("tk")).select(
+            "doc_id", token_hash32(F.col("tk")).alias("hs")
+        )
+    else:
+        tok = docs.select(
+            "doc_id", F.explode(tokens("text")).alias("tk")
+        ).select("doc_id", token_hash32(F.col("tk")).alias("hs"))
     sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -828,7 +859,14 @@ def q39_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit, see :func:`simhash_sigs`): exact-match grouping
     on the signature (n_same) is a content-dedup tier between exact
     hash and MinHash. Bounded-distance matching is q63."""
-    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    from eventsgateway_spark.queries._util import doc_tokens_frame
+
+    dt = doc_tokens_frame(spark, sf_dir)
+    docs = (
+        dt.select("doc_id", "toks")
+        if dt is not None
+        else spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
     sig = simhash_sigs(docs)
     return sig.select(
         "doc_id",
@@ -883,7 +921,14 @@ def q63_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs over 500 docs). Complements q31 (MinHash/Jaccard):
     SimHash catches small token-distribution edits that shift few
     bits."""
-    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    from eventsgateway_spark.queries._util import doc_tokens_frame
+
+    dt = doc_tokens_frame(spark, sf_dir)
+    docs = (
+        dt.select("doc_id", "toks")
+        if dt is not None
+        else spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
     sig = pin(simhash_sigs(docs, HAM_SIG_BITS))
     return hamming_band_pairs(sig, "simhash", HAM_BANDS, _HAM_BAND_W, HAM_MAX)
 
@@ -1096,8 +1141,14 @@ def q72_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         from eventsgateway_spark.queries._util import input_bytes
 
         mode = "agg" if input_bytes(raw_docs) > Q72_AGG_BYTES else "window"
-    docs = spread(raw_docs)
-    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    from eventsgateway_spark.queries._util import doc_tokens_frame
+
+    dt = doc_tokens_frame(spark, sf_dir)
+    toks = (
+        dt.select("doc_id", "toks")
+        if dt is not None
+        else spread(raw_docs).select("doc_id", tokens("text").alias("toks"))
+    )
     # The short-doc guard lives INSIDE the generator (null -> no rows)
     # instead of a filter: `filter(size(toks) >= W)` gets predicate-
     # pushed below the toks projection, re-inlining the tokenization
@@ -1210,8 +1261,13 @@ def q80_quality_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`near_dup_pair_frame` (VERDICT r10 #2: in a bench/notebook
     session that also runs q30/q32/q77, the ~3 s pair derivation is
     paid once, not per query)."""
+    from eventsgateway_spark.queries._util import doc_tokens_frame
+
+    dt = doc_tokens_frame(spark, sf_dir)
     return quality_propagation(
-        table(spark, sf_dir, "documents"),
+        dt.select("doc_id", "toks")
+        if dt is not None
+        else table(spark, sf_dir, "documents"),
         edges0=near_dup_pair_frame(spark, sf_dir).select("d1", "d2"),
     )
 
@@ -1229,9 +1285,14 @@ def quality_propagation(
     bucket-local instead of re-deriving shingles from text and
     reshuffling the corpus. Defaults derive edges exactly as q80
     documents (q30's df-capped inverted index at Jaccard >= 0.5)."""
-    toked = spread(docs.select("doc_id", "text")).select(
-        "doc_id", tokens("text").alias("toks")
-    )
+    from eventsgateway_spark.functions.text import has_pretokenized
+
+    if has_pretokenized(docs):
+        toked = docs.select("doc_id", "toks")
+    else:
+        toked = spread(docs.select("doc_id", "text")).select(
+            "doc_id", tokens("text").alias("toks")
+        )
     if edges0 is None:
         sh = doc_shingles(toked)  # pre-tokenized path: no second split
         edges0 = jaccard_pairs(sh, 0.5).select("d1", "d2")

@@ -200,9 +200,20 @@ def q74_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventsgateway_spark.operators.skew import skew_safe_running_sum
     from eventsgateway_spark.queries.ext_pipeline import prefix_bucket_docs
 
+    from eventsgateway_spark.queries._util import doc_tokens_frame
+
     docs = spread(table(spark, sf_dir, "documents").select("source", "doc_id", "text"))
-    t = docs.select(
-        "source", "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    dt = doc_tokens_frame(spark, sf_dir)
+    t = (
+        dt.select(
+            "source", "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
+        )
+        if dt is not None
+        else docs.select(
+            "source",
+            "doc_id",
+            F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        )
     )
     c = skew_safe_running_sum(
         t,
@@ -246,8 +257,15 @@ def source_totals(docs: DataFrame) -> DataFrame:
     """(source, n_docs, n_tokens) — the per-source corpus aggregate
     both the batch weights (q75) and the streaming mixture monitor
     accumulate. One full-corpus hash-agg (map-side combine)."""
-    from eventsgateway_spark.functions.text import tokens
+    from eventsgateway_spark.functions.text import has_pretokenized, tokens
 
+    if has_pretokenized(docs):
+        # pre-tokenized caller (the session-shared doc_tokens_frame):
+        # skip the split — same counts by construction
+        return docs.select("source", "toks").groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("toks")).cast("bigint").alias("n_tokens"),
+        )
     return docs.select("source", "text").groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens"),
@@ -348,7 +366,10 @@ def q75_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x100) — the table a mixture-aware loader consumes to draw
     batches. Small sources get oversample_x100 > 100 (seen more often
     than their share), dominant ones < 100."""
-    docs = table(spark, sf_dir, "documents")
+    from eventsgateway_spark.queries._util import doc_tokens_frame
+
+    dt = doc_tokens_frame(spark, sf_dir)
+    docs = dt if dt is not None else table(spark, sf_dir, "documents")
     return mixture_weights(docs).orderBy("source")
 
 
@@ -446,7 +467,12 @@ def q76_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn_col="rk",
         sum_col="_unused",
     )
-    weights = mixture_weights(table(spark, sf_dir, "documents")).select(
+    from eventsgateway_spark.queries._util import doc_tokens_frame
+
+    dt = doc_tokens_frame(spark, sf_dir)
+    weights = mixture_weights(
+        dt if dt is not None else table(spark, sf_dir, "documents")
+    ).select(
         "source", "weight_ppm"
     )
     return (
@@ -670,13 +696,23 @@ def dsir_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_frame(cached)
     from eventsgateway_spark.functions.text import tokens
 
+    from eventsgateway_spark.queries._util import doc_tokens_frame
+
     docs = spread(table(spark, sf_dir, "documents"))
+    dtf = doc_tokens_frame(spark, sf_dir)
     # ONE tokenization for the whole family: the exploded stream feeds
     # the model's cs/ct term aggregates AND the scoring join (was 3
     # separate explodes of the corpus). pin is identity at fixture
-    # scale, so the driver's oracle plans are untouched.
+    # scale, so the driver's oracle plans are untouched. r15 batch 2b:
+    # the one-time family build rides the session-shared tokenization.
     tok = pin(
-        docs.select("doc_id", "lang", F.explode(tokens("text")).alias("term")),
+        (
+            dtf.select("doc_id", "lang", F.explode("toks").alias("term"))
+            if dtf is not None
+            else docs.select(
+                "doc_id", "lang", F.explode(tokens("text")).alias("term")
+            )
+        ),
         mode="persist",
     )
     lr, _meta = importance_model(docs, tok=tok)

@@ -310,23 +310,36 @@ def q34_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     query pins the exact bucket assignment (integer-formula hyperplanes
     → oracle-reproducible). Zero-norm vectors are excluded on BOTH
     sides: they never enter a similarity index (norm_view semantic)."""
+    from eventsgateway_spark.queries._util import is_fixture_scale
+
     emb = table(spark, sf_dir, "embeddings")
     np_ = lsh_plane_count(emb, 8)
-    v = (
-        spread(emb)
-        # zero-norm filter on the SQUARED sum, applied BEFORE any norm
-        # projection: predicate pushdown re-inlines a filtered column's
-        # defining expression below the projection, so filtering on a
-        # projected sqrt(fold) doubles the per-vector SQRT folds in the
-        # scan (caught by tests/test_plans.py::
-        # test_q33_norms_precomputed_below_join on the q33 twin).
-        # norm > 0 <=> norm_sq > 0 — sqrt is monotone on [0, inf).
-        .filter(norm_sq(as_double(F.col("embedding"))) > 0)
-        .select("vec_id", "label", F.col("embedding"))
-    )
-    b = v.select(
-        "vec_id", "label", lsh_bucket(F.col("embedding"), np_).alias("bucket")
-    )
+    if not is_fixture_scale(emb):
+        # r15: ride the session-shared bucket table at this query's own
+        # geometry (np_, 1 table) — lsh_bucket(..., table_id=0) is
+        # bit-identical to the frame's tbl=0 lane — and join the label
+        # back on vec_id (the cached frame's zero-norm filter defines
+        # the same universe this query's inline filter did).
+        bt = lsh_bucket_frame(spark, sf_dir, np_, 1).select(
+            "vec_id", "bucket"
+        )
+        b = bt.join(emb.select("vec_id", "label"), "vec_id")
+    else:
+        v = (
+            spread(emb)
+            # zero-norm filter on the SQUARED sum, applied BEFORE any norm
+            # projection: predicate pushdown re-inlines a filtered column's
+            # defining expression below the projection, so filtering on a
+            # projected sqrt(fold) doubles the per-vector SQRT folds in the
+            # scan (caught by tests/test_plans.py::
+            # test_q33_norms_precomputed_below_join on the q33 twin).
+            # norm > 0 <=> norm_sq > 0 — sqrt is monotone on [0, inf).
+            .filter(norm_sq(as_double(F.col("embedding"))) > 0)
+            .select("vec_id", "label", F.col("embedding"))
+        )
+        b = v.select(
+            "vec_id", "label", lsh_bucket(F.col("embedding"), np_).alias("bucket")
+        )
     return (
         b.groupBy("bucket")
         .agg(

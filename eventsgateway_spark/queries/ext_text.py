@@ -31,7 +31,12 @@ from eventsgateway_spark.functions.text import (
     tokens,
 )
 from eventsgateway_spark.queries import query
-from eventsgateway_spark.queries._util import pin, spread, table
+from eventsgateway_spark.queries._util import (
+    doc_tokens_frame,
+    pin,
+    spread,
+    table,
+)
 
 # DuckDB-side token array (empties dropped) — mirror of text.tokens().
 from eventsgateway_spark.queries._util import DUCK_TOKS as _DUCK_TOKS
@@ -62,11 +67,15 @@ def q24_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language bigram frequencies (n-gram operator, n=2).
     transform over an index sequence builds the gram array JVM-side;
     explode + hash-aggregate is the scalable shape (no self-join)."""
-    docs = spread(table(spark, sf_dir, "documents").select("lang", "text"))
-    # project the token array BEFORE the n-gram lambda: inlined, the
-    # split+filter subtree would be re-evaluated per element reference
-    # (measured 5× slower at sf0.1)
-    with_toks = docs.select("lang", tokens("text").alias("toks"))
+    dt = doc_tokens_frame(spark, sf_dir)
+    if dt is not None:
+        with_toks = dt.select("lang", "toks")
+    else:
+        docs = spread(table(spark, sf_dir, "documents").select("lang", "text"))
+        # project the token array BEFORE the n-gram lambda: inlined, the
+        # split+filter subtree would be re-evaluated per element reference
+        # (measured 5× slower at sf0.1)
+        with_toks = docs.select("lang", tokens("text").alias("toks"))
     return (
         with_toks.select("lang", F.explode(ngrams(F.col("toks"), 2)).alias("bigram"))
         .groupBy("lang", "bigram")
@@ -113,17 +122,25 @@ def q25_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream), then the small scored slice is ranked. The n_docs scalar
     rides a broadcast cross-join — no driver-side collect."""
     docs = table(spark, sf_dir, "documents")
+    dt = doc_tokens_frame(spark, sf_dir)
     # materialized once at scale: consumed by BOTH the document-
     # frequency agg and the scored slice (recomputing the explode
     # would double the token-stream cost)
     tf = pin(
-        spread(docs.select("doc_id", "text"))
-        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        (
+            dt.select("doc_id", F.explode("toks").alias("term"))
+            if dt is not None
+            else spread(docs.select("doc_id", "text")).select(
+                "doc_id", F.explode(tokens("text")).alias("term")
+            )
+        )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = (dt if dt is not None else docs).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     scored = (
         tf.filter(F.col("doc_id") < 20)
         .join(dfreq, "term")
@@ -182,9 +199,16 @@ def q26_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Function-word language ID: count hits against tiny per-language
     stopword vocabularies, argmax with a fixed tie-break (en > es >
     und). Integer counts only — exactly reproducible."""
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    dt = doc_tokens_frame(spark, sf_dir)
+    docs = (
+        dt.select("doc_id", "lang", "toks")
+        if dt is not None
+        else table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", tokens("text").alias("toks")
+        )
+    ).filter(F.col("doc_id") < 100)
     toks = F.col("toks")
-    hits = docs.select("doc_id", "lang", tokens("text").alias("toks")).select(
+    hits = docs.select(
         "doc_id",
         "lang",
         F.size(toks).alias("n_tokens"),
@@ -233,11 +257,16 @@ def q27_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass, mean token length, stopword ratio → keep/flag verdict.
     Ratios are single IEEE divisions of exact integers (deterministic
     across engines); thresholds mirror C4-style heuristics."""
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    dt = doc_tokens_frame(spark, sf_dir)
+    docs = (
+        dt.select("doc_id", "n_chars", "text", "toks")
+        if dt is not None
+        else table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars", "text", tokens("text").alias("toks")
+        )
+    ).filter(F.col("doc_id") < 200)
     toks = F.col("toks")
     m = docs.select(
-        "doc_id", "n_chars", "text", tokens("text").alias("toks")
-    ).select(
         "doc_id",
         "n_chars",
         F.length(F.regexp_replace("text", "[^a-z]", "")).alias("n_alpha"),
@@ -289,9 +318,16 @@ def q28_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     count of documents sharing it (exact-sequence duplicate detector —
     the cheap first pass before fuzzy dedup). md5-derived token hashes
     keep the fold identical in both engines."""
-    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    dt = doc_tokens_frame(spark, sf_dir)
+    wt = (
+        dt.select("doc_id", "toks")
+        if dt is not None
+        else spread(
+            table(spark, sf_dir, "documents").select("doc_id", "text")
+        ).select("doc_id", tokens("text").alias("toks"))
+    )
     toks = F.col("toks")
-    h = docs.select("doc_id", tokens("text").alias("toks")).select(
+    h = wt.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         rolling_fingerprint(toks).alias("fingerprint"),
@@ -340,10 +376,17 @@ def q40_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     division truncates identically on positives in both engines — no
     IEEE division reaches the result); the subword regex sits in the
     Java-regex ∩ RE2 subset so both engines tokenize identically."""
-    docs = spread(table(spark, sf_dir, "documents").select("source", "text"))
+    dt = doc_tokens_frame(spark, sf_dir)
+    docs = (
+        dt
+        if dt is not None
+        else spread(
+            table(spark, sf_dir, "documents").select("source", "text")
+        ).select("source", "text", tokens("text").alias("toks"))
+    )
     m = docs.select(
         "source",
-        F.size(tokens("text")).alias("ws_tokens"),
+        F.size("toks").alias("ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(_SUBWORD_RE), F.lit(0))).alias(
             "subword_tokens"
         ),
@@ -451,9 +494,13 @@ def q51_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus token count, output rows ≈ tokens/stride per doc, no UDFs.
     At 100 TB the chunk table is written partitioned by a hash-split of
     doc_id (q47's operator) so downstream shuffles are balanced."""
-    return chunk_documents(
-        spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    ).orderBy("doc_id", "chunk_id")
+    dt = doc_tokens_frame(spark, sf_dir)
+    base = (
+        dt.select("doc_id", "toks")
+        if dt is not None
+        else spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
+    return chunk_documents(base).orderBy("doc_id", "chunk_id")
 
 
 # ---------------------------------------------------------------------------
@@ -533,11 +580,19 @@ def q53_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles: explode → broadcast-hash semi-side join → per-doc count.
     At 100 TB the eval gram set stays a broadcast (it scales with
     benchmark size, not corpus size)."""
-    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
-    # toks is PROJECTED before the lambda-heavy gram derivation so the
-    # split/filter runs once per row, not once per ngrams reference
-    # (decon_toks docstring; plan pinned in test_plans.py).
-    with_toks = docs.select("doc_id", "source", decon_toks("text").alias("toks"))
+    dt = doc_tokens_frame(spark, sf_dir)
+    if dt is not None:
+        with_toks = dt.select("doc_id", "source", "toks")
+    else:
+        docs = spread(
+            table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        )
+        # toks is PROJECTED before the lambda-heavy gram derivation so the
+        # split/filter runs once per row, not once per ngrams reference
+        # (decon_toks docstring; plan pinned in test_plans.py).
+        with_toks = docs.select(
+            "doc_id", "source", decon_toks("text").alias("toks")
+        )
     grams = with_toks.select(
         "doc_id",
         "source",
@@ -618,10 +673,18 @@ def q79_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per gram to the driver."""
     from eventsgateway_spark.operators.bloom import bloom_probe_count_udf
 
-    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
-    # Same projected-toks shape as q53 — both the eval-side build and
-    # the probe side tokenize exactly once per scanned row.
-    with_toks = docs.select("doc_id", "source", decon_toks("text").alias("toks"))
+    dt = doc_tokens_frame(spark, sf_dir)
+    if dt is not None:
+        with_toks = dt.select("doc_id", "source", "toks")
+    else:
+        docs = spread(
+            table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        )
+        # Same projected-toks shape as q53 — both the eval-side build and
+        # the probe side tokenize exactly once per scanned row.
+        with_toks = docs.select(
+            "doc_id", "source", decon_toks("text").alias("toks")
+        )
     eval_grams = with_toks.filter(F.col("source") == EVAL_SOURCE).select(
         F.explode(decon_grams(F.col("toks"))).alias("g")
     )
@@ -668,8 +731,12 @@ def q56_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram's count (template pages repeat one phrase many times).
     Single explode → (doc, gram) count → per-doc rollup; integers
     except one final IEEE division, so exact everywhere."""
-    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    with_toks = docs.select("doc_id", tokens("text").alias("toks"))
+    dt = doc_tokens_frame(spark, sf_dir)
+    if dt is not None:
+        with_toks = dt.select("doc_id", "toks")
+    else:
+        docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+        with_toks = docs.select("doc_id", tokens("text").alias("toks"))
     c = (
         with_toks.select("doc_id", F.explode(ngrams(F.col("toks"), 3)).alias("g"))
         .groupBy("doc_id", "g")
@@ -762,9 +829,16 @@ def q65_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is one window keyed by fingerprint. Every shuffle is keyed by
     doc_id / gram / fingerprint — per-document grain throughout, so the
     same plan holds on a 100 TB corpus."""
-    docs = spread(table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars", "text"
-    ))
+    dt = doc_tokens_frame(spark, sf_dir)
+    docs = (
+        dt
+        if dt is not None
+        else spread(
+            table(spark, sf_dir, "documents").select(
+                "doc_id", "lang", "n_chars", "text"
+            )
+        )
+    )
     toks = F.col("toks")
     # m fans out to the trigram branch (rep) and the profile branch,
     # deliberately UNpinned: column pruning gives each branch only its
@@ -778,7 +852,7 @@ def q65_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = docs.select(
         "doc_id", "lang", "n_chars",
         F.length(F.regexp_replace("text", "[^a-z]", "")).alias("n_alpha"),
-        tokens("text").alias("toks"),
+        F.col("toks") if dt is not None else tokens("text").alias("toks"),
     ).select(
         "doc_id", "lang", "n_chars", "n_alpha", "toks",
         F.size(toks).alias("n_tokens"),
@@ -884,8 +958,16 @@ def q71_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged by the join and AQE's skew split covers 'the'-class
     fan-in. Per-doc reduce is one (doc_id) hash aggregate. Everything
     JVM built-ins; linear in corpus tokens."""
-    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    tok = pin(docs.select("doc_id", F.explode(tokens("text")).alias("term")))
+    dt = doc_tokens_frame(spark, sf_dir)
+    if dt is not None:
+        tok = dt.select("doc_id", F.explode("toks").alias("term"))
+    else:
+        docs = spread(
+            table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        tok = pin(
+            docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        )
     cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     tot = tok.agg(F.count(F.lit(1)).alias("total"))
     lp = cnt.crossJoin(F.broadcast(tot)).select(
@@ -968,16 +1050,26 @@ def q84_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume unchanged. All JVM built-ins, linear in corpus tokens. At
     100 TB the trained bigram table is |distinct bigrams| rows —
     orders of magnitude below the corpus — and persists for reuse."""
-    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    wt = docs.select("doc_id", tokens("text").alias("toks"))
-    # tokenizer INLINE in the explode (q71's shape), not via wt's
-    # projected column: exploding a projected ATTRIBUTE triggers
-    # InferFiltersFromGenerate, whose size(toks) > 0 predicate pushes
-    # below the projection and re-inlines the tokenizer TWICE into the
-    # filter (the q33 norm-fold class; caught by the decon-family
-    # single-tokenization sweep). The ngrams branch below is immune —
-    # its generator input is a full expression, which the rule skips.
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dt = doc_tokens_frame(spark, sf_dir)
+    if dt is not None:
+        wt = dt.select("doc_id", "toks")
+        # exploding the cached attribute is safe here: there is no
+        # tokenizer left in the lineage for InferFiltersFromGenerate
+        # to duplicate (doc_tokens_frame docstring)
+        tok = dt.select("doc_id", F.explode("toks").alias("term"))
+    else:
+        docs = spread(
+            table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        wt = docs.select("doc_id", tokens("text").alias("toks"))
+        # tokenizer INLINE in the explode (q71's shape), not via wt's
+        # projected column: exploding a projected ATTRIBUTE triggers
+        # InferFiltersFromGenerate, whose size(toks) > 0 predicate pushes
+        # below the projection and re-inlines the tokenizer TWICE into the
+        # filter (the q33 norm-fold class; caught by the decon-family
+        # single-tokenization sweep). The ngrams branch below is immune —
+        # its generator input is a full expression, which the rule skips.
+        tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     bgs = pin(wt.select("doc_id", F.explode(ngrams(F.col("toks"), 2)).alias("b")))
     cbg = bgs.groupBy("b").agg(F.count(F.lit(1)).alias("c_ab"))
     # left token via substring_index, NOT F.split: (a) no array

@@ -216,6 +216,15 @@ def q06_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     flt = l.filter(
         F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz")
     )
+    # r15 note: a single-scan two-level rewrite (level 1 keyed by
+    # (flag, status, orderkey), level 2 counting those groups for the
+    # distinct-order count) was built and MEASURED SLOWER at sf0.1
+    # (floor 3.5 s vs ~2.1 s): the ~600k-key level-1 hash aggregate
+    # (wide decimal state through the exchange) costs more than the
+    # second column-pruned scan it saves. Kept: the round-3
+    # split-distinct shape below — heavy decimal sums collapse
+    # map-side to ~6 groups, the distinct runs over a slim 3-column
+    # projection, broadcast-joined back.
     main = flt.groupBy("l_returnflag", "l_linestatus").agg(
         as_double(F.sum(F.col("l_quantity").cast("decimal(14,2)"))).alias("sum_qty"),
         as_double(F.sum(price)).alias("sum_base_price"),

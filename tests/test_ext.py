@@ -1962,3 +1962,63 @@ def test_media_pair_cache_shared_and_exact(spark):
             for _fp, frame in cache.values():
                 release_frame(frame)
             cache.clear()
+
+
+def test_doc_tokens_frame_cache_and_parity(spark, monkeypatch):
+    """The r15 session-shared tokenized-documents lineage
+    (_util.doc_tokens_frame): None at fixture scale (driver-oracle
+    plans untouched), one cached columnar frame per (session, fixture)
+    above it, fingerprint-invalidated — and every converted consumer
+    must be row-identical on the shared path vs its plain fallback
+    lineage."""
+    import os
+
+    import eventsgateway_spark.queries._util as u
+    import eventsgateway_spark.queries.ext_text as et
+    from eventsgateway_spark.queries import QUERIES
+
+    # fixture scale: the helper must stand down entirely
+    assert u.doc_tokens_frame(spark, SF_ORACLE) is None
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf01, "documents.parquet")):
+        pytest.skip("sf0.1 fixture absent")
+    u._DOCTOK_CACHE.clear()
+    try:
+        first = u.doc_tokens_frame(spark, sf01)
+        assert first is not None and u._DOCTOK_CACHE
+        assert u.doc_tokens_frame(spark, sf01) is first
+        # in-place fixture regen must evict, not serve stale tokens
+        monkeypatch.setattr(u, "fixture_fingerprint", lambda *a, **k: "regen")
+        rebuilt = u.doc_tokens_frame(spark, sf01)
+        assert rebuilt is not None and rebuilt is not first
+        monkeypatch.undo()
+
+        # parity: shared path vs plain fallback for a representative
+        # consumer of each conversion shape (projected toks, exploded
+        # toks, pretokenized doc_shingles/simhash feed, agg-only)
+        names = (
+            "q24_bigram_counts",  # lang + ngram explode
+            "q29_exact_dedup_groups",  # canonical-key map-only
+            "q53_decontaminate",  # decon family, source + grams
+            "q63_simhash_hamming_pairs",  # pretokenized simhash_sigs
+            "q65_text_profile",  # widest facet consumer (text col too)
+            "q75_domain_mixture",  # pretokenized source_totals
+        )
+        shared = {
+            n: [tuple(r) for r in QUERIES[n](spark, sf01).collect()]
+            for n in names
+        }
+        for mod in (u, et):
+            monkeypatch.setattr(mod, "doc_tokens_frame", lambda *a: None)
+        plain = {
+            n: [tuple(r) for r in QUERIES[n](spark, sf01).collect()]
+            for n in names
+        }
+        monkeypatch.undo()
+        for n in names:
+            assert shared[n] == plain[n] and len(shared[n]) > 0, n
+    finally:
+        while u._DOCTOK_CACHE:
+            _, (_fp, frame) = u._DOCTOK_CACHE.popitem()
+            u.release_frame(frame)

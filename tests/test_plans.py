@@ -45,7 +45,8 @@ def test_q45_gap_fill_broadcasts_daily_aggregate(spark):
 
 def test_q06_has_no_expand(spark):
     """The split-distinct rewrite must keep Expand (the mixed-distinct
-    row duplicator) out of the plan."""
+    row duplicator) out of the plan. (r15 re-verified: the single-scan
+    two-level alternative measured SLOWER — see the q06 comment.)"""
     plan = _plan(spark, "q06_pricing_summary")
     assert "Expand" not in plan
     assert "BroadcastHashJoin" in plan  # 6-row distinct side broadcast
