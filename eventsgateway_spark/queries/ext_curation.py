@@ -461,14 +461,15 @@ def q69_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         if dt is not None
         else spread(docs).select("doc_id", tokens("text").alias("toks"))
     )
-    base = pin(
-        toked.select(
-            "doc_id",
-            F.size("toks").alias("dl"),
-            F.filter("toks", lambda t: t.isin(*_QUERY_TERMS)).alias("qt"),
-        ),
-        mode="persist",
+    base = toked.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.filter("toks", lambda t: t.isin(*_QUERY_TERMS)).alias("qt"),
     )
+    if dt is None:
+        # pin only when NOT riding the session-shared tokenization
+        # (r15 A/B: 1.26 → 1.09 s floor pin-off on the cached path)
+        base = pin(base, mode="persist")
     dl = base.select("doc_id", "dl")
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),

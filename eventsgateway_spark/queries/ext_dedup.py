@@ -1302,6 +1302,11 @@ def q80_quality_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         if dt is not None
         else table(spark, sf_dir, "documents"),
         edges0=near_dup_pair_frame(spark, sf_dir).select("d1", "d2"),
+        # with both the tokenization and the pair frame session-cached,
+        # the per-execution edge/node pins cost more than the recompute
+        # they save (r15 A/B: 2.82 → 1.74 s floor pin-off); the
+        # streaming index-backed caller keeps the default persist.
+        pin_mode="off" if dt is not None else "persist",
     )
 
 
@@ -1309,6 +1314,7 @@ def quality_propagation(
     docs: DataFrame,
     edges0: DataFrame | None = None,
     iters: int = _PROP_ITERS,
+    pin_mode: str = "persist",
 ) -> DataFrame:
     """q80's body over an explicit docs frame. ``edges0`` lets an
     index-backed caller supply the (d1, d2) near-dup pairs from a
@@ -1333,7 +1339,7 @@ def quality_propagation(
         edges0.union(
             edges0.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
         ),
-        "persist",
+        pin_mode,
     )
     seed = toked.select("doc_id", F.size("toks").cast("bigint").alias("s0"))
     deg = edges.groupBy(F.col("d1").alias("doc_id")).agg(
@@ -1345,7 +1351,7 @@ def quality_propagation(
             "s0",
             F.coalesce("deg", F.lit(0)).cast("bigint").alias("deg"),
         ),
-        "persist",
+        pin_mode,
     )
     cur = nodes.withColumn("s", F.col("s0"))
     for _ in range(iters):

@@ -126,7 +126,11 @@ def q25_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized once at scale: consumed by BOTH the document-
     # frequency agg and the scored slice (recomputing the explode
     # would double the token-stream cost)
-    tf = pin(
+    # pin only when NOT riding the session-shared tokenization: with
+    # dt cached, both consumers recompute the aggregate from columnar
+    # cache blocks, which measured CHEAPER than the pin's extra job
+    # (r15 A/B: 1.46 → 1.37 s floor pin-off).
+    tf_base = (
         (
             dt.select("doc_id", F.explode("toks").alias("term"))
             if dt is not None
@@ -137,6 +141,7 @@ def q25_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    tf = tf_base if dt is not None else pin(tf_base)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     n_docs = (dt if dt is not None else docs).agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -1070,7 +1075,12 @@ def q84_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         # single-tokenization sweep). The ngrams branch below is immune —
         # its generator input is a full expression, which the rule skips.
         tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    bgs = pin(wt.select("doc_id", F.explode(ngrams(F.col("toks"), 2)).alias("b")))
+    # pin only off the shared cache (q25's r15 rationale; A/B floor
+    # 1.61 → 1.41 s pin-off when dt is cached)
+    bgs_base = wt.select(
+        "doc_id", F.explode(ngrams(F.col("toks"), 2)).alias("b")
+    )
+    bgs = bgs_base if dt is not None else pin(bgs_base)
     cbg = bgs.groupBy("b").agg(F.count(F.lit(1)).alias("c_ab"))
     # left token via substring_index, NOT F.split: (a) no array
     # materialization per row, and (b) the decon-family plan sweep
