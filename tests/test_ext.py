@@ -2022,3 +2022,131 @@ def test_doc_tokens_frame_cache_and_parity(spark, monkeypatch):
         while u._DOCTOK_CACHE:
             _, (_fp, frame) = u._DOCTOK_CACHE.popitem()
             u.release_frame(frame)
+
+
+def test_norm_frame_shared_consumers_parity(spark, monkeypatch):
+    """The r15 batch-4 widening of the session-shared norm view
+    (ext_similarity.norm_frame): None at fixture scale (driver-oracle
+    plans untouched), carries ``label`` above it, and every consumer
+    converted this batch (q33 brute-force sides, q81 quantize input,
+    q43 centroid/probe sides) must be row-identical on the shared
+    path vs its plain per-query fallback lineage."""
+    import os
+
+    import eventsgateway_spark.queries.ext_similarity as es
+    from eventsgateway_spark.queries import QUERIES
+    from eventsgateway_spark.queries._util import release_frame
+
+    # fixture scale: the helper must stand down entirely
+    assert es.norm_frame(spark, SF_ORACLE) is None
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf01, "embeddings.parquet")):
+        pytest.skip("sf0.1 fixture absent")
+    for cache in (es._NORM_CACHE, es._IVF_ASSIGN_CACHE):
+        for _fp, frame in cache.values():
+            release_frame(frame)
+        cache.clear()
+    try:
+        first = es.norm_frame(spark, sf01)
+        assert first is not None and es._NORM_CACHE
+        assert es.norm_frame(spark, sf01) is first
+        assert "label" in first.columns  # batch 4: q33/q81 need it
+
+        names = ("q33_cosine_top3", "q81_quantized_ann", "q43_ivf_ann")
+        shared = {
+            n: [tuple(r) for r in QUERIES[n](spark, sf01).collect()]
+            for n in names
+        }
+        # plain fallback: stand the shared frame down everywhere (the
+        # IVF assignment cache must not serve the shared-path build)
+        for cache in (es._NORM_CACHE, es._IVF_ASSIGN_CACHE):
+            for _fp, frame in cache.values():
+                release_frame(frame)
+            cache.clear()
+        monkeypatch.setattr(es, "norm_frame", lambda *a: None)
+        plain = {
+            n: [tuple(r) for r in QUERIES[n](spark, sf01).collect()]
+            for n in names
+        }
+        monkeypatch.undo()
+        for n in names:
+            assert shared[n] == plain[n] and len(shared[n]) > 0, n
+    finally:
+        for cache in (es._NORM_CACHE, es._IVF_ASSIGN_CACHE):
+            for _fp, frame in cache.values():
+                release_frame(frame)
+            cache.clear()
+
+
+def test_q38_bucket_gemm_matches_fold(spark):
+    """r15 batch 4: q38's bench-regime candidate+verify runs as ONE
+    groupBy(tbl, bucket) GEMM kernel. It must be row-identical to the
+    fold shape it replaced (bucket equi-join candidates -> distinct ->
+    two vec_id joins -> interpreted dot fold -> threshold), built here
+    from the same shared frames. Also pins that the fixture-scale plan
+    keeps the fold path (no pandas kernel in the driver-oracle plan)."""
+    import os
+
+    import eventsgateway_spark.queries.ext_similarity as es
+    from eventsgateway_spark.functions.vectors import dot
+    from eventsgateway_spark.queries import QUERIES
+
+    # fixture scale: the oracle-declared fold plan, no Python kernel
+    fixture_plan = (
+        QUERIES["q38_embedding_near_dup"](spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" not in fixture_plan
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf01, "embeddings.parquet")):
+        pytest.skip("sf0.1 fixture absent")
+    got = [
+        tuple(r)
+        for r in QUERIES["q38_embedding_near_dup"](spark, sf01).collect()
+    ]
+    # the pre-batch-4 fold comparator over the same shared frames
+    bt = es.lsh_bucket_frame(spark, sf01, es._ND_PLANES, es._ND_TABLES)
+    v = es.norm_frame(spark, sf01)
+    x, y = bt.alias("x"), bt.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("id1"), F.col("y.vec_id").alias("id2"))
+        .distinct()
+    )
+    a = v.select(
+        F.col("vec_id").alias("id1"), F.col("e").alias("e1"),
+        F.col("nrm").alias("n1"),
+    )
+    z = v.select(
+        F.col("vec_id").alias("id2"), F.col("e").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
+    exp = [
+        tuple(r)
+        for r in (
+            cand.join(a, "id1")
+            .join(z, "id2")
+            .select(
+                "id1",
+                "id2",
+                F.round(
+                    dot(F.col("e1"), F.col("e2"))
+                    / (F.col("n1") * F.col("n2")) * 1e6
+                )
+                .cast("bigint")
+                .alias("cos_sim_u"),
+            )
+            .filter(F.col("cos_sim_u") >= 400000)
+            .orderBy("id1", "id2")
+        ).collect()
+    ]
+    assert got == exp and len(got) > 0
