@@ -154,8 +154,19 @@ def q66_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed. Detection = ``regexp_extract_all`` counts; redaction =
     chained ``regexp_replace`` (global in both engines). Map-only
     scan + one aggregate to |sources| rows; everything JVM-side."""
+    # r15: the session-shared tokenized frame carries (doc_id, source,
+    # text) columnar — riding it skips this query's own parquet scan +
+    # spread exchange (guide §2.4); the regex work below is unchanged.
+    # Fixture scale keeps the plain lineage (dt is None).
+    from eventsgateway_spark.queries._util import doc_tokens_frame
+
+    dt = doc_tokens_frame(spark, sf_dir)
     docs = _plant_pii(
-        spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+        dt.select("doc_id", "source", "text")
+        if dt is not None
+        else spread(
+            table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        )
     )
     per_doc = docs.select(
         "source",
@@ -621,16 +632,18 @@ def q78_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             tokens("text").alias("toks"),
         )
     # base feeds THREE consumers (c2, c5, the final n_toks select).
-    # Above fixture scale it is tokenized ONCE and materialized
-    # (pin/checkpoint — the q57/q72 auto-pick discipline; VERDICT
-    # r13 #3): without it each branch re-scans and re-splits the
-    # corpus, 3× the tokenize CPU at 100 TB. At fixture scale pin()
-    # is an identity, so the driver-oracle plan (and its value hash)
-    # is byte-identical to the uncached round-13 shape. pin() rather
-    # than a bare is_fixture_scale + localCheckpoint (ADVICE r14):
-    # one copy of the fixture guard, and the call site honors the
-    # SPARK_GRAFT_PIN_MODE A/B override like every other.
-    base = pin(base)
+    # When NOT riding the session-shared tokenization, it is tokenized
+    # ONCE and materialized (pin/checkpoint — the q57/q72 auto-pick
+    # discipline; VERDICT r13 #3): without it each branch re-scans and
+    # re-splits the corpus, 3× the tokenize CPU at 100 TB. At fixture
+    # scale pin() is an identity, so the driver-oracle plan (and its
+    # value hash) is byte-identical to the uncached round-13 shape.
+    # When dt IS present, base is a cheap projection of the columnar
+    # cache and the checkpoint's extra job + row-serialized re-read
+    # cost more than the three recomputes they save — the r15 batch-3b
+    # pattern (q25/q69/q80/q84); pin only on the uncached path.
+    if dt is None:
+        base = pin(base)
     c2 = (
         base.select("doc_id", "n_chars", F.explode(ngrams(F.col("toks"), 2)).alias("g"))
         .groupBy("doc_id", "n_chars", "g")

@@ -451,9 +451,20 @@ def q76_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     virtual time (rank-within-source / mixture weight); reading in vt
     order delivers the q75 mixture in every prefix of the stream."""
     from eventsgateway_spark.operators.skew import skew_safe_running_sum
-    from eventsgateway_spark.queries._util import spread
+    from eventsgateway_spark.queries._util import doc_tokens_frame, spread
 
-    docs = spread(table(spark, sf_dir, "documents").select("source", "doc_id"))
+    # r15: the ranked lineage fans out inside skew_safe_running_sum
+    # (phase-1 window AND the phase-2 bucket totals), so an uncached
+    # input is scanned + spread TWICE per execution; the session-shared
+    # tokenized frame already holds (source, doc_id) columnar — riding
+    # it drops both parquet scans and both spread exchanges (guide
+    # §2.4). Fixture scale keeps the plain lineage (dt is None).
+    dt = doc_tokens_frame(spark, sf_dir)
+    docs = (
+        dt.select("source", "doc_id")
+        if dt is not None
+        else spread(table(spark, sf_dir, "documents").select("source", "doc_id"))
+    )
     h = docs.withColumn("h", F.md5(F.col("doc_id").cast("string")))
     ranked = skew_safe_running_sum(
         h,
@@ -467,9 +478,6 @@ def q76_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn_col="rk",
         sum_col="_unused",
     )
-    from eventsgateway_spark.queries._util import doc_tokens_frame
-
-    dt = doc_tokens_frame(spark, sf_dir)
     weights = mixture_weights(
         dt if dt is not None else table(spark, sf_dir, "documents")
     ).select(
