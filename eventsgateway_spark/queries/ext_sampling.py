@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from eventsgateway_spark.queries import query
-from eventsgateway_spark.queries._util import pin, spread, table
+from eventsgateway_spark.queries._util import pin, session_cache, spread, table
 
 # split thresholds on the hash-percent: [0,80) train, [80,90) val, rest test
 TRAIN_PCT = 80
@@ -674,7 +674,7 @@ def q82_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-check the full lineage independently per query. Measured at
 # sf0.1 (round-15): one ~2.8 s session build (tokenize ×1 now, was
 # ×3), then 0.20/0.20 s per query — from 2.7/2.3 s floors each.
-_DSIR_CACHE: dict[tuple[str, str], tuple[str, DataFrame]] = {}
+_DSIR_CACHE: dict[tuple[str, str], tuple[str, DataFrame]] = session_cache({})
 
 
 def dsir_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

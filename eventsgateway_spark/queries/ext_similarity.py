@@ -42,7 +42,13 @@ from eventsgateway_spark.functions.vectors import (
     norm_sq,
 )
 from eventsgateway_spark.queries import query
-from eventsgateway_spark.queries._util import arrow_scorer, pin, spread, table
+from eventsgateway_spark.queries._util import (
+    arrow_scorer,
+    pin,
+    session_cache,
+    spread,
+    table,
+)
 
 # DuckDB-side mirrors of the sequential folds in functions.vectors.
 _DUCK_NORM = "sqrt(list_sum(list_transform(e, x -> x*x)))"
@@ -591,7 +597,7 @@ _ND_TABLES = 2
 # Keyed (applicationId, realpath(sf_dir), planes, tables) with the
 # embeddings fixture fingerprint; fixture scale stays uncached (the
 # driver's oracle runs hash-check each query's full lineage).
-_LSH_BUCKET_CACHE: dict[tuple[str, str, int, int], tuple[str, DataFrame]] = {}
+_LSH_BUCKET_CACHE: dict[tuple[str, str, int, int], tuple[str, DataFrame]] = session_cache({})
 
 # Session-scoped cache of the zero-norm-filtered (vec_id, label, raw,
 # e, nrm) embeddings view — q38's verify sides re-derived it (cast +
@@ -605,7 +611,7 @@ _LSH_BUCKET_CACHE: dict[tuple[str, str, int, int], tuple[str, DataFrame]] = {}
 # centroid/probe sides and the IVF assignment build all start from
 # this frame — before, each execution re-scanned parquet and re-ran
 # the interpreted norm_sq/norm folds over every row.
-_NORM_CACHE: dict[tuple[str, str], tuple[str, DataFrame]] = {}
+_NORM_CACHE: dict[tuple[str, str], tuple[str, DataFrame]] = session_cache({})
 
 
 def norm_frame(spark: SparkSession, sf_dir: str) -> DataFrame | None:
@@ -1105,7 +1111,7 @@ def ivf_assign(emb: DataFrame, k: int = IVF_K) -> DataFrame:
 # floor — with the EMBEDDINGS fixture fingerprint guarding in-place
 # regens. At fixture scale the plain lineage is returned uncached so
 # the driver's oracle runs hash-check each query independently.
-_IVF_ASSIGN_CACHE: dict[tuple[str, str, int], tuple[str, DataFrame]] = {}
+_IVF_ASSIGN_CACHE: dict[tuple[str, str, int], tuple[str, DataFrame]] = session_cache({})
 
 
 def ivf_assign_frame(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:

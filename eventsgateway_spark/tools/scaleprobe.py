@@ -644,45 +644,21 @@ def run_probe(mults: tuple[int, ...] = (1, 10, 100), runs: int = 2,
         for name in probe_queries:
             samples = []
             for _ in range(runs):
-                # q77/q87's cluster-label table AND the near-dup pair
-                # frame one level below it (round 11b) are cached per
-                # (session, fixture) by design (shared with q30/q32/
-                # q80); a cached run would time the ~0 s reuse path
-                # and fake the growth exponent — clear ALL so every
-                # sample pays the full build (the pairs cache was
-                # missed when it landed; round-12 fix. round 13 adds
-                # the media-signature cache to the sweep)
-                from pyspark.sql import DataFrame as _SparkDF
+                # Session-scoped lineage caches (cluster labels,
+                # near-dup pairs, media signatures/pairs, minhash and
+                # simhash families, tokenized documents, LSH buckets,
+                # IVF assignments, norms, DSIR weights) would make a
+                # cached run time the ~0 s reuse path and fake the
+                # growth exponent. Round 16 centralizes them in
+                # _util's session-cache registry (VERDICT r15 #4:
+                # this clear-list used to import module privates and
+                # a new cache could silently escape it); one call
+                # clears every registered cache.
+                from eventsgateway_spark.queries._util import (
+                    clear_session_caches,
+                )
 
-                from eventsgateway_spark.queries import ext_dedup
-                from eventsgateway_spark.queries import ext_sampling
-                from eventsgateway_spark.queries._util import release_frame
-
-                def _release_entry(val):
-                    # cache values are (fp, frame) or (fp, tuple-of-frames)
-                    frames = val[1]
-                    if isinstance(frames, _SparkDF):
-                        frames = (frames,)
-                    for frame in frames:
-                        release_frame(frame)
-
-                from eventsgateway_spark.queries import _util as _qutil
-                from eventsgateway_spark.queries import ext_similarity
-
-                for cache in (ext_dedup._LABELS_CACHE,
-                              ext_dedup._PAIRS_CACHE,
-                              ext_dedup._MEDIA_SIG_CACHE,
-                              ext_dedup._MEDIA_PAIR_CACHE,
-                              ext_dedup._MINHASH_CACHE,  # q31 rides it (r15)
-                              ext_dedup._SIMHASH_SIG_CACHE,  # q39/q63 (r15)
-                              _qutil._DOCTOK_CACHE,  # text family (r15)
-                              ext_similarity._LSH_BUCKET_CACHE,
-                              ext_similarity._IVF_ASSIGN_CACHE,
-                              ext_similarity._NORM_CACHE,
-                              ext_sampling._DSIR_CACHE):
-                    for val in cache.values():
-                        _release_entry(val)
-                    cache.clear()
+                clear_session_caches()
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"

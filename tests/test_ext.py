@@ -2150,3 +2150,46 @@ def test_q38_bucket_gemm_matches_fold(spark):
         ).collect()
     ]
     assert got == exp and len(got) > 0
+
+
+def test_unpin_all_evicts_session_caches(spark):
+    """Round 16 (VERDICT r15 #1/#4): bench.py's between-query
+    ``unpin_all()`` must return the session to a COLD state — every
+    session-scoped lineage cache is registered centrally in
+    ``_util._SESSION_CACHES`` and evicted, so per-query bench rows
+    measure cold per-query cost. Also pins the registry contents: a
+    cache that is not registered would silently escape both the bench
+    eviction and scaleprobe's growth sweep."""
+    import os
+
+    import eventsgateway_spark.queries._util as u
+    import eventsgateway_spark.queries.ext_dedup as ed
+    import eventsgateway_spark.queries.ext_sampling as esa
+    import eventsgateway_spark.queries.ext_similarity as es
+
+    expected = [
+        u._DOCTOK_CACHE,
+        ed._LABELS_CACHE,
+        ed._PAIRS_CACHE,
+        ed._MINHASH_CACHE,
+        ed._SIMHASH_SIG_CACHE,
+        ed._MEDIA_SIG_CACHE,
+        ed._MEDIA_PAIR_CACHE,
+        es._LSH_BUCKET_CACHE,
+        es._NORM_CACHE,
+        es._IVF_ASSIGN_CACHE,
+        esa._DSIR_CACHE,
+    ]
+    registered = {id(c) for c in u._SESSION_CACHES}
+    missing = [i for i, c in enumerate(expected) if id(c) not in registered]
+    assert not missing, f"unregistered session caches at indexes {missing}"
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf01, "documents.parquet")):
+        pytest.skip("sf0.1 fixture absent")
+    assert u.doc_tokens_frame(spark, sf01) is not None
+    assert es.norm_frame(spark, sf01) is not None
+    assert u._DOCTOK_CACHE and es._NORM_CACHE
+    u.unpin_all()
+    for cache in u._SESSION_CACHES:
+        assert not cache, "unpin_all left a session cache populated"
