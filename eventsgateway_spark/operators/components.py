@@ -38,6 +38,13 @@ from pyspark.sql import functions as F
 class CCResult:
     labels: DataFrame  # (node, label) — label = min node id in component
     iterations: int  # alternating large/small-star rounds until fixpoint
+    # converged star forest (checkpointed) — ``labels`` reads it, so it
+    # cannot be freed here; callers that materialize ``labels`` should
+    # release_frame(edges) afterwards (r16: superseded PER-ROUND
+    # checkpoints are already freed inside the loop — without that,
+    # every round's blocks survived until driver GC and repeated CC
+    # runs in one session degraded 5-10x under block-manager pressure)
+    edges: DataFrame | None = None
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -117,6 +124,8 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> CCResult:
     prev_cp = spark.conf.get(_CP, "true")
     spark.conf.set(_CP, "false")
     try:
+        from eventsgateway_spark.queries._util import release_frame
+
         e, sig = _checkpoint_with_signature(
             edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
         )
@@ -126,10 +135,19 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> CCResult:
                     F.col("u").alias("node"), F.col("v").alias("label")
                 ),
                 iterations=0,
+                edges=e,
             )
         iterations = 0
         while iterations < max_iter:
-            e, sig_next = _checkpoint_with_signature(_small_star(_large_star(e)))
+            e_next, sig_next = _checkpoint_with_signature(
+                _small_star(_large_star(e))
+            )
+            # the new checkpoint is materialized, so the previous
+            # round's blocks are dead weight — free them now instead
+            # of at driver GC (r16: repeated CC runs in one session
+            # otherwise accumulate every round's blocks)
+            release_frame(e)
+            e = e_next
             iterations += 1
             if sig_next == sig:
                 break
@@ -148,4 +166,4 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> CCResult:
         .groupBy("node")
         .agg(F.min("label").alias("label"))
     )
-    return CCResult(labels=labels, iterations=iterations)
+    return CCResult(labels=labels, iterations=iterations, edges=e)

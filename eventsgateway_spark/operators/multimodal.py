@@ -672,6 +672,64 @@ DHASH_SCHEMA = T.StructType(
 )
 
 
+def _gray_grid_batch(imgs, width: int, height: int):
+    """(n, height, width) int64 — the dhash law's integer-mean
+    grayscale + ``_nn_resize`` index gather over a STACKED (n,H,W,C)
+    uint8 batch. One copy of the law shared by the 56-bit and wide
+    batch kernels; row-for-row identical to the scalar path (pinned by
+    tests/test_ext.py batch-parity tests and, end-to-end, by the q89
+    oracle which reproduces every signature from the pixel formula)."""
+    import numpy as np
+
+    gray = imgs.astype(np.int64).sum(axis=3) // imgs.shape[3]
+    h, w = gray.shape[1], gray.shape[2]
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return gray[:, yi][:, :, xi]
+
+
+def _dhash56_batch(imgs):
+    """Vectorized :func:`dhash56` over a stacked (n,H,W,C) uint8 batch
+    (guide §4.2: cross the Arrow boundary once, NumPy over the whole
+    batch — the per-row scalar loop paid ~20 small numpy calls per
+    image). Returns (n,) int64."""
+    import numpy as np
+
+    g = _gray_grid_batch(imgs, DHASH_SIDE, DHASH_SIDE)
+    bits = (g[:, :, :-1] < g[:, :, 1:]).astype(np.int64)
+    weights = (np.int64(1) << np.arange(DHASH_BITS, dtype=np.int64)).reshape(
+        DHASH_SIDE, DHASH_SIDE - 1
+    )
+    return (bits * weights).sum(axis=(1, 2))
+
+
+def _decode_image_batch(pdf: pd.DataFrame):
+    """Decode every payload in a batch and return ``[(idx_array,
+    (n,H,W,C) uint8 stack), ...]`` grouped by image shape, so the hash
+    kernels can vectorize across rows while mixed-dimension batches
+    still work (per-shape groups; the fixture corpus is one group)."""
+    import numpy as np
+
+    groups: dict = {}
+    for i, (mt, raw) in enumerate(zip(pdf["media_type"], pdf["payload"])):
+        if mt == "image/ppm":
+            _, _, img = parse_ppm(bytes(raw))
+        elif mt == "image/png":
+            _, _, img = parse_png(bytes(raw))
+        else:
+            raise NotImplementedError(
+                f"perceptual hash for {mt!r} needs PIL — "
+                "image/ppm and image/png decode natively"
+            )
+        groups.setdefault(img.shape, ([], []))
+        groups[img.shape][0].append(i)
+        groups[img.shape][1].append(img)
+    return [
+        (np.asarray(idxs, dtype=np.int64), np.stack(imgs))
+        for idxs, imgs in groups.values()
+    ]
+
+
 def image_dhash(assets: DataFrame) -> DataFrame:
     """(asset_id, dhash) for an asset frame — REAL decode for the
     native formats (binary PPM / PNG via ``parse_ppm``/``parse_png``),
@@ -682,24 +740,19 @@ def image_dhash(assets: DataFrame) -> DataFrame:
     shuffle — the property that makes image dedup 100 TB-viable.
     NULL payloads are EXCLUDED before the map (the zero-norm-vector
     convention: an absent asset never enters a similarity index;
-    without the filter ``bytes(None)`` would TypeError mid-batch)."""
+    without the filter ``bytes(None)`` would TypeError mid-batch).
+    Hashing runs as ONE vectorized kernel per (batch, image shape)
+    group rather than a per-row numpy loop (r16, guide §4.2)."""
+    import numpy as np
+
     assets = assets.filter(F.col("payload").isNotNull())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = []
-            for mt, raw in zip(pdf["media_type"], pdf["payload"]):
-                if mt == "image/ppm":
-                    _, _, img = parse_ppm(bytes(raw))
-                elif mt == "image/png":
-                    _, _, img = parse_png(bytes(raw))
-                else:
-                    raise NotImplementedError(
-                        f"perceptual hash for {mt!r} needs PIL — "
-                        "image/ppm and image/png decode natively"
-                    )
-                hashes.append(dhash56(img))
-            yield pd.DataFrame({"asset_id": pdf["asset_id"], "dhash": hashes})
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for idxs, imgs in _decode_image_batch(pdf):
+                out[idxs] = _dhash56_batch(imgs)
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "dhash": out})
 
     from eventsgateway_spark.shipping import ship_package
 
@@ -755,11 +808,17 @@ def synthetic_doc_images(docs: DataFrame) -> DataFrame:
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # header is constant across the fixed-dims corpus and the rgb
+        # repeat runs once over the whole batch (r16, guide §4.2): the
+        # per-row encode_ppm loop paid an np.repeat + header format per
+        # image; bytes are identical (encode_ppm is header + tobytes)
+        hdr = b"P6\n%d %d\n255\n" % (IMG_SIDE, IMG_SIDE)
         for pdf in batches:
             vals = _synth_pixel_vals(pdf["doc_id"].to_numpy()).astype(np.uint8)
-            payloads = [
-                encode_ppm(np.repeat(v[:, :, None], 3, axis=2)) for v in vals
-            ]
+            flat = np.repeat(vals[:, :, :, None], 3, axis=3).reshape(
+                len(pdf), -1
+            )
+            payloads = [hdr + row.tobytes() for row in flat]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["doc_id"],
@@ -829,28 +888,127 @@ AFP_SCHEMA = T.StructType(
 )
 
 
+def _wav_mono_fast(b: bytes):
+    """Channel-0 float64 samples of a canonical integer-PCM RIFF/WAVE
+    payload via a direct chunk walk — the per-row stdlib
+    ``wave.open(BytesIO(...))`` round-trip was the decode tier's cost
+    (r16, guide §4.2). Returns ``None`` for anything but the simple
+    well-formed layout (non-PCM format tag, odd widths, truncated or
+    ragged data): callers fall back to :func:`parse_wav`, which keeps
+    the exact legacy behavior AND the legacy error contract for those
+    rows. The sample math is the same expression tree as parse_wav's,
+    so accepted payloads decode bit-identically on either path."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt = 12, None
+    while pos + 8 <= len(b):
+        typ = b[pos : pos + 4]
+        (ln,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = pos + 8
+        if body + ln > len(b):
+            return None
+        if typ == b"fmt ":
+            if ln < 16:
+                return None
+            afmt, nch, _rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", b[body : body + 16]
+            )
+            if afmt != 1 or nch <= 0 or bits not in (8, 16, 32):
+                return None
+            fmt = (nch, bits)
+        elif typ == b"data":
+            if fmt is None:
+                return None
+            nch, bits = fmt
+            width = bits // 8
+            if ln % (nch * width):
+                return None
+            raw = b[body : body + ln]
+            if bits == 8:
+                x = np.frombuffer(raw, dtype=np.uint8).astype("float64")
+                x = (x - 128.0) / 128.0
+            elif bits == 16:
+                x = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
+            else:
+                x = (
+                    np.frombuffer(raw, dtype="<i4").astype("float64")
+                    / 2147483648.0
+                )
+            return x[::nch]  # channel 0
+        pos = body + ln + (ln & 1)  # chunks are word-aligned
+    return None
+
+
+def _afp56_batch(monos):
+    """Vectorized :func:`afp56` over a stacked (n, L) float64 batch of
+    SAME-LENGTH mono streams (callers group by length). Same law:
+    rescale to the PCM lattice, pad/truncate to the 456-sample window,
+    L1 frame energies, adjacent comparisons."""
+    import numpy as np
+
+    q = np.rint(np.asarray(monos, dtype=np.float64) * 32768.0).astype(
+        np.int64
+    )
+    n = AFP_FRAMES * AFP_FRAME_LEN
+    if q.shape[1] < n:
+        q = np.pad(q, ((0, 0), (0, n - q.shape[1])))
+    e = np.abs(q[:, :n]).reshape(-1, AFP_FRAMES, AFP_FRAME_LEN).sum(axis=2)
+    bits = (e[:, :-1] < e[:, 1:]).astype(np.int64)
+    weights = np.int64(1) << np.arange(AFP_BITS, dtype=np.int64)
+    return (bits * weights).sum(axis=1)
+
+
+def _decode_audio_batch(pdf: pd.DataFrame):
+    """Decode every WAV payload in a batch and return ``[(idx_array,
+    (n, L) float64 mono stack), ...]`` grouped by sample count (the
+    image-side ``_decode_image_batch`` discipline)."""
+    import numpy as np
+
+    groups: dict = {}
+    for i, (mt, raw) in enumerate(zip(pdf["media_type"], pdf["payload"])):
+        if mt != "audio/wav":
+            raise NotImplementedError(
+                f"audio fingerprint for {mt!r} needs libav — "
+                "audio/wav decodes natively"
+            )
+        bb = bytes(raw)
+        mono = _wav_mono_fast(bb)
+        if mono is None:
+            _, _, x, _ = parse_wav(bb)
+            mono = x[:, 0]
+        groups.setdefault(mono.size, ([], []))
+        groups[mono.size][0].append(i)
+        groups[mono.size][1].append(mono)
+    return [
+        (np.asarray(idxs, dtype=np.int64), np.stack(monos))
+        for idxs, monos in groups.values()
+    ]
+
+
 def audio_fingerprint(assets: DataFrame) -> DataFrame:
-    """(asset_id, afp) — REAL decode for ``audio/wav`` (stdlib
-    ``wave`` via ``parse_wav``), ``NotImplementedError`` for formats
-    needing libav (no stub tier — a fake fingerprint would manufacture
-    false dedup pairs; the image_dhash contract). Arrow-batched
-    ``mapInPandas``; payloads die inside the map stage, only 8-byte
-    fingerprints shuffle. NULL payloads are excluded before the map
-    (the image_dhash / zero-norm convention)."""
+    """(asset_id, afp) — REAL decode for ``audio/wav`` (direct RIFF
+    chunk walk with a stdlib-``wave`` fallback for non-canonical
+    payloads), ``NotImplementedError`` for formats needing libav (no
+    stub tier — a fake fingerprint would manufacture false dedup
+    pairs; the image_dhash contract). Arrow-batched ``mapInPandas``;
+    payloads die inside the map stage, only 8-byte fingerprints
+    shuffle. NULL payloads are excluded before the map (the
+    image_dhash / zero-norm convention). Fingerprinting runs as ONE
+    vectorized kernel per (batch, length) group (r16, guide §4.2)."""
+    import numpy as np
+
     assets = assets.filter(F.col("payload").isNotNull())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fps = []
-            for mt, raw in zip(pdf["media_type"], pdf["payload"]):
-                if mt != "audio/wav":
-                    raise NotImplementedError(
-                        f"audio fingerprint for {mt!r} needs libav — "
-                        "audio/wav decodes natively"
-                    )
-                _, _, x, _ = parse_wav(bytes(raw))
-                fps.append(afp56(x[:, 0]))
-            yield pd.DataFrame({"asset_id": pdf["asset_id"], "afp": fps})
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for idxs, monos in _decode_audio_batch(pdf):
+                out[idxs] = _afp56_batch(monos)
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "afp": out})
 
     from eventsgateway_spark.shipping import ship_package
 
@@ -920,27 +1078,49 @@ def _wide_sig_schema(col: str) -> T.StructType:
     )
 
 
+def _dhash_geom_batch(imgs, bands: int, band_w: int):
+    """Vectorized :func:`dhash_geom` over a stacked (n,H,W,C) uint8
+    batch — returns an (n, bands) int64 word matrix."""
+    import numpy as np
+
+    g = _gray_grid_batch(imgs, band_w + 1, bands)
+    bits = (g[:, :, :-1] < g[:, :, 1:]).astype(np.int64)
+    weights = np.int64(1) << np.arange(band_w, dtype=np.int64)
+    return (bits * weights).sum(axis=2)
+
+
+def _afp_geom_batch(monos, bands: int, band_w: int, frame_len: int = AFP_FRAME_LEN):
+    """Vectorized :func:`afp_geom` over a stacked (n, L) float64 batch
+    of same-length mono streams — returns (n, bands) int64."""
+    import numpy as np
+
+    frames = bands * (band_w + 1)
+    q = np.rint(np.asarray(monos, dtype=np.float64) * 32768.0).astype(
+        np.int64
+    )
+    n = frames * frame_len
+    if q.shape[1] < n:
+        q = np.pad(q, ((0, 0), (0, n - q.shape[1])))
+    e = np.abs(q[:, :n]).reshape(-1, bands, band_w + 1, frame_len).sum(axis=3)
+    bits = (e[:, :, :-1] < e[:, :, 1:]).astype(np.int64)
+    weights = np.int64(1) << np.arange(band_w, dtype=np.int64)
+    return (bits * weights).sum(axis=2)
+
+
 def image_dhash_wide(assets: DataFrame, bands: int, band_w: int) -> DataFrame:
     """(asset_id, dhash: array<bigint>) — :func:`image_dhash` at a
     derived geometry (one word per band). Same decode tier, NULL
-    exclusion, and signatures-only-shuffle posture."""
+    exclusion, signatures-only-shuffle posture, and per-(batch, shape)
+    vectorized hashing (r16, guide §4.2)."""
     assets = assets.filter(F.col("payload").isNotNull())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = []
-            for mt, raw in zip(pdf["media_type"], pdf["payload"]):
-                if mt == "image/ppm":
-                    _, _, img = parse_ppm(bytes(raw))
-                elif mt == "image/png":
-                    _, _, img = parse_png(bytes(raw))
-                else:
-                    raise NotImplementedError(
-                        f"perceptual hash for {mt!r} needs PIL — "
-                        "image/ppm and image/png decode natively"
-                    )
-                hashes.append(dhash_geom(img, bands, band_w))
-            yield pd.DataFrame({"asset_id": pdf["asset_id"], "dhash": hashes})
+            words: list = [None] * len(pdf)
+            for idxs, imgs in _decode_image_batch(pdf):
+                for i, row in zip(idxs, _dhash_geom_batch(imgs, bands, band_w).tolist()):
+                    words[i] = row
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "dhash": words})
 
     from eventsgateway_spark.shipping import ship_package
 
@@ -950,21 +1130,17 @@ def image_dhash_wide(assets: DataFrame, bands: int, band_w: int) -> DataFrame:
 
 def audio_fingerprint_wide(assets: DataFrame, bands: int, band_w: int) -> DataFrame:
     """(asset_id, afp: array<bigint>) — :func:`audio_fingerprint` at a
-    derived geometry (one word per band)."""
+    derived geometry (one word per band), vectorized per (batch,
+    length) group (r16, guide §4.2)."""
     assets = assets.filter(F.col("payload").isNotNull())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fps = []
-            for mt, raw in zip(pdf["media_type"], pdf["payload"]):
-                if mt != "audio/wav":
-                    raise NotImplementedError(
-                        f"audio fingerprint for {mt!r} needs libav — "
-                        "audio/wav decodes natively"
-                    )
-                _, _, x, _ = parse_wav(bytes(raw))
-                fps.append(afp_geom(x[:, 0], bands, band_w))
-            yield pd.DataFrame({"asset_id": pdf["asset_id"], "afp": fps})
+            words: list = [None] * len(pdf)
+            for idxs, monos in _decode_audio_batch(pdf):
+                for i, row in zip(idxs, _afp_geom_batch(monos, bands, band_w).tolist()):
+                    words[i] = row
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "afp": words})
 
     from eventsgateway_spark.shipping import ship_package
 

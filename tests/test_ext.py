@@ -2193,3 +2193,62 @@ def test_unpin_all_evicts_session_caches(spark):
     u.unpin_all()
     for cache in u._SESSION_CACHES:
         assert not cache, "unpin_all left a session cache populated"
+
+
+def test_media_batch_kernels_match_scalar_law():
+    """r16 vectorization (guide §4.2): the batched dhash/afp kernels
+    and the fast WAV chunk walk must reproduce the scalar law bit for
+    bit — the q89/q90 oracles pin the end-to-end signatures, this pins
+    each kernel in isolation over a sweep of shapes/paddings."""
+    import numpy as np
+
+    from eventsgateway_spark.operators.multimodal import (
+        _afp56_batch,
+        _afp_geom_batch,
+        _dhash56_batch,
+        _dhash_geom_batch,
+        _synth_audio_samples,
+        _synth_pixel_vals,
+        _wav_mono_fast,
+        afp56,
+        afp_geom,
+        dhash56,
+        dhash_geom,
+        encode_wav,
+        parse_wav,
+    )
+
+    rng = np.random.default_rng(42)
+    # images: fixture dims AND a non-square odd-dims RGBA-ish stack
+    vals = _synth_pixel_vals(np.arange(64)).astype(np.uint8)
+    imgs16 = np.repeat(vals[:, :, :, None], 3, axis=3)
+    assert [dhash56(im) for im in imgs16] == _dhash56_batch(imgs16).tolist()
+    odd = rng.integers(0, 256, size=(7, 13, 9, 4), dtype=np.uint8)
+    assert [dhash56(im) for im in odd] == _dhash56_batch(odd).tolist()
+    assert [
+        dhash_geom(im, 9, 7) for im in odd
+    ] == _dhash_geom_batch(odd, 9, 7).tolist()
+
+    # audio: exact fixture lattice, short (padded), long (truncated)
+    for monos in (
+        _synth_audio_samples(np.arange(32)) / 32767.0,
+        rng.uniform(-1, 1, size=(5, 100)),
+        rng.uniform(-1, 1, size=(5, 700)),
+    ):
+        assert [afp56(m) for m in monos] == _afp56_batch(monos).tolist()
+        assert [
+            afp_geom(m, 9, 7) for m in monos
+        ] == _afp_geom_batch(monos, 9, 7).tolist()
+
+    # fast WAV walk == stdlib wave decode (channel 0), incl. stereo
+    mono = rng.uniform(-1, 1, size=456)
+    stereo = rng.uniform(-1, 1, size=(300, 2))
+    for payload in (encode_wav(mono), encode_wav(stereo, rate=8000)):
+        fast = _wav_mono_fast(payload)
+        _, _, x, _ = parse_wav(payload)
+        assert fast is not None
+        np.testing.assert_array_equal(fast, x[:, 0])
+    # malformed payloads must fall to the wave path (None), not crash
+    assert _wav_mono_fast(b"RIFFxxxxWAVE") is None
+    assert _wav_mono_fast(encode_wav(mono)[:30]) is None
+    assert _wav_mono_fast(b"not a wav") is None
